@@ -1,0 +1,126 @@
+"""Column-expression building blocks (all JVM-side, codegen-friendly).
+
+Everything here composes ``pyspark.sql.functions`` higher-order array /
+string / hash functions — no Python UDFs — so the expressions inline into
+whole-stage codegen and stay oracle-matchable bit-for-bit:
+
+- vector math (dot / norm / cosine) folds left in array index order with
+  double accumulation, exactly mirroring duckdb's ``list_aggregate(...,
+  'sum')`` fold, so ROUND(x, 4) agrees across engines.
+- hashing uses md5 hex strings (identical in Spark and duckdb), which makes
+  MinHash / SimHash signatures cross-engine deterministic — the trick that
+  lets near-dup operators be graded against a SQL oracle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Vector math over array<float> columns (embeddings.embedding, dim=64)
+# ---------------------------------------------------------------------------
+
+
+def vec_dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product with per-element double promotion, left-fold in index
+    order (bitwise-matches duckdb `list_aggregate(list_transform(...), 'sum')`)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def vec_norm(a: Column | str) -> Column:
+    """L2 norm, same double-promotion fold as :func:`vec_dot`."""
+    return F.sqrt(vec_dot(a, a))
+
+
+def vec_cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL when either vector has zero norm."""
+    denom = vec_norm(a) * vec_norm(b)
+    return vec_dot(a, b) / F.nullif(denom, F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling (documents.text is space-separated)
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(text, " ")
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles as an array<string> (empty array when < k tokens).
+
+    Pure expression: sequence over token positions + transform, no UDF.
+    """
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic hashing (md5 hex — identical in duckdb)
+# ---------------------------------------------------------------------------
+
+
+def md5_seeded(value: Column, seed: int) -> Column:
+    """Seeded hash as an md5 hex string: md5(value || '#' || seed)."""
+    return F.md5(F.concat(value, F.lit(f"#{seed}")))
+
+
+def minhash_sig(shingle_array: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: array of n md5-hex minima over the shingle set.
+
+    String-min over md5 hex == min over a uniform 128-bit hash, so this is
+    a textbook MinHash; duckdb computes the identical signature with
+    ``min(md5(shingle || '#i'))`` per seed.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_array, lambda s, i=i: md5_seeded(s, i)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def nibble_high_bit(hexstr: Column, pos: int) -> Column:
+    """High bit of hex digit `pos` (1-based) of an md5 hex string, as ±1.
+
+    Used by SimHash: each of the 32 md5 hex chars contributes one bit;
+    a digit in [8-9a-f] has its high bit set.
+    """
+    digit = F.substring(hexstr, pos, 1)
+    return F.when(digit.rlike("[89a-f]"), F.lit(1)).otherwise(F.lit(-1))
+
+
+def simhash_bits(token_array: Column, n_bits: int = 32) -> Column:
+    """SimHash over a token array as an n_bits-char '0'/'1' string.
+
+    bit j = sign of sum over tokens of ±1 from md5-hex nibble high-bits.
+    Ties (sum == 0) resolve to '0' on both engines.
+    """
+    hashed = F.transform(token_array, F.md5)
+    bits = [
+        F.when(
+            F.aggregate(
+                hashed,
+                F.lit(0),
+                lambda acc, h, j=j: acc + nibble_high_bit(h, j + 1),
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for j in range(n_bits)
+    ]
+    return F.concat(*bits)

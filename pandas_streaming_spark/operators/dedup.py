@@ -1,0 +1,154 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a documents
+table (SURVEY.md §2.9). Everything is built-in expression composition —
+md5-hex hashing keeps signatures bit-identical to a duckdb SQL oracle, so
+even the *near*-dup operators are hash-match gradable (rare: most LSH
+impls are impl-defined).
+
+Scale notes (100 TB):
+- exact_dedup: one shuffle on the 128-bit content hash; with AQE the
+  post-shuffle partitions coalesce. Never collects.
+- minhash/LSH: signature build is a narrow map (no shuffle); candidate
+  generation shuffles on (band_id, band_hash) — docs only meet if they
+  collide in a band, which is the whole point of LSH (no O(n²) pair scan).
+- ngram_jaccard_pairs is the exact-verification stage: run it on LSH
+  candidates at scale, not on the full cross product (the full version
+  here is for small-table oracle grading).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.functions import minhash_sig, shingles, simhash_bits, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Drop rows whose ``text_col`` md5 collides (keep one arbitrary row).
+
+    For deterministic grading prefer aggregating counts by hash instead of
+    relying on which duplicate survives.
+    """
+    return df.withColumn("__h", F.md5(F.col(text_col))).dropDuplicates(["__h"]).drop("__h")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: array of ``n_hashes`` md5-hex minima over
+    k-word shingles. Narrow (no shuffle)."""
+    return df.select(
+        F.col(id_col),
+        minhash_sig(shingles(text_col, k), n_hashes).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band (n_hashes/bands rows per band)
+    become candidate pairs (a < b). Shuffles on (band, band_hash) only."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.element_at("signature", b * rows + i + 1) for i in range(rows)],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.band") == F.col(f"b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash as an ``n_bits``-char bitstring (narrow map).
+
+    Near-dups differ in few bits; at scale, group on bit-prefix blocks
+    (pigeonhole) to find low-Hamming-distance pairs without a pair scan.
+    """
+    return df.select(
+        F.col(id_col),
+        simhash_bits(tokens(text_col), n_bits).alias("simhash"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-word shingles for every doc pair that
+    shares at least one shingle. Returns (id_a, id_b, jaccard).
+
+    The shingle self-join is the classic inverted-index plan: pairs are
+    generated per shingle then aggregated — no cross product. At 100 TB,
+    feed LSH candidates in as a semi-join filter first.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

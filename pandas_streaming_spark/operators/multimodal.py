@@ -1,0 +1,85 @@
+"""Multimodal (image/audio/video) column plumbing — SURVEY.md §2.9.
+
+Media are opaque ``binary`` columns plus typed metadata. The decode /
+feature-extract kernels run as Arrow-batched ``mapInPandas`` — the real
+Spark-side plumbing (schema, batching, partitioning) — while the actual
+codec call is stubbed (no image/audio libs in this container): decode is a
+deterministic fake derived from the bytes' md5, clearly marked below.
+
+At 100 TB: binary payloads dominate I/O, so (a) store media in their own
+column chunk (parquet does this for free), (b) keep metadata-only queries
+off the binary column — column pruning means a ``select(meta)`` never
+reads the blobs, and (c) size ``maxRecordsPerBatch`` so an Arrow batch of
+blobs fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """STUB — stands in for a real image decode (no codec libs here).
+
+    Deterministic fake: derive (width, height) from the md5 of the bytes
+    so results are stable and oracle-expressible. A real deployment
+    replaces this one function with e.g. PIL/av and keeps every other
+    line.
+    """
+    import hashlib
+
+    h = hashlib.md5(payload).hexdigest()
+    return int(h[:2], 16) + 1, int(h[2:4], 16) + 1
+
+
+def decode_images(df: DataFrame, binary_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode: binary column -> typed metadata rows."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_len": pdf[binary_col].map(len).astype("int64"),
+                    "content_md5": pdf[binary_col].map(
+                        lambda b: __import__("hashlib").md5(b).hexdigest()
+                    ),
+                }
+            )
+            wh = pdf[binary_col].map(_fake_decode)
+            out["width"] = wh.map(lambda t: t[0]).astype("int32")
+            out["height"] = wh.map(lambda t: t[1]).astype("int32")
+            yield out
+
+    return df.select(id_col, binary_col).mapInPandas(decode, DECODED_SCHEMA)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapt the testdata documents table into a media-shaped table by
+    treating the utf-8 text bytes as the binary payload (the sandbox has
+    no real media files; byte-level semantics are identical)."""
+    return documents.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )

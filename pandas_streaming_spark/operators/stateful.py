@@ -1,0 +1,114 @@
+"""Arbitrary stateful streaming ops (reference `accumulate`, row-count
+windows, ewm — SURVEY.md §2.5) via ``applyInPandasWithState``.
+
+The reference's most general operator is ``accumulate(func, start,
+returns_state=True)`` — user state folded over the stream. Spark's
+equivalent is a keyed state store updated per micro-batch; the functions
+here are the canonical instances used by the graded queries and the
+non-graded extras.
+
+Scale: state lives in the executor-local state store (RocksDB-backed on a
+real cluster — set ``spark.sql.streaming.stateStore.providerClass``);
+keys partition across executors by hash, so per-key state is single-writer
+and the operator scales with key cardinality, not stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+RUNNING_STATS_STATE = StructType(
+    [StructField("n", LongType()), StructField("mx", DoubleType())]
+)
+RUNNING_STATS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def running_user_stats(events_stream: DataFrame) -> DataFrame:
+    """Per-user running (count, max(value)) — the Q48 graded op.
+
+    Equivalent batch oracle: ``GROUP BY user_id: count(*), max(value)``;
+    the streaming form must converge to it for any batch split.
+    """
+
+    def fold(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = pdf["value"].max()
+            mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, float(mx)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [float(mx)]}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=RUNNING_STATS_OUT,
+        stateStructType=RUNNING_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EWM_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ewm_value", DoubleType()),
+    ]
+)
+EWM_STATE = StructType(
+    [StructField("num", DoubleType()), StructField("den", DoubleType())]
+)
+
+
+def ewm_stream(events_stream: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Exponentially weighted mean per key over the stream (pandas
+    ``ewm(alpha, adjust=True)`` semantics), reference `ewm` op.
+
+    State carries (numerator, denominator) of the adjusted EWM so any
+    batch split yields identical output — non-graded extra (no SQL
+    oracle; verified in unit tests against pandas)."""
+
+    def fold(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        num, den = state.get if state.exists else (0.0, 0.0)
+        decay = 1.0 - alpha
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            out_rows = []
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                num = num * decay + float(v)
+                den = den * decay + 1.0
+                out_rows.append((key[0], int(eid), num / den))
+            state.update((num, den))
+            yield pd.DataFrame(out_rows, columns=["user_id", "event_id", "ewm_value"])
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=EWM_OUT,
+        stateStructType=EWM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

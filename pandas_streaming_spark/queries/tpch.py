@@ -1,0 +1,354 @@
+"""Q01–Q13: scan/filter/agg + the full join family (SURVEY.md §2.10).
+
+Every query is declarative DataFrame API — Catalyst handles predicate
+pushdown into the parquet scan, column pruning, and join strategy
+selection (broadcast for the dims, sort-merge for fact-fact). Explicit
+``F.broadcast`` only on the always-tiny dims (region, nation); the rest is
+left to ``autoBroadcastJoinThreshold`` + AQE so plans stay correct when a
+"dim" is big at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.catalog import load_table
+from pandas_streaming_spark.operators.asof import asof_join
+
+SHIP_CUTOFF = "1998-09-02"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(SHIP_CUTOFF)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+def q03_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q04_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def q05_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q08_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    joined = s.join(c, s.s_nationkey == c.c_nationkey, "full_outer")
+    return (
+        joined.groupBy(
+            F.coalesce("s_nationkey", "c_nationkey").alias("nationkey")
+        )
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_supp"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q09_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            p,
+            (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size),
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
+def q10_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+def q11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (§4.2 custom op #1): for each order, the latest event of
+    the synthetic user key (o_custkey % 20) with event-second <= order
+    date; aggregated per user. Union+window implementation — pure SQL ops."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "user_id", (F.col("o_custkey") % 20).cast("long")
+    )
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("second", "ts").alias("ets"),
+        "event_id",
+        F.col("value").alias("ev_value"),
+    )
+    joined = asof_join(
+        o.select("user_id", "o_orderkey", "o_orderdate"),
+        e,
+        key="user_id",
+        left_time="o_orderdate",
+        right_time="ets",
+        value_cols=["ev_value"],
+        right_ord="event_id",
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("ev_value").alias("n_matched"),
+            F.round(F.sum("ev_value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q12_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q13_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"))
+        .filter(F.col("n_cust") > 5)
+        .orderBy("n_name")
+    )
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_projection_filter": q02_projection_filter,
+    "q03_broadcast_join": q03_broadcast_join,
+    "q04_star_join_revenue": q04_star_join_revenue,
+    "q05_left_outer_counts": q05_left_outer_counts,
+    "q06_semi_join": q06_semi_join,
+    "q07_anti_join": q07_anti_join,
+    "q08_full_outer": q08_full_outer,
+    "q09_theta_join": q09_theta_join,
+    "q10_cross_join": q10_cross_join,
+    "q11_asof_join": q11_asof_join,
+    "q12_groupby_multi_agg": q12_groupby_multi_agg,
+    "q13_having": q13_having,
+}
+
+ORACLES = {
+    "q01_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(AVG(l_discount), 2) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "q02_projection_filter": """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+ORDER BY o_orderkey
+""",
+    "q03_broadcast_join": """
+SELECT r_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+    "q04_star_join_revenue": """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    "q05_left_outer_counts": """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+""",
+    "q06_semi_join": """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+ORDER BY c_custkey
+LIMIT 100
+""",
+    "q07_anti_join": """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+ORDER BY c_custkey
+""",
+    "q08_full_outer": """
+SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
+       COUNT(DISTINCT s_suppkey) AS n_supp,
+       COUNT(DISTINCT c_custkey) AS n_cust
+FROM supplier FULL OUTER JOIN customer ON s_nationkey = c_nationkey
+GROUP BY COALESCE(s_nationkey, c_nationkey)
+ORDER BY nationkey
+""",
+    "q09_theta_join": """
+SELECT p_brand, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    "q10_cross_join": """
+SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+""",
+    "q11_asof_join": """
+WITH ev AS (
+  SELECT user_id AS k, date_trunc('second', ts) AS t, 0 AS side,
+         event_id AS ord, value, NULL::BIGINT AS o_orderkey
+  FROM events
+), od AS (
+  SELECT o_custkey % 20 AS k, o_orderdate AS t, 1 AS side,
+         4611686018427387904 AS ord, NULL::DOUBLE AS value, o_orderkey
+  FROM orders
+), u AS (
+  SELECT k, side,
+         LAST_VALUE(value IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY t, side, ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ev_value
+  FROM (SELECT * FROM ev UNION ALL SELECT * FROM od)
+)
+SELECT k AS user_id, COUNT(*) AS n_orders, COUNT(ev_value) AS n_matched,
+       ROUND(SUM(ev_value), 2) AS sum_value
+FROM u WHERE side = 1
+GROUP BY k
+ORDER BY user_id
+""",
+    "q12_groupby_multi_agg": """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 2) AS avg_price,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    "q13_having": """
+SELECT n_name, COUNT(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING COUNT(*) > 5
+ORDER BY n_name
+""",
+}
