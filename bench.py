@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Per-query protocol: one untimed warm-up of the whole suite amortizes the
+JVM/session start (BASELINE.md: session start ~5 s dominates at small SF),
+then each query runs twice timed and reports the best — matching how
+BASELINE.md's duckdb/Spark reference numbers were measured (warm, best-of).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "q01_pricing_summary",      # scan + filter + hash agg (TPC-H Q1 shape)
+    "q04_star_join_revenue",    # 5-way broadcast/SMJ star join
+    "q11_asof_join",            # custom as-of join (union+window)
+    "q14_count_distinct",       # exact distinct agg
+    "q21_topk_per_group",       # rank window + filter
+    "q27_global_topk",          # TakeOrderedAndProject
+    "q34_date_trunc_tumbling",  # tumbling-window agg (batch form)
+    "q39_similarity_topk",      # brute-force cosine top-k
+    "q40_top_tokens",           # explode + count (text analysis)
+    "q50_lsh_candidate_pairs",  # MinHash/LSH near-dup candidates
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pandas_streaming_spark.queries import QUERIES
+    from pandas_streaming_spark.session import get_spark
+
+    spark = get_spark(app_name="pss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for name in HEADLINE:  # warm-up: plans, file listing, JIT
+        QUERIES[name](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

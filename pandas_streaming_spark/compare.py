@@ -28,6 +28,8 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _cell(v) -> str:
+    import datetime
+
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -36,6 +38,14 @@ def _cell(v) -> str:
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))  # 3.0 and 3 stringify alike
         return repr(v)
+    # canonicalize date-ish cells: a DATE and a midnight TIMESTAMP agree
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if isinstance(v, pd.Timestamp) and pd.isna(v):
+            return "NULL"
+        s = pd.Timestamp(v).isoformat(sep=" ")
+        return s[:-9] if s.endswith(" 00:00:00") else s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     return str(v)
 
 

@@ -55,8 +55,16 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     """k-word shingles as an array<string> (empty array when < k tokens).
 
     Pure expression: sequence over token positions + transform, no UDF.
+    NOTE: higher-order functions are interpreted (no codegen) and do not
+    share subexpressions — this inlines ``split(text)`` into every
+    element_at. Hot paths should materialize the token array in a column
+    first and call :func:`shingles_of` on it (operators/dedup.py does).
     """
-    t = tokens(text)
+    return shingles_of(tokens(text), k)
+
+
+def shingles_of(t: Column, k: int = 3) -> Column:
+    """k-word shingles over an (ideally already-materialized) token array."""
     n = F.size(t)
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
@@ -86,9 +94,15 @@ def minhash_sig(shingle_array: Column, n_hashes: int = 16) -> Column:
     a textbook MinHash; duckdb computes the identical signature with
     ``min(md5(shingle || '#i'))`` per seed.
     """
+    # NB: the seed must be captured via a closure, not a lambda default
+    # arg — PySpark introspects lambda arity, and a 2-param lambda gets
+    # the element *index* bound to its second parameter.
+    def seeded(i: int):
+        return lambda s: md5_seeded(s, i)
+
     return F.array(
         *[
-            F.array_min(F.transform(shingle_array, lambda s, i=i: md5_seeded(s, i)))
+            F.array_min(F.transform(shingle_array, seeded(i)))
             for i in range(n_hashes)
         ]
     )
@@ -111,16 +125,14 @@ def simhash_bits(token_array: Column, n_bits: int = 32) -> Column:
     Ties (sum == 0) resolve to '0' on both engines.
     """
     hashed = F.transform(token_array, F.md5)
+
+    def bit_sum(j: int):  # closure capture — see minhash_sig note
+        return F.aggregate(
+            hashed, F.lit(0), lambda acc, h: acc + nibble_high_bit(h, j + 1)
+        )
+
     bits = [
-        F.when(
-            F.aggregate(
-                hashed,
-                F.lit(0),
-                lambda acc, h, j=j: acc + nibble_high_bit(h, j + 1),
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
+        F.when(bit_sum(j) > 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(n_bits)
     ]
     return F.concat(*bits)

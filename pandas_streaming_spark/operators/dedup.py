@@ -22,7 +22,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandas_streaming_spark.functions import minhash_sig, shingles, simhash_bits, tokens
+from pandas_streaming_spark.functions import (
+    minhash_sig,
+    shingles,
+    shingles_of,
+    simhash_bits,
+    tokens,
+)
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) rows; tokens materialized first so the shingle
+    lambda reads a bound column instead of re-splitting the text per
+    element (interpreted HOFs don't share subexpressions)."""
+    return df.select(F.col(id_col), tokens(text_col).alias("__t")).select(
+        F.col(id_col), F.explode(shingles_of(F.col("__t"), k)).alias("__sh")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -42,10 +57,24 @@ def minhash_signatures(
     k: int = 3,
 ) -> DataFrame:
     """Per-doc MinHash signature: array of ``n_hashes`` md5-hex minima over
-    k-word shingles. Narrow (no shuffle)."""
-    return df.select(
+    k-word shingles.
+
+    Plan: explode shingles to rows, hash with codegen'd md5, one
+    groupBy(doc) with n_hashes min() aggregates (map-side combined — the
+    shuffle carries one row per doc). The pure array-expression form
+    (functions.minhash_sig) is ~10× slower at scale because higher-order
+    array functions are interpreted, not codegen'd.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, k)
+    agg = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("__sh"), F.lit(f"#{i}")))).alias(f"__mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return agg.select(
         F.col(id_col),
-        minhash_sig(shingles(text_col, k), n_hashes).alias("signature"),
+        F.array(*[F.col(f"__mh{i}") for i in range(n_hashes)]).alias("signature"),
     )
 
 
@@ -105,15 +134,31 @@ def simhash_fingerprints(
     text_col: str = "text",
     n_bits: int = 32,
 ) -> DataFrame:
-    """Per-doc SimHash as an ``n_bits``-char bitstring (narrow map).
+    """Per-doc SimHash as an ``n_bits``-char bitstring.
 
     Near-dups differ in few bits; at scale, group on bit-prefix blocks
     (pigeonhole) to find low-Hamming-distance pairs without a pair scan.
+
+    Plan: explode tokens, codegen'd md5, one groupBy(doc) with n_bits
+    conditional-sum aggregates (map-side combined) — same rationale as
+    :func:`minhash_signatures` vs the interpreted array-fold form
+    (functions.simhash_bits).
     """
-    return df.select(
-        F.col(id_col),
-        simhash_bits(tokens(text_col), n_bits).alias("simhash"),
-    )
+    hashed = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).select(F.col(id_col), F.md5("__t").alias("__h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.substring("__h", j + 1, 1).rlike("[89a-f]"), 1).otherwise(-1)
+        ).alias(f"__b{j}")
+        for j in range(n_bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_aggs)
+    bits = [
+        F.when(F.col(f"__b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(n_bits)
+    ]
+    return agg.select(F.col(id_col), F.concat(*bits).alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -130,9 +175,7 @@ def ngram_jaccard_pairs(
     generated per shingle then aggregated — no cross product. At 100 TB,
     feed LSH candidates in as a semi-join filter first.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("sh")
-    )
+    sh = _exploded_shingles(df, id_col, text_col, k).select(id_col, "__sh").distinct().withColumnRenamed("__sh", "sh")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -148,6 +191,9 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
+            "common",
+            "na",
+            "nb",
             (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

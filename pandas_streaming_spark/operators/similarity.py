@@ -49,13 +49,16 @@ def cosine_topk(
     TakeOrderedAndProject (per-partition heap + driver merge — no shuffle).
     """
     q = _query_vec(embeddings, query_id, id_col, vec_col)
+    # similarity reported as integer basis points (round(1e4 * cos)):
+    # a float column rounded to 4 decimals can land on a .xxxx5 shortest
+    # decimal repr where Spark (rounds the repr) and duckdb (rounds the
+    # binary value) disagree; an integer output ties only at binary-exact
+    # .5 which both engines round away from zero identically.
+    sim_e4 = F.round(F.lit(10000.0) * vec_cosine(vec_col, "__qvec"), 0).cast("long")
     return (
         embeddings.crossJoin(F.broadcast(q))
-        .select(
-            F.col(id_col),
-            F.round(vec_cosine(vec_col, "__qvec"), 4).alias("sim"),
-        )
-        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .select(F.col(id_col), sim_e4.alias("sim_e4"))
+        .orderBy(F.col("sim_e4").desc(), F.col(id_col))
         .limit(k)
     )
 
@@ -75,14 +78,20 @@ def similarity_join(
     on = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
     if block_col:
         on.insert(0, F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    sim = F.round(vec_cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4)
+    # threshold on the RAW cosine (bit-identical across engines); the
+    # reported similarity is integer basis points (see cosine_topk)
+    raw = vec_cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     out = a.join(b, on=on).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         *([F.col(f"a.{block_col}").alias(block_col)] if block_col else []),
-        sim.alias("sim"),
+        raw.alias("__raw"),
     )
-    return out.filter(F.col("sim") >= threshold)
+    return (
+        out.filter(F.col("__raw") >= threshold)
+        .withColumn("sim_e4", F.round(F.lit(10000.0) * F.col("__raw"), 0).cast("long"))
+        .drop("__raw")
+    )
 
 
 def bucket_bits(vec_col: Column | str, n_bits: int = 8) -> Column:
@@ -118,12 +127,13 @@ def ann_bucketed_topk(
     q = bucketed.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
     )
+    sim_e4 = F.round(F.lit(10000.0) * vec_cosine(vec_col, "__qvec"), 0).cast("long")
     return (
         bucketed.join(
             F.broadcast(q), on=F.col("__bucket") == F.col("__qbucket")
         )
-        .select(F.col(id_col), F.round(vec_cosine(vec_col, "__qvec"), 4).alias("sim"))
-        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .select(F.col(id_col), sim_e4.alias("sim_e4"))
+        .orderBy(F.col("sim_e4").desc(), F.col(id_col))
         .limit(k)
     )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pandas_streaming_spark.functions import shingles, tokens
+from pandas_streaming_spark.functions import shingles_of, tokens
 
 # Deterministic per-language marker lists (testdata vocabulary is shared
 # word-soup, so this is a heuristic scorer, graded on determinism).
@@ -55,7 +55,13 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     - n_tokens, avg token length
     - stop_ratio: fraction of tokens in a global stopword list
-    - score: length-normalized readability-ish composite, rounded
+    - quality: length-normalized readability-ish composite
+
+    Ratios are reported as integer basis points (*_e4): token-count
+    denominators are small, so a 4-decimal float round frequently lands on
+    an exact .xxxx5 where Spark (decimal-repr rounding) and a SQL oracle
+    (binary rounding) disagree; integer scale ties only at binary-exact
+    .5, which both round identically.
     """
     tok = tokens(text_col)
     n_tok = F.size(tok)
@@ -69,11 +75,15 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + stop_ratio * 0.3
         + F.least(avg_tok_len / F.lit(8.0), F.lit(1.0)) * 0.2
     )
+
+    def e4(col):
+        return F.round(F.lit(10000.0) * col, 0).cast("long")
+
     return (
         df.withColumn("n_tokens", n_tok)
-        .withColumn("avg_tok_len", F.round(avg_tok_len, 4))
-        .withColumn("stop_ratio", F.round(stop_ratio, 4))
-        .withColumn("quality", F.round(score, 4))
+        .withColumn("avg_tok_len_e4", e4(avg_tok_len))
+        .withColumn("stop_ratio_e4", e4(stop_ratio))
+        .withColumn("quality_e4", e4(score))
     )
 
 
@@ -102,7 +112,9 @@ def winnow_fingerprints(
     The per-doc window pass shuffles on doc_id only (standard window
     function); at scale this is one pass over the shingle stream.
     """
-    sh = df.select(F.col(id_col), F.posexplode(shingles(text_col, k)).alias("pos", "sh"))
+    sh = df.select(F.col(id_col), tokens(text_col).alias("__t")).select(
+        F.col(id_col), F.posexplode(shingles_of(F.col("__t"), k)).alias("pos", "sh")
+    )
     hashed = sh.select(id_col, "pos", F.md5("sh").alias("h"))
     w = (
         Window.partitionBy(id_col)

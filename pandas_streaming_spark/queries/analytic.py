@@ -1,2 +1,447 @@
-QUERIES = {}
-ORACLES = {}
+"""Q14–Q30: distinct/grouping-set aggregates, analytic window functions,
+sort/limit/pagination, set operations (SURVEY.md §2.4/§2.6/§2.7).
+
+Determinism notes baked into every query (§2.10 policy): total ORDER BY,
+ROUND on double outputs, window orders use the unique event_id (ts is
+monotone in it — FIXTURES.md) so ties can't reorder, grouping-set NULL
+markers are COALESCEd away and replaced by explicit GROUPING flags, and
+rank/ntile outputs are cast to long to match duckdb's BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q14_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "n_cust",
+            "g_region",
+            "g_nation",
+        )
+        .orderBy("g_region", "g_nation", "r_name", "n_name")
+    )
+
+
+def q16_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty",
+            "g_flag",
+            "g_status",
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+def q17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(user_id, -1) AS user_id,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(user_id) AS INT) AS g_user,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        ORDER BY g_type, g_user, event_type, user_id
+        """
+    )
+
+
+def q18_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .distinct()
+        .orderBy("c_mktsegment")
+    )
+
+
+def q19_var_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+            F.round(F.stddev_samp("l_quantity"), 2).alias("std_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q20_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q21_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q22_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .orderBy("p_brand", F.col("p_retailprice").desc(), "p_partkey")
+    )
+
+
+def q23_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(200)
+    )
+
+
+def q24_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-frame average, reported in integer cents. Floats are summed
+    as exact integer cents and divided once — incremental window
+    aggregation (duckdb subtracts expiring rows; Spark re-adds) would
+    otherwise differ in the last ulp. The final round is at integer scale
+    because a two-decimal round can land on a .xx5 *shortest-repr* where
+    Spark (rounds the decimal repr) and duckdb (rounds the binary value)
+    disagree; .5 at integer scale is binary-exact, so both round it away
+    from zero identically."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    avg_cents = F.sum(cents).over(w) / F.count(F.lit(1)).over(w).cast("double")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(avg_cents, 0).cast("long").alias("mov_avg_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q25_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("run_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q26_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(F.ntile(4).over(w).cast("long").alias("tile"), "o_totalprice")
+        .groupBy("tile")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .orderBy("tile")
+    )
+
+
+def q27_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            # dates travel as formatted strings: DATE-typed cells stringify
+            # differently via pandas on the two engines
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .limit(10)
+    )
+
+
+def q28_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .offset(100)
+        .limit(20)
+    )
+
+
+def q29_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.lit("S").alias("src"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("C").alias("src"),
+    )
+    return s.unionByName(c).orderBy("src", "key")
+
+
+def q29_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    return s.union(c).distinct().orderBy("nationkey")
+
+
+def q30_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(big).orderBy("custkey")
+
+
+def q30_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.subtract(big).orderBy("custkey")
+
+
+QUERIES = {
+    "q14_count_distinct": q14_count_distinct,
+    "q15_rollup": q15_rollup,
+    "q16_cube": q16_cube,
+    "q17_grouping_sets": q17_grouping_sets,
+    "q18_distinct": q18_distinct,
+    "q19_var_std": q19_var_std,
+    "q20_percentile": q20_percentile,
+    "q21_topk_per_group": q21_topk_per_group,
+    "q22_rank_dense_rank": q22_rank_dense_rank,
+    "q23_lag_delta": q23_lag_delta,
+    "q24_moving_avg": q24_moving_avg,
+    "q25_running_sum": q25_running_sum,
+    "q26_ntile": q26_ntile,
+    "q27_global_topk": q27_global_topk,
+    "q28_pagination": q28_pagination,
+    "q29_union_all": q29_union_all,
+    "q29_union_distinct": q29_union_distinct,
+    "q30_intersect": q30_intersect,
+    "q30_except": q30_except,
+}
+
+ORACLES = {
+    "q14_count_distinct": """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "q15_rollup": """
+SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+       COUNT(*) AS n_cust,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(n_name) AS INT) AS g_nation
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY g_region, g_nation, r_name, n_name
+""",
+    "q16_cube": """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+""",
+    "q17_grouping_sets": """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(user_id, -1) AS user_id,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(user_id) AS INT) AS g_user,
+       COUNT(*) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), ())
+ORDER BY g_type, g_user, event_type, user_id
+""",
+    "q18_distinct": """
+SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+""",
+    "q19_var_std": """
+SELECT l_returnflag, ROUND(VAR_SAMP(l_quantity), 2) AS var_qty,
+       ROUND(STDDEV_SAMP(l_quantity), 2) AS std_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    "q20_percentile": """
+SELECT o_orderstatus,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS median_price,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.9), 2) AS p90_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    "q21_topk_per_group": """
+SELECT o_custkey, rn, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+    "q22_rank_dense_rank": """
+SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS p_retailprice,
+       RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+FROM part
+ORDER BY p_brand, p_retailprice DESC, p_partkey
+""",
+    "q23_lag_delta": """
+SELECT user_id, event_id,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS delta
+FROM events
+ORDER BY user_id, event_id
+LIMIT 200
+""",
+    "q24_moving_avg": """
+SELECT user_id, event_id,
+       CAST(ROUND(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w
+             / CAST(COUNT(*) OVER w AS DOUBLE), 0) AS BIGINT) AS mov_avg_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+    "q25_running_sum": """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+FROM events
+ORDER BY user_id, event_id
+""",
+    "q26_ntile": """
+SELECT tile, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM (
+  SELECT NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile, o_totalprice
+  FROM orders)
+GROUP BY tile ORDER BY tile
+""",
+    "q27_global_topk": """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    "q28_pagination": """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 100
+""",
+    "q29_union_all": """
+SELECT s_suppkey AS key, s_name AS name, ROUND(s_acctbal, 2) AS acctbal, 'S' AS src FROM supplier
+UNION ALL
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2), 'C' FROM customer
+ORDER BY src, key
+""",
+    "q29_union_distinct": """
+SELECT s_nationkey AS nationkey FROM supplier
+UNION
+SELECT c_nationkey FROM customer
+ORDER BY nationkey
+""",
+    "q30_intersect": """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+ORDER BY custkey
+""",
+    "q30_except": """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+ORDER BY custkey
+""",
+}

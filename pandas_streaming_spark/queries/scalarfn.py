@@ -1,2 +1,237 @@
-QUERIES = {}
-ORACLES = {}
+"""Q31–Q37: scalar function surface — string, like/case, date/time, math,
+JSON, array higher-order functions (SURVEY.md §2.8).
+
+Cross-engine typing rules used throughout: length/size/ceil/floor/
+levenshtein/datediff are cast to BIGINT on both sides (Spark ints vs
+duckdb BIGINT/DOUBLE); dates travel as formatted strings; array folds use
+the double-promotion pattern from functions/ so results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.catalog import load_table
+from pandas_streaming_spark.functions import vec_dot
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q31_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("up_name"),
+            F.lower("p_brand").alias("lo_brand"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.substring("p_name", 1, 5).alias("name_sub"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+            F.size(F.split("p_name", " ")).cast("long").alias("n_tokens"),
+            F.lpad("p_brand", 10, "*").alias("brand_pad"),
+            F.reverse("p_name").alias("rev_name"),
+            F.levenshtein("p_name", F.lit("widget")).cast("long").alias("lev_widget"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+def q32_like_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    bucket = (
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 25, "medium")
+        .otherwise("large")
+    )
+    return (
+        p.select(
+            bucket.alias("size_bucket"),
+            F.col("p_type").like("PROMO%").cast("int").alias("is_promo"),
+        )
+        .groupBy("size_bucket", "is_promo")
+        .agg(F.count("*").alias("n"))
+        .orderBy("size_bucket", "is_promo")
+    )
+
+
+def q33_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.min(F.col("l_shipdate").cast("date")),
+            )
+            .cast("long")
+            .alias("ship_span_days"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+def q34_date_trunc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming tumbling window (Q43 grades the replay
+    against this exact shape)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").alias("hr"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("day", "hr", "event_type")
+    )
+
+
+def q35_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sqrt("l_extendedprice"), 2).alias("sqrt_price"),
+            F.ceil(F.col("l_discount") * 100).cast("long").alias("ceil_disc"),
+            F.floor(F.col("l_tax") * 100).cast("long").alias("floor_tax"),
+            F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 2).alias("abs_disc"),
+            (F.col("l_quantity").cast("int") % 7).alias("mod7"),
+            F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+def q36_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_big"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q37_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("dim"),
+            F.round(F.sqrt(vec_dot("embedding", "embedding")), 2).alias("l2_norm"),
+            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_dim"),
+            F.round(F.array_max("embedding").cast("double"), 4).alias("max_dim"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+QUERIES = {
+    "q31_string_fns": q31_string_fns,
+    "q32_like_case": q32_like_case,
+    "q33_date_fns": q33_date_fns,
+    "q34_date_trunc_tumbling": q34_date_trunc_tumbling,
+    "q35_math_fns": q35_math_fns,
+    "q36_json": q36_json,
+    "q37_array_fns": q37_array_fns,
+}
+
+ORACLES = {
+    "q31_string_fns": """
+SELECT p_partkey,
+       UPPER(p_name) AS up_name,
+       LOWER(p_brand) AS lo_brand,
+       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+       SUBSTRING(p_name, 1, 5) AS name_sub,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+       CAST(LEN(STRING_SPLIT(p_name, ' ')) AS BIGINT) AS n_tokens,
+       LPAD(p_brand, 10, '*') AS brand_pad,
+       REVERSE(p_name) AS rev_name,
+       CAST(LEVENSHTEIN(p_name, 'widget') AS BIGINT) AS lev_widget
+FROM part
+ORDER BY p_partkey
+LIMIT 100
+""",
+    "q32_like_case": """
+SELECT CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 25 THEN 'medium'
+            ELSE 'large' END AS size_bucket,
+       CAST(p_type LIKE 'PROMO%' AS INT) AS is_promo,
+       COUNT(*) AS n
+FROM part
+GROUP BY 1, 2
+ORDER BY size_bucket, is_promo
+""",
+    "q33_date_fns": """
+SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+       CAST(MONTH(o_orderdate) AS INT) AS mo,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       CAST(DATEDIFF('day', CAST(MIN(l_shipdate) AS DATE),
+                     CAST(MAX(l_shipdate) AS DATE)) AS BIGINT) AS ship_span_days
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+ORDER BY yr, mo
+""",
+    "q34_date_trunc_tumbling": """
+SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+       CAST(HOUR(ts) AS INT) AS hr,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY day, hr, event_type
+""",
+    "q35_math_fns": """
+SELECT l_orderkey, l_linenumber,
+       ROUND(SQRT(l_extendedprice), 2) AS sqrt_price,
+       CAST(CEIL(l_discount * 100) AS BIGINT) AS ceil_disc,
+       CAST(FLOOR(l_tax * 100) AS BIGINT) AS floor_tax,
+       ROUND(POW(l_quantity, 2), 2) AS qty_sq,
+       ROUND(ABS(l_discount - 0.05), 2) AS abs_disc,
+       CAST(l_quantity AS INT) % 7 AS mod7,
+       ROUND(LN(l_extendedprice), 4) AS ln_price
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 100
+""",
+    "q36_json": """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       COUNT(CASE WHEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) > 50 THEN 1 END) AS n_big
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "q37_array_fns": """
+SELECT vec_id,
+       CAST(LEN(embedding) AS BIGINT) AS dim,
+       ROUND(SQRT(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 2) AS l2_norm,
+       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_dim,
+       ROUND(CAST(LIST_AGGREGATE(embedding, 'max') AS DOUBLE), 4) AS max_dim
+FROM embeddings
+ORDER BY vec_id
+LIMIT 100
+""",
+}

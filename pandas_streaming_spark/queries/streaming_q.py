@@ -1,2 +1,225 @@
-QUERIES = {}
-ORACLES = {}
+"""Q43–Q48: Structured Streaming surface, graded on FINAL STATE
+(SURVEY.md §2.5/§2.10, FIXTURES.md replay protocol).
+
+Each query replays the events table as k=5 in-order micro-batches through
+a real streaming query (file source, maxFilesPerTrigger=1, availableNow)
+and returns the final state as a batch DataFrame; the duckdb oracle is the
+equivalent one-shot batch SQL. This encodes the reference's core
+invariant — batch-split invariance: streaming over any split must equal
+the batch computation (tests/ additionally check k ∈ {1, 5, 20}).
+
+Scale: all operators are state-store-backed built-ins (windowed agg,
+dedup-with-watermark, stream-static join) or applyInPandasWithState; on a
+cluster the state store shards by key across executors (RocksDB provider
+for large state), and watermarks bound state growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.catalog import load_table
+from pandas_streaming_spark.operators.stateful import running_user_stats
+from pandas_streaming_spark.streaming.replay import (
+    replay_events,
+    run_stream_to_final,
+    write_replay_batches,
+)
+
+K_BATCHES = 5
+
+
+def _final(
+    spark: SparkSession,
+    sf_dir: str,
+    transform,
+    output_mode: str,
+    key_cols: list[str] | None = None,
+    dup_every: int | None = None,
+):
+    replay_dir = write_replay_batches(sf_dir, K_BATCHES, dup_every=dup_every)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    pdf = run_stream_to_final(transform(stream), output_mode, key_cols)
+    return spark.createDataFrame(pdf)
+
+
+def q43_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("w_start"),
+                "event_type",
+                "n",
+                "sv",
+            )
+        )
+
+    out = _final(spark, sf_dir, transform, "complete")
+    return (
+        out.select(
+            "w_start", "event_type", "n", F.round("sv", 2).alias("sum_value")
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+def q44_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("w_start"),
+                "n",
+                "sv",
+            )
+        )
+
+    out = _final(spark, sf_dir, transform, "complete")
+    return out.select("w_start", "n", F.round("sv", 2).alias("sum_value")).orderBy(
+        "w_start"
+    )
+
+
+def q45_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+        )
+
+    out = _final(spark, sf_dir, transform, "complete")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q46_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with every-37th row duplicated into the next batch; watermark
+    + dropDuplicates must converge to the batch-distinct count."""
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+    out = _final(spark, sf_dir, transform, "append", dup_every=37)
+    return out.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )
+
+
+def q47_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    dim = (
+        customer.groupBy((F.col("c_custkey") % 20).cast("long").alias("user_id"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(F.broadcast(dim), "user_id")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.max("n_cust").alias("n_cust"),
+                F.sum("value").alias("sv"),
+            )
+        )
+
+    out = _final(spark, sf_dir, transform, "complete")
+    return (
+        out.select(
+            "user_id", "n_events", "n_cust", F.round("sv", 2).alias("sum_value")
+        )
+        .orderBy("user_id")
+    )
+
+
+def q48_stateful_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _final(
+        spark, sf_dir, running_user_stats, "update", key_cols=["user_id"]
+    )
+    return out.select("user_id", "n_events", "max_value").orderBy("user_id")
+
+
+QUERIES = {
+    "q43_stream_tumbling": q43_stream_tumbling,
+    "q44_stream_sliding": q44_stream_sliding,
+    "q45_stream_session": q45_stream_session,
+    "q46_stream_dedup": q46_stream_dedup,
+    "q47_stream_static_join": q47_stream_static_join,
+    "q48_stateful_accumulate": q48_stateful_accumulate,
+}
+
+ORACLES = {
+    "q43_stream_tumbling": """
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS w_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY w_start, event_type
+""",
+    "q44_stream_sliding": """
+SELECT STRFTIME(DATE_TRUNC('hour', ts) - TO_HOURS(k), '%Y-%m-%d %H:%M') AS w_start,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k)
+GROUP BY 1
+ORDER BY w_start
+""",
+    "q45_stream_session": """
+WITH flagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       MAX(n_events) AS max_session_events
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+""",
+    "q46_stream_dedup": """
+SELECT COUNT(*) AS n_events, COUNT(DISTINCT event_id) AS n_unique FROM events
+""",
+    "q47_stream_static_join": """
+WITH dim AS (
+  SELECT c_custkey % 20 AS user_id, COUNT(*) AS n_cust
+  FROM customer GROUP BY c_custkey % 20
+)
+SELECT e.user_id, COUNT(*) AS n_events, MAX(d.n_cust) AS n_cust,
+       ROUND(SUM(e.value), 2) AS sum_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.user_id
+ORDER BY e.user_id
+""",
+    "q48_stateful_accumulate": """
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+}

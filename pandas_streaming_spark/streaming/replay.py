@@ -55,7 +55,7 @@ def write_replay_batches(
             for f in table.schema
         ]
     )
-    table = table.cast(schema)
+    table = table.cast(schema, safe=False)  # ns -> µs truncation is the point
     df = table.to_pandas().sort_values("event_id").reset_index(drop=True)
     n = len(df)
     batches = [df[(df.event_id * k // n) == i] for i in range(k)]

@@ -1,0 +1,33 @@
+"""Differential tests: every graded query vs its duckdb oracle at
+sf0.001 (the driver runs the same comparison at sf0.01 — SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pandas_streaming_spark.compare import run_compare
+from pandas_streaming_spark.queries import ORACLES, QUERIES
+
+BATCH_QUERIES = sorted(n for n in QUERIES if n in ORACLES and "stream" not in n)
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    res = run_compare(name, spark, QUERIES[name], ORACLES[name], sf_dir)
+    assert res.ok, res.detail
+
+
+def test_all_queries_have_entries():
+    # every non-streaming query must carry an oracle (streaming ones do
+    # too in this repo, but the driver tolerates rows-only checks there)
+    missing = [n for n in QUERIES if n not in ORACLES]
+    assert missing == [], f"queries without oracle SQL: {missing}"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())

@@ -1,0 +1,93 @@
+"""Unit tests for custom operators: as-of join edge cases, dedup with
+all-duplicate input, similarity with zero vectors (SURVEY.md §5.2 item 3).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.operators.asof import asof_join
+from pandas_streaming_spark.operators.dedup import exact_dedup
+from pandas_streaming_spark.operators.similarity import cosine_topk
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_empty_right_side(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "a")], "k long, t timestamp, payload string"
+    )
+    right = spark.createDataFrame([], "k long, rt timestamp, v double, ord long")
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        value_cols=["v"], right_ord="ord",
+    ).collect()
+    assert len(out) == 1 and out[0]["v"] is None
+
+
+def test_asof_exact_tie_takes_max_ord(spark):
+    t = _ts("2024-01-01T10:00:00")
+    left = spark.createDataFrame([(1, t)], "k long, t timestamp")
+    right = spark.createDataFrame(
+        [(1, t, 10.0, 1), (1, t, 20.0, 2), (1, _ts("2024-01-01T11:00:00"), 99.0, 3)],
+        "k long, rt timestamp, v double, ord long",
+    )
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        value_cols=["v"], right_ord="ord",
+    ).collect()
+    # rows at exactly left_time are included (<=); max ord wins the tie;
+    # the 11:00 row is in the future and must be ignored
+    assert out[0]["v"] == 20.0
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00")), (1, _ts("2024-01-01T09:00:00"))],
+        "k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 1.0, 1), (1, _ts("2024-01-01T11:30:00"), 2.0, 2)],
+        "k long, rt timestamp, v double, ord long",
+    )
+    rows = {
+        r["t"]: r["v"]
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            value_cols=["v"], right_ord="ord",
+        ).collect()
+    }
+    assert rows[_ts("2024-01-01T12:00:00")] == 2.0
+    assert rows[_ts("2024-01-01T09:00:00")] is None
+
+
+def test_exact_dedup_all_duplicates(spark):
+    df = spark.createDataFrame([("x",)] * 5, "text string")
+    assert exact_dedup(df).count() == 1
+
+
+def test_cosine_topk_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["sim_e4"] for r in cosine_topk(df, query_id=0, k=3).collect()}
+    assert out[0] == 10000          # self-similarity
+    assert out[1] is None           # zero vector -> NULL, not a crash
+    assert out[2] == 7071           # cos 45°
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    from pandas_streaming_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "totally different words here x")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: tuple(r["signature"]) for r in minhash_signatures(df, n_hashes=4).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]

@@ -1,0 +1,100 @@
+"""Streaming tests: oracle match at sf0.001 + the reference's core
+invariant — batch-split invariance (SURVEY.md §5.1): final state must be
+identical for any micro-batch split of the input.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.compare import compare_frames, duckdb_connect, normalize
+from pandas_streaming_spark.queries import streaming_q
+from pandas_streaming_spark.streaming.replay import (
+    replay_events,
+    run_stream_to_final,
+    write_replay_batches,
+)
+
+
+@pytest.mark.parametrize("name", sorted(streaming_q.QUERIES))
+def test_stream_final_state_matches_batch_oracle(spark, sf_dir, name):
+    spark_pdf = streaming_q.QUERIES[name](spark, sf_dir).toPandas()
+    con = duckdb_connect(sf_dir)
+    try:
+        oracle_pdf = con.execute(streaming_q.ORACLES[name]).df()
+    finally:
+        con.close()
+    res = compare_frames(name, spark_pdf, oracle_pdf)
+    assert res.ok, res.detail
+
+
+@pytest.mark.parametrize("k", [1, 5, 20])
+def test_batch_split_invariance_tumbling(spark, sf_dir, k):
+    """Tumbling-window counts must not depend on how the stream is split."""
+    replay_dir = write_replay_batches(sf_dir, k)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("w_start"),
+            "event_type",
+            "n",
+        )
+    )
+    pdf = run_stream_to_final(agg, "complete")
+    got = normalize(pdf)
+    # batch oracle computed in Spark itself (duckdb equality is covered by
+    # the test above; this one pins split-independence)
+    from pandas_streaming_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("w_start"),
+            "event_type",
+            "n",
+        )
+        .toPandas()
+    )
+    assert got == normalize(batch)
+
+
+def test_ewm_stream_matches_pandas(spark, sf_dir):
+    """ewm operator: streaming fold over any split == pandas ewm(adjust=True)."""
+    from pandas_streaming_spark.operators.stateful import ewm_stream
+
+    replay_dir = write_replay_batches(sf_dir, 3)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    got = (
+        run_stream_to_final(ewm_stream(stream, alpha=0.5), "append")
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    from pandas_streaming_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+    )
+    expected = (
+        ev.assign(
+            ewm_value=ev.groupby("user_id")["value"].transform(
+                lambda s: s.ewm(alpha=0.5, adjust=True).mean()
+            )
+        )
+        .drop(columns="value")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "ewm_value"]],
+        expected[["user_id", "event_id", "ewm_value"]],
+        check_dtype=False,
+        atol=1e-9,
+    )
