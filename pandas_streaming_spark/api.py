@@ -1,0 +1,278 @@
+"""Reference-compatible API facade: the streamz-style ``StreamingFrame``
+(SURVEY.md §1.1/§2.2–§2.5) expressed over Spark DataFrames.
+
+A user of the reference works with a pandas-like handle over a stream of
+micro-batches; here the handle wraps a (batch or streaming) Spark
+DataFrame, so every method lowers to declarative DataFrame ops that
+Catalyst optimizes — nothing is eagerly evaluated, and the same code runs
+batch or streaming (the reference's batch-split invariance for free).
+
+Mapping summary (reference op -> here):
+- ``df[col] / df[[c1,c2]] / df[mask]``        -> __getitem__
+- ``map(f)`` elementwise                      -> with_columns / select exprs
+- ``map_partitions(fn)``                      -> map_partitions (mapInPandas)
+- ``filter(pred)``                            -> filter
+- ``groupby(k).sum/mean/count/size/var/std``  -> groupby(...).{agg}
+- whole-frame ``sum()/mean()/count()...``     -> agg_all
+- ``rolling(n) / window(n=..., value=...)``   -> rolling (batch window fns)
+- ``cumsum/cummax/cummin``                    -> cumulative
+- ``accumulate(fn, start)``                   -> accumulate (stateful)
+- ``unique / distinct``                       -> distinct
+- ``value_counts``                            -> value_counts
+- ``union / zip / combine_latest / zip_latest`` -> union / zip_seq /
+  combine_latest (as-of based)
+- ``sink_to_list / sink(fn) / to_textfile``   -> collect / foreach_batch /
+  write_* (Spark sinks)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.operators.asof import asof_join
+
+_AGGS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "var": F.var_samp,
+    "std": F.stddev_samp,
+}
+
+
+class StreamingFrame:
+    """Pandas-like handle over a batch or streaming Spark DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- projection / elementwise (§2.2) --------------------------------
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return F.col(key)
+        if isinstance(key, list):
+            return StreamingFrame(self.df.select(*key))
+        if isinstance(key, Column):  # boolean mask: df[df.x > 0]
+            return StreamingFrame(self.df.filter(key))
+        raise TypeError(f"unsupported key {type(key)}")
+
+    def __getattr__(self, name: str):
+        if name in self.df.columns:
+            return F.col(name)
+        raise AttributeError(name)
+
+    def select(self, *cols) -> "StreamingFrame":
+        return StreamingFrame(self.df.select(*cols))
+
+    def assign(self, **exprs: Column) -> "StreamingFrame":
+        out = self.df
+        for name, expr in exprs.items():
+            out = out.withColumn(name, expr)
+        return StreamingFrame(out)
+
+    def filter(self, cond: Column) -> "StreamingFrame":
+        return StreamingFrame(self.df.filter(cond))
+
+    where = filter
+
+    def astype(self, mapping: dict[str, str]) -> "StreamingFrame":
+        out = self.df
+        for c, t in mapping.items():
+            out = out.withColumn(c, F.col(c).cast(t))
+        return StreamingFrame(out)
+
+    def round(self, n: int, cols: list[str] | None = None) -> "StreamingFrame":
+        out = self.df
+        for c in cols or [f.name for f in self.df.schema if f.dataType.typeName() == "double"]:
+            out = out.withColumn(c, F.round(F.col(c), n))
+        return StreamingFrame(out)
+
+    def map_partitions(self, fn, schema) -> "StreamingFrame":
+        """The reference's escape hatch: arbitrary pandas fn per
+        micro-batch -> Arrow-batched mapInPandas (works batch + stream)."""
+
+        def gen(it):
+            for pdf in it:
+                yield fn(pdf)
+
+        return StreamingFrame(self.df.mapInPandas(gen, schema))
+
+    def flatten(self, col: str, alias: str | None = None) -> "StreamingFrame":
+        return StreamingFrame(
+            self.df.withColumn(alias or col, F.explode(F.col(col)))
+        )
+
+    # -- aggregation (§2.4) ---------------------------------------------
+    def groupby(self, *keys: str) -> "GroupedFrame":
+        return GroupedFrame(self.df, list(keys))
+
+    def agg_all(self, **named: tuple[str, str]) -> "StreamingFrame":
+        """Whole-stream aggregates: ``agg_all(total=("x", "sum"))``.
+        Streaming: run in complete/update output mode (state-store backed),
+        exactly the reference's running whole-stream aggregates."""
+        exprs = [_AGGS[how](F.col(c)).alias(name) for name, (c, how) in named.items()]
+        return StreamingFrame(self.df.agg(*exprs))
+
+    def distinct(self, cols: list[str] | None = None) -> "StreamingFrame":
+        return StreamingFrame(
+            self.df.dropDuplicates(cols) if cols else self.df.distinct()
+        )
+
+    unique = distinct
+
+    def value_counts(self, col: str) -> "StreamingFrame":
+        return StreamingFrame(
+            self.df.groupBy(col).agg(F.count("*").alias("count"))
+        )
+
+    # -- ordered / windowed (§2.5, batch semantics) ---------------------
+    def rolling(
+        self, n: int, order_by: str, partition_by: str | None = None
+    ) -> "RollingFrame":
+        return RollingFrame(self.df, n, order_by, partition_by)
+
+    def cumulative(
+        self, col: str, how: str, order_by: str, partition_by: str | None = None
+    ) -> Column:
+        """cumsum/cummax/cummin as a window expression."""
+        w = (
+            Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
+        ).orderBy(order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return _AGGS[how](F.col(col)).over(w)
+
+    def time_window(
+        self, ts_col: str, duration: str, slide: str | None = None
+    ) -> "GroupedFrame":
+        """Tumbling/sliding event-time window pre-grouping (streaming or
+        batch). ``session`` gaps via session_window in GroupedFrame.by."""
+        w = F.window(ts_col, duration, slide) if slide else F.window(ts_col, duration)
+        return GroupedFrame(self.df, [w.alias("window")])
+
+    def accumulate(self, fold_fn, out_schema, state_schema, key_cols: list[str]):
+        """The reference's most general op: user state folded over the
+        stream per key — applyInPandasWithState on a stream, plain
+        applyInPandas on a batch frame."""
+        if self.df.isStreaming:
+            from pyspark.sql.streaming.state import GroupStateTimeout
+
+            return StreamingFrame(
+                self.df.groupBy(*key_cols).applyInPandasWithState(
+                    fold_fn, out_schema, state_schema, "update",
+                    GroupStateTimeout.NoTimeout,
+                )
+            )
+        raise ValueError(
+            "accumulate targets streaming frames; on batch use groupby/rolling"
+        )
+
+    # -- stream combination (§2.3) --------------------------------------
+    def union(self, *others: "StreamingFrame") -> "StreamingFrame":
+        out = self.df
+        for o in others:
+            out = out.unionByName(o.df, allowMissingColumns=True)
+        return StreamingFrame(out)
+
+    def zip_seq(self, other: "StreamingFrame", on: str) -> "StreamingFrame":
+        """Reference ``zip``: align i-th elements. With ordered data the
+        alignment key is explicit (a sequence/row id) — a plain inner join,
+        which unlike positional zip survives distribution."""
+        return StreamingFrame(self.df.join(other.df, on=on))
+
+    def combine_latest(
+        self,
+        other: "StreamingFrame",
+        key: str,
+        left_time: str,
+        right_time: str,
+        value_cols: list[str],
+        right_ord: str | None = None,
+    ) -> "StreamingFrame":
+        """Reference ``combine_latest``/``zip_latest``: each left element
+        pairs with the latest-known right element — the as-of join."""
+        return StreamingFrame(
+            asof_join(
+                self.df, other.df, key=key, left_time=left_time,
+                right_time=right_time, value_cols=value_cols, right_ord=right_ord,
+            )
+        )
+
+    def join(self, other: "StreamingFrame", on, how: str = "inner") -> "StreamingFrame":
+        return StreamingFrame(self.df.join(other.df, on=on, how=how))
+
+    # -- sinks (§2.1) ----------------------------------------------------
+    def collect(self):
+        return self.df.collect()
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    def foreach_batch(self, fn: Callable, output_mode: str = "update", **options):
+        q = (
+            self.df.writeStream.outputMode(output_mode)
+            .foreachBatch(fn)
+        )
+        for k, v in options.items():
+            q = q.option(k, v)
+        return q.start()
+
+    def write_parquet(self, path: str, partition_by: list[str] | None = None):
+        w = self.df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+
+class GroupedFrame:
+    def __init__(self, df: DataFrame, keys: list):
+        self.df, self.keys = df, keys
+
+    def agg(self, **named: tuple[str, str]) -> StreamingFrame:
+        exprs = [_AGGS[how](F.col(c)).alias(name) for name, (c, how) in named.items()]
+        return StreamingFrame(self.df.groupBy(*self.keys).agg(*exprs))
+
+    def size(self) -> StreamingFrame:
+        return StreamingFrame(
+            self.df.groupBy(*self.keys).agg(F.count("*").alias("size"))
+        )
+
+    def __getattr__(self, how: str):
+        if how not in _AGGS:
+            raise AttributeError(how)
+
+        def all_numeric() -> StreamingFrame:
+            num = [
+                f.name
+                for f in self.df.schema
+                if f.dataType.typeName() in ("double", "long", "integer", "float")
+                and f.name not in [k for k in self.keys if isinstance(k, str)]
+            ]
+            exprs = [_AGGS[how](F.col(c)).alias(f"{c}_{how}") for c in num]
+            return StreamingFrame(self.df.groupBy(*self.keys).agg(*exprs))
+
+        return all_numeric
+
+
+class RollingFrame:
+    """Reference ``rolling(n)`` / ``window(n=K)``: trailing K-row stats.
+    Batch lowering is a ROWS window frame (built-in, codegen'd); the
+    streaming equivalent is operators.stateful (deque state)."""
+
+    def __init__(self, df: DataFrame, n: int, order_by: str, partition_by: str | None):
+        self.df, self.n = df, n
+        w = Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
+        self.w = w.orderBy(order_by).rowsBetween(-(n - 1), Window.currentRow)
+
+    def agg(self, **named: tuple[str, str]) -> StreamingFrame:
+        out = self.df
+        for name, (c, how) in named.items():
+            out = out.withColumn(name, _AGGS[how](F.col(c)).over(self.w))
+        return StreamingFrame(out)
+
+
+def wrap(df: DataFrame) -> StreamingFrame:
+    return StreamingFrame(df)

@@ -1,0 +1,72 @@
+"""Plan inspection + the 100 TB posture (SURVEY.md §4.2 item 6).
+
+Helpers assert the physical plans we *want* — pushed filters, pruned
+columns, broadcast joins, whole-stage codegen — so tests fail when a code
+change silently degrades a plan. See scale_notes.md in this directory for
+the per-operator 100 TB playbook.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if the parquet scan carries a pushed-down filter mentioning
+    ``fragment`` (Catalyst's PushedFilters list)."""
+    plan = physical_plan(df)
+    return any(
+        "PushedFilters" in line and fragment in line for line in plan.splitlines()
+    )
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Columns the parquet scan actually reads (column pruning check)."""
+    import re
+
+    plan = physical_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols.extend(p.split(":")[0] for p in m.group(1).split(",") if p)
+    return cols
+
+
+def join_strategies(df: DataFrame) -> list[str]:
+    plan = physical_plan(df)
+    return [
+        kind
+        for kind in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        )
+        if kind in plan
+    ]
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of distinct whole-stage-codegen spans. The 'simple' explain
+    marks codegen'd operators with a ``*(N)`` prefix; under AQE the
+    annotation only exists on the *final* plan, so this executes the
+    frame once (test-scale helper, not a data-path call)."""
+    import re
+
+    def stars() -> int:
+        simple = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        return len(set(re.findall(r"\*\((\d+)\)", simple)))
+
+    n = stars()
+    if n == 0:
+        df.collect()  # materialize the AQE final plan
+        n = stars()
+    return n

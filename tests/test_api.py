@@ -1,0 +1,137 @@
+"""Facade tests: the streamz-style StreamingFrame surface lowers to
+correct Spark plans, batch and streaming (SURVEY.md §1.1/§2.2–2.5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.api import wrap
+from pandas_streaming_spark.catalog import load_table
+
+
+def test_projection_and_mask(spark, sf_dir):
+    sdf = wrap(load_table(spark, sf_dir, "orders"))
+    out = sdf[sdf["o_totalprice"] > 400000][["o_orderkey", "o_totalprice"]]
+    rows = out.collect()
+    assert all(r["o_totalprice"] > 400000 for r in rows)
+
+
+def test_groupby_agg_matches_sql(spark, sf_dir):
+    sdf = wrap(load_table(spark, sf_dir, "orders"))
+    got = (
+        sdf.groupby("o_orderpriority")
+        .agg(n=("o_orderkey", "count"), total=("o_totalprice", "sum"))
+        .df.orderBy("o_orderpriority")
+        .toPandas()
+    )
+    exp = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("o_orderkey").alias("n"), F.sum("o_totalprice").alias("total"))
+        .orderBy("o_orderpriority")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_rolling_matches_pandas(spark, sf_dir):
+    sdf = wrap(load_table(spark, sf_dir, "events"))
+    got = (
+        sdf.rolling(3, order_by="event_id", partition_by="user_id")
+        .agg(msum=("value", "sum"))
+        .df.select("user_id", "event_id", "msum")
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+    )
+    exp = ev.assign(
+        msum=ev.groupby("user_id")["value"].transform(
+            lambda s: s.rolling(3, min_periods=1).sum()
+        )
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "msum"]],
+        exp[["user_id", "event_id", "msum"]],
+        check_dtype=False,
+        atol=1e-9,
+    )
+
+
+def test_map_partitions(spark, sf_dir):
+    sdf = wrap(load_table(spark, sf_dir, "documents"))
+
+    def add_len(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": pdf.doc_id, "text_len": pdf.text.str.len()})
+
+    out = sdf[["doc_id", "text"]].map_partitions(add_len, "doc_id long, text_len long")
+    row = out.df.filter(F.col("doc_id") == 0).collect()[0]
+    expected = len(
+        load_table(spark, sf_dir, "documents").filter("doc_id = 0").collect()[0]["text"]
+    )
+    assert row["text_len"] == expected
+
+
+def test_combine_latest_is_asof(spark):
+    import datetime
+
+    t = datetime.datetime
+    left = wrap(
+        spark.createDataFrame(
+            [(1, t(2024, 1, 1, 12))], "k long, lt timestamp"
+        )
+    )
+    right = wrap(
+        spark.createDataFrame(
+            [(1, t(2024, 1, 1, 10), 7.0, 1), (1, t(2024, 1, 1, 13), 9.0, 2)],
+            "k long, rt timestamp, v double, ord long",
+        )
+    )
+    out = left.combine_latest(
+        right, key="k", left_time="lt", right_time="rt",
+        value_cols=["v"], right_ord="ord",
+    ).collect()
+    assert out[0]["v"] == 7.0  # latest value known at left's time, not the future one
+
+
+def test_value_counts_and_distinct(spark, sf_dir):
+    sdf = wrap(load_table(spark, sf_dir, "events"))
+    vc = {r["event_type"]: r["count"] for r in sdf.value_counts("event_type").collect()}
+    assert sum(vc.values()) == load_table(spark, sf_dir, "events").count()
+    assert sdf.distinct(["event_type"]).df.count() == len(vc)
+
+
+def test_streaming_accumulate_roundtrip(spark, sf_dir):
+    """accumulate() on a real stream == batch groupBy (the reference's
+    core invariant, through the facade)."""
+    from pandas_streaming_spark.operators.stateful import (
+        RUNNING_STATS_OUT,
+        RUNNING_STATS_STATE,
+        running_user_stats,
+    )
+    from pandas_streaming_spark.streaming.replay import (
+        replay_events,
+        run_stream_to_final,
+        write_replay_batches,
+    )
+
+    replay_dir = write_replay_batches(sf_dir, 3)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    out = run_stream_to_final(running_user_stats(stream), "update", ["user_id"])
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+        .toPandas()
+    )
+    merged = out.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch)
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (merged.max_value_s == merged.max_value_b).all()

@@ -1,0 +1,60 @@
+"""Physical-plan assertions (SURVEY.md §4): pushdown, pruning, join
+strategy, codegen. These pin the *plans*, not just the answers — a change
+that silently turns a broadcast join into a cartesian product or stops
+pushing a filter into the scan fails here before it costs anything at
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.catalog import load_table
+from pandas_streaming_spark.plans import (
+    codegen_stage_count,
+    has_pushed_filter,
+    join_strategies,
+    scan_read_schema,
+)
+from pandas_streaming_spark.queries import tpch
+
+
+def test_filter_pushed_into_scan(spark, sf_dir):
+    df = tpch.q02_projection_filter(spark, sf_dir)
+    assert has_pushed_filter(df, "o_orderstatus")
+    assert has_pushed_filter(df, "o_totalprice")
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey").limit(5)
+    cols = scan_read_schema(df)
+    assert cols == ["l_orderkey"], cols
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = tpch.q04_star_join_revenue(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_q01_is_codegen(spark, sf_dir):
+    assert codegen_stage_count(tpch.q01_pricing_summary(spark, sf_dir)) >= 1
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    from pandas_streaming_spark.plans import physical_plan
+    from pandas_streaming_spark.queries.analytic import q27_global_topk
+
+    plan = physical_plan(q27_global_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_media_metadata_query_skips_payload(spark, sf_dir):
+    """Column pruning on the multimodal table: a metadata-only projection
+    must not read the binary payload column."""
+    from pandas_streaming_spark.operators.multimodal import documents_as_media
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    meta_only = media.select("doc_id")
+    assert scan_read_schema(meta_only) == ["doc_id"]
