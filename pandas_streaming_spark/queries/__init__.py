@@ -13,13 +13,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pandas_streaming_spark.queries import analytic, llm, scalarfn, streaming_q, tpch
+from pandas_streaming_spark.queries import (
+    analytic,
+    llm,
+    scalarfn,
+    streaming_q,
+    tpch,
+    udf_q,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (tpch, analytic, scalarfn, llm, streaming_q):
+for mod in (tpch, analytic, scalarfn, llm, streaming_q, udf_q):
     QUERIES.update(mod.QUERIES)
     ORACLES.update({k: v for k, v in mod.ORACLES.items() if v is not None})

@@ -153,6 +153,46 @@ def q48_stateful_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n_events", "max_value").orderBy("user_id")
 
 
+def q60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-bounded stream-stream self-join (§2.3): each purchase
+    joined to the same user's clicks in the preceding hour. Both sides
+    are independent streaming readers over the same replay; watermarks
+    bound the join state. Final appended matches equal the batch
+    interval join."""
+    from pandas_streaming_spark.streaming.joins import interval_join
+
+    replay_dir = write_replay_batches(sf_dir, K_BATCHES)
+    purchases = replay_events(spark, sf_dir, replay_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = replay_events(spark, sf_dir, replay_dir).filter(
+        F.col("event_type") == "click"
+    )
+    joined = interval_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        lookback="1 HOUR",
+        watermark="2 hours",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    pdf = run_stream_to_final(joined, "append")
+    out = spark.createDataFrame(pdf)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_purchases_with_click"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
@@ -160,6 +200,7 @@ QUERIES = {
     "q46_stream_dedup": q46_stream_dedup,
     "q47_stream_static_join": q47_stream_static_join,
     "q48_stateful_accumulate": q48_stateful_accumulate,
+    "q60_stream_stream_join": q60_stream_stream_join,
 }
 
 ORACLES = {
@@ -221,5 +262,17 @@ SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
 FROM events
 GROUP BY user_id
 ORDER BY user_id
+""",
+    "q60_stream_stream_join": """
+SELECT p.user_id, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.event_id) AS n_purchases_with_click
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY p.user_id
+ORDER BY p.user_id
 """,
 }

@@ -1,0 +1,102 @@
+"""Q61–Q64: the UDF surface under the correctness gate (SURVEY.md §2.9).
+
+Each Python-extension flavor is exercised by a graded query whose duckdb
+oracle recomputes the same math in SQL — proving the Arrow boundary
+preserves semantics, not just that it runs. q64 uses approximate
+aggregates (HLL++/quantile sketches), which are engine-specific by
+construction → rows-only check (no oracle entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.catalog import load_table
+from pandas_streaming_spark.functions.udfs import (
+    geometric_mean,
+    sigmoid100,
+    zscore_per_group,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q61_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(geometric_mean("value"), 2).alias("geo_mean"))
+        .orderBy("event_type")
+    )
+
+
+def q62_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = zscore_per_group(_t(spark, sf_dir, "events"), key="user_id", value_col="value")
+    return (
+        z.groupBy("user_id")
+        .agg(F.round(F.max(F.abs(F.col("z"))), 2).alias("max_abs_z"))
+        .orderBy("user_id")
+    )
+
+
+def q63_vectorized_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    sig_e4 = F.round(F.lit(10000.0) * sigmoid100(F.col("value")), 0).cast("long")
+    return (
+        e.select("event_id", sig_e4.alias("sig_e4"))
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+def q64_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for the 100 TB path (HLL++ count-distinct,
+    quantile sketch). Impl-defined results → rows-only driver check."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+            F.round(F.percentile_approx("value", 0.5, 1000), 2).alias("approx_median"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "q61_udaf_geomean": q61_udaf_geomean,
+    "q62_grouped_map_zscore": q62_grouped_map_zscore,
+    "q63_vectorized_sigmoid": q63_vectorized_sigmoid,
+    "q64_approx_aggregates": q64_approx_aggregates,
+}
+
+ORACLES = {
+    "q61_udaf_geomean": """
+SELECT event_type,
+       ROUND(EXP(AVG(LN(value)) FILTER (WHERE value > 0)), 2) AS geo_mean
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "q62_grouped_map_zscore": """
+WITH s AS (
+  SELECT user_id, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, ROUND(MAX(ABS((e.value - s.mu) / s.sd)), 2) AS max_abs_z
+FROM events e JOIN s USING (user_id)
+GROUP BY e.user_id
+ORDER BY e.user_id
+""",
+    "q63_vectorized_sigmoid": """
+SELECT event_id,
+       CAST(ROUND(10000.0 * (1.0 / (1.0 + EXP(-value / 100.0))), 0) AS BIGINT) AS sig_e4
+FROM events
+ORDER BY event_id
+LIMIT 200
+""",
+    "q64_approx_aggregates": None,  # approximate by design -> rows-only
+}

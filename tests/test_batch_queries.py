@@ -18,10 +18,13 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert res.ok, res.detail
 
 
+ROWS_ONLY = {"q64_approx_aggregates"}  # approximate by design
+
+
 def test_all_queries_have_entries():
-    # every non-streaming query must carry an oracle (streaming ones do
-    # too in this repo, but the driver tolerates rows-only checks there)
-    missing = [n for n in QUERIES if n not in ORACLES]
+    # every query carries an oracle except the declared rows-only set
+    # (approx aggregates are engine-specific by construction)
+    missing = [n for n in QUERIES if n not in ORACLES and n not in ROWS_ONLY]
     assert missing == [], f"queries without oracle SQL: {missing}"
 
 
