@@ -87,7 +87,14 @@ def lsh_candidate_pairs(
     k: int = 3,
 ) -> DataFrame:
     """LSH banding: docs sharing any band (n_hashes/bands rows per band)
-    become candidate pairs (a < b). Shuffles on (band, band_hash) only."""
+    become candidate pairs (a < b).
+
+    Plan: one signature pass, shuffle on (band, band_hash) into buckets
+    (collect_list bounded by bucket size — LSH's whole point is that
+    buckets stay small), expand pairs inside each bucket, distinct. This
+    avoids the naive self-join, which would recompute the signature
+    pipeline on both sides and shuffle the banded table twice.
+    """
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
     banded = sig.select(
@@ -109,21 +116,25 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # all ordered pairs within a bucket: for each position i, pair ids[i]
+    # with every later element (arrays are tiny — bucket-sized)
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            on=[
-                F.col(f"a.band") == F.col(f"b.band"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 

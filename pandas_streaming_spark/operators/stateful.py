@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -66,6 +67,59 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
         outputStructType=RUNNING_STATS_OUT,
         stateStructType=RUNNING_STATS_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ROLLING_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("win_sum", DoubleType()),
+        StructField("win_count", LongType()),
+    ]
+)
+ROLLING_STATE = StructType(
+    [
+        StructField("ords", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def rolling_window_stream(events_stream: DataFrame, n: int) -> DataFrame:
+    """Reference ``sdf.window(n=K)``: per-key trailing-K-row aggregates
+    emitted per row, with retraction when rows fall out of the window —
+    the reference's ``on_old`` hook becomes dropping the deque head here.
+
+    State = the last K (ord, value) pairs per key (bounded memory,
+    exactly the reference's window deque [SURVEY.md §2.5]). Batch
+    equivalent: a ROWS BETWEEN K-1 PRECEDING AND CURRENT ROW frame —
+    tests pin the two to each other for any stream split.
+    """
+
+    def fold(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ords, vals = ([], []) if not state.exists else [list(x) for x in state.get]
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            out = []
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                ords.append(int(eid))
+                vals.append(float(v))
+                if len(vals) > n:  # retraction: expire the oldest row
+                    ords.pop(0)
+                    vals.pop(0)
+                out.append((key[0], int(eid), float(sum(vals)), len(vals)))
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "win_sum", "win_count"])
+        state.update((ords, vals))
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=ROLLING_OUT,
+        stateStructType=ROLLING_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

@@ -64,6 +64,39 @@ def test_batch_split_invariance_tumbling(spark, sf_dir, k):
     assert got == normalize(batch)
 
 
+@pytest.mark.parametrize("k", [1, 4])
+def test_rolling_window_stream_matches_batch_frame(spark, sf_dir, k):
+    """window(n=K) with retraction: streaming deque state == batch ROWS
+    frame, for any micro-batch split."""
+    from pyspark.sql import Window
+
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.stateful import rolling_window_stream
+
+    replay_dir = write_replay_batches(sf_dir, k)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    got = (
+        run_stream_to_final(rolling_window_stream(stream, 3), "append")
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    exp = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("value").over(w).alias("win_sum"),
+            F.count("*").over(w).alias("win_count"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert (got.win_count == exp.win_count).all()
+    assert (got.win_sum - exp.win_sum).abs().max() < 1e-9
+
+
 def test_ewm_stream_matches_pandas(spark, sf_dir):
     """ewm operator: streaming fold over any split == pandas ewm(adjust=True)."""
     from pandas_streaming_spark.operators.stateful import ewm_stream
