@@ -145,6 +145,59 @@ def q37_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return (
+        e.select(
+            "event_id",
+            F.element_at(m, "type").alias("type_val"),
+            F.size(m).cast("long").alias("n_keys"),
+            F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_str"),
+        )
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+def q66_hash_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.md5("p_name").alias("name_md5"),
+            F.sha2("p_name", 256).alias("name_sha256"),
+            F.md5(F.concat_ws("|", "p_brand", "p_name")).alias("brand_name_md5"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+def q67_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    nullable = F.nullif(F.col("l_quantity").cast("int") % 3, F.lit(0))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.coalesce(nullable, F.lit(-1)).alias("mod3_or_neg1"),
+            F.isnull(nullable).cast("int").alias("is_null_flag"),
+            F.when(F.col("l_discount") > 0.05, "high")
+            .when(F.col("l_discount") > 0.02, "mid")
+            .otherwise("low")
+            .alias("disc_bucket"),
+            F.round(F.greatest("l_tax", "l_discount"), 2).alias("max_rate"),
+            F.round(F.least("l_tax", "l_discount"), 2).alias("min_rate"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+
+
 QUERIES = {
     "q31_string_fns": q31_string_fns,
     "q32_like_case": q32_like_case,
@@ -153,6 +206,9 @@ QUERIES = {
     "q35_math_fns": q35_math_fns,
     "q36_json": q36_json,
     "q37_array_fns": q37_array_fns,
+    "q65_map_fns": q65_map_fns,
+    "q66_hash_fns": q66_hash_fns,
+    "q67_conditional_null": q67_conditional_null,
 }
 
 ORACLES = {
@@ -233,5 +289,41 @@ SELECT vec_id,
 FROM embeddings
 ORDER BY vec_id
 LIMIT 100
+""",
+    "q65_map_fns": """
+WITH m AS (
+  SELECT event_id,
+         MAP(['type','uid'], [event_type, CAST(user_id AS VARCHAR)]) AS mp
+  FROM events
+)
+SELECT event_id,
+       mp['type'][1] AS type_val,
+       CAST(CARDINALITY(mp) AS BIGINT) AS n_keys,
+       ARRAY_TO_STRING(LIST_SORT(MAP_KEYS(mp)), ',') AS keys_str
+FROM m
+ORDER BY event_id
+LIMIT 100
+""",
+    "q66_hash_fns": """
+SELECT p_partkey,
+       MD5(p_name) AS name_md5,
+       SHA256(p_name) AS name_sha256,
+       MD5(p_brand || '|' || p_name) AS brand_name_md5
+FROM part
+ORDER BY p_partkey
+LIMIT 100
+""",
+    "q67_conditional_null": """
+SELECT l_orderkey, l_linenumber,
+       COALESCE(NULLIF(CAST(l_quantity AS INT) % 3, 0), -1) AS mod3_or_neg1,
+       CAST(NULLIF(CAST(l_quantity AS INT) % 3, 0) IS NULL AS INT) AS is_null_flag,
+       CASE WHEN l_discount > 0.05 THEN 'high'
+            WHEN l_discount > 0.02 THEN 'mid'
+            ELSE 'low' END AS disc_bucket,
+       ROUND(GREATEST(l_tax, l_discount), 2) AS max_rate,
+       ROUND(LEAST(l_tax, l_discount), 2) AS min_rate
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 200
 """,
 }

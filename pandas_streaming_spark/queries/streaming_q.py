@@ -38,9 +38,14 @@ def _final(
     key_cols: list[str] | None = None,
     dup_every: int | None = None,
 ):
+    import shutil
+
     replay_dir = write_replay_batches(sf_dir, K_BATCHES, dup_every=dup_every)
-    stream = replay_events(spark, sf_dir, replay_dir)
-    pdf = run_stream_to_final(transform(stream), output_mode, key_cols)
+    try:
+        stream = replay_events(spark, sf_dir, replay_dir)
+        pdf = run_stream_to_final(transform(stream), output_mode, key_cols)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
     return spark.createDataFrame(pdf)
 
 
@@ -159,29 +164,34 @@ def q60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     are independent streaming readers over the same replay; watermarks
     bound the join state. Final appended matches equal the batch
     interval join."""
+    import shutil
+
     from pandas_streaming_spark.streaming.joins import interval_join
 
     replay_dir = write_replay_batches(sf_dir, K_BATCHES)
-    purchases = replay_events(spark, sf_dir, replay_dir).filter(
-        F.col("event_type") == "purchase"
-    )
-    clicks = replay_events(spark, sf_dir, replay_dir).filter(
-        F.col("event_type") == "click"
-    )
-    joined = interval_join(
-        purchases,
-        clicks,
-        key="user_id",
-        left_time="ts",
-        right_time="ts",
-        lookback="1 HOUR",
-        watermark="2 hours",
-    ).select(
-        F.col("l.user_id").alias("user_id"),
-        F.col("l.event_id").alias("purchase_id"),
-        F.col("r.event_id").alias("click_id"),
-    )
-    pdf = run_stream_to_final(joined, "append")
+    try:
+        purchases = replay_events(spark, sf_dir, replay_dir).filter(
+            F.col("event_type") == "purchase"
+        )
+        clicks = replay_events(spark, sf_dir, replay_dir).filter(
+            F.col("event_type") == "click"
+        )
+        joined = interval_join(
+            purchases,
+            clicks,
+            key="user_id",
+            left_time="ts",
+            right_time="ts",
+            lookback="1 HOUR",
+            watermark="2 hours",
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.event_id").alias("click_id"),
+        )
+        pdf = run_stream_to_final(joined, "append")
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
     out = spark.createDataFrame(pdf)
     return (
         out.groupBy("user_id")

@@ -1,0 +1,74 @@
+"""Source/sink round-trips (SURVEY.md §2.1): CSV and JSON write+read
+preserve data; streaming memory/foreachBatch sinks are covered by
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.catalog import load_table
+from pandas_streaming_spark.streaming.replay import SCRATCH
+
+
+def _tmp(tag: str) -> str:
+    d = os.path.join(SCRATCH, f"{tag}-{uuid.uuid4().hex[:8]}")
+    return d
+
+
+def test_csv_roundtrip(spark, sf_dir):
+    path = _tmp("csv")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    try:
+        orders.write.mode("overwrite").option("header", True).csv(path)
+        back = spark.read.option("header", True).option("inferSchema", True).csv(path)
+        assert back.count() == orders.count()
+        a = orders.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+        b = back.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+        assert a == b
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_json_roundtrip(spark, sf_dir):
+    path = _tmp("json")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    try:
+        docs.write.mode("overwrite").json(path)
+        back = spark.read.json(path)
+        assert back.count() == docs.count()
+        assert (
+            back.filter(F.col("doc_id") == 0).collect()[0]["text"]
+            == docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_partitioned_parquet_write_prunes(spark, sf_dir):
+    """The 100 TB layout convention: date/key-partitioned writes enable
+    partition pruning on read (plans/scale_notes.md)."""
+    path = _tmp("part")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    try:
+        ev.write.mode("overwrite").partitionBy("day").parquet(path)
+        days = [d for d in os.listdir(path) if d.startswith("day=")]
+        assert len(days) > 1
+        one_day = days[0].split("=", 1)[1]
+        back = spark.read.parquet(path).filter(F.col("day") == one_day)
+        expected = ev.filter(F.col("day") == one_day).count()
+        assert back.count() == expected
+        # partition pruning: the scan must touch only the one directory
+        from pandas_streaming_spark.plans import physical_plan
+
+        assert "PartitionFilters" in physical_plan(back)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
