@@ -17,6 +17,10 @@ from pandas_streaming_spark.operators.similarity import (  # noqa: F401
     similarity_join,
     ann_bucketed_topk,
 )
+from pandas_streaming_spark.operators.skew import (  # noqa: F401
+    salted_groupby,
+    salted_join,
+)
 from pandas_streaming_spark.operators.text import (  # noqa: F401
     language_id,
     quality_score,

@@ -76,7 +76,9 @@ QUERIES = {
 ORACLES = {
     "q61_udaf_geomean": """
 SELECT event_type,
-       ROUND(EXP(AVG(LN(value)) FILTER (WHERE value > 0)), 2) AS geo_mean
+       -- CASE, not FILTER: duckdb evaluates LN(value) eagerly per row,
+       -- so FILTER(WHERE value>0) still hits LN(0) when zeros exist
+       ROUND(EXP(AVG(CASE WHEN value > 0 THEN LN(value) END)), 2) AS geo_mean
 FROM events
 GROUP BY event_type
 ORDER BY event_type
