@@ -22,13 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandas_streaming_spark.functions import (
-    minhash_sig,
-    shingles,
-    shingles_of,
-    simhash_bits,
-    tokens,
-)
+from pandas_streaming_spark.functions import shingles_of, tokens
 
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:

@@ -219,6 +219,43 @@ def q13_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — exercises Catalyst's
+    RewriteCorrelatedScalarSubquery decorrelation (SURVEY.md §4.1): the
+    optimizer turns the per-row subquery into an aggregate + join."""
+    from pandas_streaming_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+        LIMIT 200
+        """
+    )
+
+
+def q69_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS — decorrelated to semi/anti joins."""
+    from pandas_streaming_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name,
+               CAST(EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_suppkey = s.s_suppkey
+                              AND l.l_quantity > 45) AS INT) AS has_big_shipment
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_suppkey = s.s_suppkey)
+        ORDER BY s_suppkey
+        """
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_projection_filter": q02_projection_filter,
@@ -233,6 +270,8 @@ QUERIES = {
     "q11_asof_join": q11_asof_join,
     "q12_groupby_multi_agg": q12_groupby_multi_agg,
     "q13_having": q13_having,
+    "q68_scalar_subquery": q68_scalar_subquery,
+    "q69_exists_subquery": q69_exists_subquery,
 }
 
 ORACLES = {
@@ -350,5 +389,22 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 HAVING COUNT(*) > 5
 ORDER BY n_name
+""",
+    "q68_scalar_subquery": """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey
+LIMIT 200
+""",
+    "q69_exists_subquery": """
+SELECT s_suppkey, s_name,
+       CAST(EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_suppkey = s.s_suppkey
+                      AND l.l_quantity > 45) AS INT) AS has_big_shipment
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_suppkey = s.s_suppkey)
+ORDER BY s_suppkey
 """,
 }
