@@ -288,6 +288,29 @@ def q30_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return building.subtract(big).orderBy("custkey")
 
 
+def q70_analytic_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / first / last / nth_value over an explicit full
+    frame (the §2.6 rows not covered by q21–q26). percent_rank's single
+    division is bit-identical across engines — no rounding needed."""
+    p = _t(spark, sf_dir, "part")
+    order = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.percent_rank().over(order).alias("pct_rank"),
+            F.round(F.first("p_retailprice").over(full), 2).alias("brand_top_price"),
+            F.round(F.last("p_retailprice").over(full), 2).alias("brand_bottom_price"),
+            F.round(F.nth_value("p_retailprice", 2).over(full), 2).alias("brand_2nd_price"),
+        )
+        .orderBy("p_brand", "pct_rank", "p_partkey")
+        .limit(200)
+    )
+
+
 QUERIES = {
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,
@@ -308,6 +331,7 @@ QUERIES = {
     "q29_union_distinct": q29_union_distinct,
     "q30_intersect": q30_intersect,
     "q30_except": q30_except,
+    "q70_analytic_fns": q70_analytic_fns,
 }
 
 ORACLES = {
@@ -443,5 +467,18 @@ SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 EXCEPT
 SELECT o_custkey FROM orders WHERE o_totalprice > 150000
 ORDER BY custkey
+""",
+    "q70_analytic_fns": """
+SELECT p_brand, p_partkey,
+       PERCENT_RANK() OVER o AS pct_rank,
+       ROUND(FIRST_VALUE(p_retailprice) OVER f, 2) AS brand_top_price,
+       ROUND(LAST_VALUE(p_retailprice) OVER f, 2) AS brand_bottom_price,
+       ROUND(NTH_VALUE(p_retailprice, 2) OVER f, 2) AS brand_2nd_price
+FROM part
+WINDOW o AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey),
+       f AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY p_brand, pct_rank, p_partkey
+LIMIT 200
 """,
 }
