@@ -97,6 +97,79 @@ def test_rolling_window_stream_matches_batch_frame(spark, sf_dir, k):
     assert (got.win_sum - exp.win_sum).abs().max() < 1e-9
 
 
+def test_interval_join_left_outer_stream(spark, sf_dir):
+    """Left-outer stream-stream join: purchases with no click in the
+    lookback window survive with NULL click columns, and the match set
+    equals the batch left-outer interval join.
+
+    Outer-join NULL rows only emit once the watermark passes the left
+    row's horizon, so the tail of a finite replay would be withheld —
+    the standard fix (used in production too) is a far-future flush
+    sentinel that advances the watermark past every real row."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.streaming.joins import interval_join
+
+    replay_dir = write_replay_batches(sf_dir, 3)
+    # flush sentinel: one purchase + one click, unmatched key, ts far
+    # beyond max_ts + watermark delay
+    first = pq.read_table(os.path.join(replay_dir, "batch_0000.parquet"))
+    sent = first.to_pandas().iloc[:2].copy()
+    sent["event_id"] = [-1, -2]
+    sent["user_id"] = -1
+    sent["event_type"] = ["purchase", "click"]
+    sent["ts"] = sent["ts"].max() + pd.Timedelta(days=365)
+    pq.write_table(
+        pa.Table.from_pandas(sent, schema=first.schema, preserve_index=False),
+        os.path.join(replay_dir, "batch_9999.parquet"),
+    )
+
+    purchases = replay_events(spark, sf_dir, replay_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = replay_events(spark, sf_dir, replay_dir).filter(
+        F.col("event_type") == "click"
+    )
+    joined = interval_join(
+        purchases, clicks, key="user_id", left_time="ts", right_time="ts",
+        lookback="1 HOUR", watermark="2 hours", how="leftOuter",
+    ).select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    got = run_stream_to_final(joined, "append")
+    got = got[got.purchase_id >= 0]  # drop the sentinel's own row
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    exp = (
+        p.join(
+            c,
+            on=(
+                (F.col("p.user_id") == F.col("c.user_id"))
+                & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+                & (F.col("c.ts") <= F.col("p.ts"))
+            ),
+            how="left",
+        )
+        .select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+        )
+        .toPandas()
+    )
+    key = lambda df: sorted(
+        (int(a), -1 if pd.isna(b) else int(b))
+        for a, b in zip(df.purchase_id, df.click_id)
+    )
+    assert key(got) == key(exp)
+
+
 def test_ewm_stream_matches_pandas(spark, sf_dir):
     """ewm operator: streaming fold over any split == pandas ewm(adjust=True)."""
     from pandas_streaming_spark.operators.stateful import ewm_stream
