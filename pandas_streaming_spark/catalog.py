@@ -38,10 +38,31 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        df = _normalize_event_ts(df)
-    return df
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+        except Exception:
+            # session without spark.sql.legacy.parquet.nanosAsLong rejects
+            # the TIMESTAMP(NANOS) column outright (PARQUET_TYPE_ILLEGAL);
+            # fall back to an Arrow-side ns->µs cast. Fine at test scale;
+            # a cluster deployment sets the conf instead.
+            return _events_via_arrow(spark, table_path(sf_dir, name))
+        return _normalize_event_ts(df)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _events_via_arrow(spark: SparkSession, path: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    schema = pa.schema(
+        [
+            f.with_type(pa.timestamp("us")) if pa.types.is_timestamp(f.type) else f
+            for f in table.schema
+        ]
+    )
+    return spark.createDataFrame(table.cast(schema, safe=False).to_pandas())
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
