@@ -35,6 +35,8 @@ def _cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        if math.isinf(v):
+            return repr(v)  # int(inf) raises; report the cell, don't crash
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))  # 3.0 and 3 stringify alike
         return repr(v)

@@ -18,11 +18,17 @@ from pyspark.sql.types import DoubleType, LongType
 
 
 # -- row-at-a-time Python UDF (slow path; API parity only) ---------------
-@F.udf(LongType())
-def py_strlen(s: str) -> int:
-    """Row-scalar Python UDF example. Every row crosses the JVM<->Python
-    boundary individually — use length() / a pandas_udf instead."""
+def _py_strlen(s):
+    # No type hints: Spark 4's F.udf tries Arrow eval-type inference on
+    # scalar hints and warns "Cannot infer the eval type" for this shape.
     return len(s) if s is not None else None
+
+
+py_strlen = F.udf(_py_strlen, LongType())
+py_strlen.__doc__ = (
+    "Row-scalar Python UDF example. Every row crosses the JVM<->Python "
+    "boundary individually — use length() / a pandas_udf instead."
+)
 
 
 # -- vectorized scalar pandas UDF (Arrow batches) ------------------------
@@ -57,7 +63,9 @@ def zscore_per_group(
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf[value_col].mean()
         sd = pdf[value_col].std(ddof=1)
-        z = (pdf[value_col] - mu) / sd if sd and sd > 0 else pdf[value_col] * 0.0
+        # sd NaN (single row) or 0 (constant group) -> NULL, matching the
+        # SQL (value - mu) / NULLIF(stddev, 0) semantics of the oracle.
+        z = (pdf[value_col] - mu) / sd if sd and sd > 0 else pdf[value_col] * np.nan
         return pd.DataFrame(
             {key: pdf[key], value_col: pdf[value_col], out_col: z}
         )

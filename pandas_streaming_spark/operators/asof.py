@@ -45,6 +45,12 @@ def asof_join(
     Returned columns: every left column + ``value_cols`` (NULL when no
     right row precedes).
     """
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} already exist in the left frame; "
+            "rename them on the right side before the as-of join"
+        )
     lt = F.col(left_time) if isinstance(left_time, str) else left_time
     rt = F.col(right_time) if isinstance(right_time, str) else right_time
 

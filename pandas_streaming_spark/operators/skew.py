@@ -58,9 +58,21 @@ def salted_groupby(
             raise ValueError(
                 f"{how!r} is not algebraic; use exact groupBy or rewrite"
             )
-    salted = df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    salted = df.withColumn("__salt", _deterministic_salt(df, salt))
     phase1 = salted.groupBy(*keys, "__salt").agg(*phase1_exprs)
     return phase1.groupBy(*keys).agg(*phase2_exprs)
+
+
+def _deterministic_salt(df: DataFrame, salt: int):
+    """Salt in [0, salt) derived from the row content, not ``F.rand``.
+
+    A nondeterministic shuffle key is unsafe under task retry /
+    speculative execution: a re-executed map task would re-assign rows to
+    different reducers than the partial fetch already consumed. Hashing
+    the row keeps re-execution byte-identical. Duplicate rows share a
+    bucket, which only costs balance, never correctness.
+    """
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int")
 
 
 def salted_join(
@@ -72,8 +84,16 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe fact⋈dim equi-join by salting the fact key and
     replicating the dim ``salt``×. Semantically identical to
-    ``fact.join(dim, key, how)``."""
-    f = fact.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    ``fact.join(dim, key, how)`` for ``how`` in {inner, left}; right/full
+    outer would emit each unmatched dim row once per replica, so they are
+    rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only, got {how!r}: the dim side "
+            "is replicated salt x, so right/full outer would duplicate "
+            "unmatched dim rows"
+        )
+    f = fact.withColumn("__salt", _deterministic_salt(fact, salt))
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>"))
     )

@@ -230,16 +230,16 @@ ORDER BY w_start
 """,
     "q45_stream_session": """
 WITH flagged AS (
-  SELECT user_id, event_id,
+  SELECT user_id, event_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
   SELECT user_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 ),

@@ -65,6 +65,25 @@ def test_asof_backward_semantics(spark):
     assert rows[_ts("2024-01-01T09:00:00")] is None
 
 
+def test_asof_rejects_value_col_collision(spark):
+    import pytest
+
+    t = _ts("2024-01-01T10:00:00")
+    left = spark.createDataFrame([(1, t, 0.0)], "k long, t timestamp, v double")
+    right = spark.createDataFrame([(1, t, 1.0)], "k long, rt timestamp, v double")
+    with pytest.raises(ValueError, match="already exist in the left frame"):
+        asof_join(left, right, key="k", left_time="t", right_time="rt",
+                  value_cols=["v"])
+
+
+def test_compare_cell_handles_inf():
+    from pandas_streaming_spark.compare import _cell
+
+    assert _cell(float("inf")) == "inf"
+    assert _cell(float("-inf")) == "-inf"
+    assert _cell(float("nan")) == "NULL"
+
+
 def test_exact_dedup_all_duplicates(spark):
     df = spark.createDataFrame([("x",)] * 5, "text string")
     assert exact_dedup(df).count() == 1

@@ -63,6 +63,19 @@ def test_salted_join_equals_plain(spark, sf_dir):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_salted_join_rejects_outer(spark, sf_dir):
+    """Right/full outer would emit unmatched dim rows once per salt
+    replica — the API refuses rather than silently duplicating."""
+    import pytest
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    fact = orders.withColumnRenamed("o_custkey", "c_custkey")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner/left only"):
+            salted_join(fact, cust, key="c_custkey", how=how)
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir):
     """Bucketed tables co-locate join keys: the sort-merge join reads
     bucketed scans directly — no Exchange on either side (the layout
