@@ -23,7 +23,7 @@ from pandas_streaming_spark.catalog import load_table
 from pandas_streaming_spark.operators.stateful import running_user_stats
 from pandas_streaming_spark.streaming.replay import (
     replay_events,
-    run_stream_to_final,
+    run_stream_to_df,
     write_replay_batches,
 )
 
@@ -40,13 +40,12 @@ def _final(
 ):
     import shutil
 
-    replay_dir = write_replay_batches(sf_dir, K_BATCHES, dup_every=dup_every)
+    replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES, dup_every=dup_every)
     try:
         stream = replay_events(spark, sf_dir, replay_dir)
-        pdf = run_stream_to_final(transform(stream), output_mode, key_cols)
+        return run_stream_to_df(spark, transform(stream), output_mode, key_cols)
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
-    return spark.createDataFrame(pdf)
 
 
 def q43_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +167,7 @@ def q60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pandas_streaming_spark.streaming.joins import interval_join
 
-    replay_dir = write_replay_batches(sf_dir, K_BATCHES)
+    replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES)
     try:
         purchases = replay_events(spark, sf_dir, replay_dir).filter(
             F.col("event_type") == "purchase"
@@ -189,15 +188,65 @@ def q60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.event_id").alias("purchase_id"),
             F.col("r.event_id").alias("click_id"),
         )
-        pdf = run_stream_to_final(joined, "append")
+        out = run_stream_to_df(spark, joined, "append")
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
-    out = spark.createDataFrame(pdf)
     return (
         out.groupBy("user_id")
         .agg(
             F.count("*").alias("n_pairs"),
             F.countDistinct("purchase_id").alias("n_purchases_with_click"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q71_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer event-time stream-stream join (§2.3): every purchase,
+    with NULL click columns when no same-user click precedes it within an
+    hour. Outer rows only emit once the watermark passes the purchase's
+    horizon, so the replay appends a far-future flush-sentinel batch
+    (write_replay_batches(sentinel=True)) — the same trick a production
+    pipeline uses to drain a finite backfill through an outer join."""
+    import shutil
+
+    from pandas_streaming_spark.streaming.joins import interval_join
+    from pandas_streaming_spark.streaming.replay import SENTINEL_USER
+
+    replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES, sentinel=True)
+    try:
+        purchases = replay_events(spark, sf_dir, replay_dir).filter(
+            F.col("event_type") == "purchase"
+        )
+        clicks = replay_events(spark, sf_dir, replay_dir).filter(
+            F.col("event_type") == "click"
+        )
+        joined = interval_join(
+            purchases,
+            clicks,
+            key="user_id",
+            left_time="ts",
+            right_time="ts",
+            lookback="1 HOUR",
+            watermark="2 hours",
+            how="leftOuter",
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.event_id").alias("click_id"),
+        )
+        out = run_stream_to_df(spark, joined, "append")
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+    return (
+        out.filter(F.col("user_id") != SENTINEL_USER)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("click_id").alias("n_matched"),
+            F.sum(
+                F.when(F.col("click_id").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_unmatched"),
         )
         .orderBy("user_id")
     )
@@ -211,6 +260,7 @@ QUERIES = {
     "q47_stream_static_join": q47_stream_static_join,
     "q48_stateful_accumulate": q48_stateful_accumulate,
     "q60_stream_stream_join": q60_stream_stream_join,
+    "q71_stream_outer_join": q71_stream_outer_join,
 }
 
 ORACLES = {
@@ -282,6 +332,20 @@ JOIN events c
  AND c.ts >= p.ts - INTERVAL 1 HOUR
  AND c.ts <= p.ts
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY p.user_id
+ORDER BY p.user_id
+""",
+    "q71_stream_outer_join": """
+SELECT p.user_id, COUNT(*) AS n_rows,
+       COUNT(c.event_id) AS n_matched,
+       SUM(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+FROM events p
+LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
 GROUP BY p.user_id
 ORDER BY p.user_id
 """,

@@ -10,19 +10,27 @@ Split rule: batch i of k = rows with floor(event_id * k / n) == i.
 Contiguous event_id ranges preserve event-time order (ts is monotone in
 event_id — verified in FIXTURES.md), so each parquet file is one in-order
 micro-batch via ``maxFilesPerTrigger=1``.
+
+Everything here is Spark-side: the split is written by executor tasks
+(the driver only renames files), and the sink spills micro-batch output
+to parquet instead of accumulating rows on the driver — so the harness
+itself scales with the cluster, not with driver memory.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import uuid
 
-import pyarrow.parquet as pq
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+#: sentinel rows use this key; downstream queries filter it out
+SENTINEL_USER = -1
 
 
 def _fresh_dir(tag: str) -> str:
@@ -31,55 +39,91 @@ def _fresh_dir(tag: str) -> str:
     return d
 
 
+def _write_single_file(df: DataFrame, dest: str) -> None:
+    """Write ``df`` as exactly one parquet file at ``dest``.
+
+    The data is written by an executor task; the driver's only work is the
+    rename. One file per micro-batch is what ``maxFilesPerTrigger=1``
+    keys on."""
+    tmp = dest + ".job"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    assert len(part) == 1, part
+    os.replace(part[0], dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_replay_batches(
+    spark: SparkSession,
     sf_dir: str,
     k: int,
     out_dir: str | None = None,
     dup_every: int | None = None,
+    sentinel: bool = False,
 ) -> str:
-    """Split ``{sf_dir}/events.parquet`` into k parquet files (driver-side
-    pyarrow slice — fixture prep, not a data-path operation).
+    """Split ``{sf_dir}/events.parquet`` into k single-file micro-batches.
 
     ``dup_every``: additionally append every dup_every-th row of batch i
     into batch i+1 (late duplicate injection for the dedup query Q46).
+
+    ``sentinel``: append one extra far-future batch (two rows on the
+    unmatched ``SENTINEL_USER`` key, one year past max ts) that advances
+    every watermark beyond the real data — required for outer stream-stream
+    joins, whose NULL rows only emit once the watermark passes the left
+    row's horizon. A finite replay would otherwise withhold the tail.
     """
+    from pandas_streaming_spark.catalog import load_table
+
     out_dir = out_dir or _fresh_dir("replay")
-    table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    # source carries TIMESTAMP(NANOS); cast to µs so the streaming reader
-    # sees plain TimestampType (same truncation the batch path applies)
-    import pyarrow as pa
-
-    schema = pa.schema(
-        [
-            f.with_type(pa.timestamp("us")) if pa.types.is_timestamp(f.type) else f
-            for f in table.schema
-        ]
-    )
-    table = table.cast(schema, safe=False)  # ns -> µs truncation is the point
-    df = table.to_pandas().sort_values("event_id").reset_index(drop=True)
-    n = len(df)
-    batches = [df[(df.event_id * k // n) == i] for i in range(k)]
+    ev = load_table(spark, sf_dir, "events")  # catalog casts ts to µs
+    n = ev.count()
+    df = ev.withColumn("__b", F.expr(f"CAST((event_id * {k}) DIV {n} AS INT)"))
     if dup_every:
-        carried = [b.iloc[:: dup_every] for b in batches[:-1]]
-        import pandas as pd
-
-        batches = [
-            b if i == 0 else pd.concat([carried[i - 1], b], ignore_index=True)
-            for i, b in enumerate(batches)
-        ]
-    for i, b in enumerate(batches):
-        pq.write_table(
-            pa.Table.from_pandas(b, schema=schema, preserve_index=False),
-            os.path.join(out_dir, f"batch_{i:04d}.parquet"),
-        )
+        w = Window.partitionBy("__b").orderBy("event_id")
+        df = df.withColumn("__rn", F.row_number().over(w))
+    df = df.persist()
+    try:
+        for i in range(k):
+            part = df.filter(F.col("__b") == i)
+            if dup_every and i > 0:
+                carried = df.filter(
+                    (F.col("__b") == i - 1)
+                    & ((F.col("__rn") - 1) % dup_every == 0)
+                )
+                part = carried.unionByName(part)
+            part = part.drop("__b", "__rn") if dup_every else part.drop("__b")
+            _write_single_file(part, os.path.join(out_dir, f"batch_{i:04d}.parquet"))
+        if sentinel:
+            flush = (
+                ev.orderBy(F.col("ts").desc())
+                .limit(1)
+                .select(
+                    F.explode(F.array(F.lit(-1), F.lit(-2))).alias("event_id"),
+                    (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+                )
+                .select(
+                    F.col("event_id").cast("long"),
+                    "ts",
+                    F.lit(SENTINEL_USER).cast("long").alias("user_id"),
+                    F.when(F.col("event_id") == -1, "purchase")
+                    .otherwise("click")
+                    .alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit(None).cast("string").alias("props"),
+                )
+                .select(*ev.columns)
+            )
+            _write_single_file(flush, os.path.join(out_dir, "batch_9999.parquet"))
+    finally:
+        df.unpersist()
     return out_dir
 
 
 def replay_events(spark: SparkSession, sf_dir: str, replay_dir: str) -> DataFrame:
     """Streaming DataFrame over the replay dir, one file per micro-batch.
 
-    The replay files carry µs timestamps (write_replay_batches casts), so
-    the schema is the catalog-normalized events schema."""
+    The replay files carry µs timestamps (write_replay_batches writes the
+    catalog-normalized frame), so the schema is the catalog schema."""
     from pandas_streaming_spark.catalog import load_table
 
     schema = load_table(spark, sf_dir, "events").schema
@@ -90,35 +134,42 @@ def replay_events(spark: SparkSession, sf_dir: str, replay_dir: str) -> DataFram
     )
 
 
-def run_stream_to_final(
+def run_stream_to_df(
+    spark: SparkSession,
     stream_df: DataFrame,
     output_mode: str = "complete",
     key_cols: list[str] | None = None,
-):
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) and return
-    the final state as a pandas DataFrame.
+    the final state as a *batch* DataFrame.
 
-    - ``complete``: final state = the last full result the sink saw.
-    - ``append``: final state = every appended row (e.g. streaming dedup).
-    - ``update``: requires ``key_cols``; final state = last update per key
-      (driver-side upsert in foreachBatch, mirroring an idempotent keyed
-      sink — exactly how an external KV/Delta sink would consume it).
+    The sink spills each micro-batch's output to parquet from executor
+    tasks — no rows accumulate on the driver, so an append-mode stream's
+    final state is as large as the cluster can hold, not the driver:
+
+    - ``complete``: each trigger overwrites the spill with the full state;
+      final = the last overwrite.
+    - ``append``: each trigger appends its new rows; final = everything.
+    - ``update``: requires ``key_cols``; each trigger appends updated rows
+      stamped with the batch id; final = last update per key (resolved
+      with one window pass — the idempotent-KV-sink read view).
+
+    The result is local-checkpointed so the spill dir can be deleted.
     """
-    import pandas as pd
-
     chkpt = _fresh_dir("chkpt")
-    state: dict = {"frames": [], "upsert": {}}
+    spill = _fresh_dir("spill")
+    if output_mode == "update" and not key_cols:
+        raise ValueError("update mode requires key_cols")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        pdf = batch_df.toPandas()
         if output_mode == "complete":
-            state["frames"] = [pdf]
+            batch_df.write.mode("overwrite").parquet(spill)
         elif output_mode == "append":
-            state["frames"].append(pdf)
-        else:  # update: upsert on key
-            for row in pdf.itertuples(index=False):
-                rec = row._asdict()
-                state["upsert"][tuple(rec[k] for k in key_cols)] = rec
+            batch_df.write.mode("append").parquet(spill)
+        else:  # update
+            batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(spill)
 
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -129,8 +180,30 @@ def run_stream_to_final(
     )
     q.awaitTermination()
     shutil.rmtree(chkpt, ignore_errors=True)
+
+    if not glob.glob(os.path.join(spill, "*.parquet")):
+        shutil.rmtree(spill, ignore_errors=True)
+        out_schema = stream_df.schema
+        return spark.createDataFrame([], out_schema)
+    out = spark.read.parquet(spill)
     if output_mode == "update":
-        return pd.DataFrame(list(state["upsert"].values()))
-    if not state["frames"]:
-        return pd.DataFrame()
-    return pd.concat(state["frames"], ignore_index=True)
+        w = Window.partitionBy(*key_cols).orderBy(F.col("__batch_id").desc())
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__batch_id")
+        )
+    out = out.localCheckpoint(eager=True)  # materialize so spill can go
+    shutil.rmtree(spill, ignore_errors=True)
+    return out
+
+
+def run_stream_to_final(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    key_cols: list[str] | None = None,
+):
+    """pandas-returning convenience wrapper over :func:`run_stream_to_df`
+    (tests and local inspection; graded queries use the DataFrame form)."""
+    spark = stream_df.sparkSession
+    return run_stream_to_df(spark, stream_df, output_mode, key_cols).toPandas()

@@ -122,7 +122,7 @@ def test_streaming_accumulate_roundtrip(spark, sf_dir):
         write_replay_batches,
     )
 
-    replay_dir = write_replay_batches(sf_dir, 3)
+    replay_dir = write_replay_batches(spark, sf_dir, 3)
     stream = replay_events(spark, sf_dir, replay_dir)
     out = run_stream_to_final(running_user_stats(stream), "update", ["user_id"])
     batch = (

@@ -33,7 +33,7 @@ def test_stream_final_state_matches_batch_oracle(spark, sf_dir, name):
 @pytest.mark.parametrize("k", [1, 5, 20])
 def test_batch_split_invariance_tumbling(spark, sf_dir, k):
     """Tumbling-window counts must not depend on how the stream is split."""
-    replay_dir = write_replay_batches(sf_dir, k)
+    replay_dir = write_replay_batches(spark, sf_dir, k)
     stream = replay_events(spark, sf_dir, replay_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -73,7 +73,7 @@ def test_rolling_window_stream_matches_batch_frame(spark, sf_dir, k):
     from pandas_streaming_spark.catalog import load_table
     from pandas_streaming_spark.operators.stateful import rolling_window_stream
 
-    replay_dir = write_replay_batches(sf_dir, k)
+    replay_dir = write_replay_batches(spark, sf_dir, k)
     stream = replay_events(spark, sf_dir, replay_dir)
     got = (
         run_stream_to_final(rolling_window_stream(stream, 3), "append")
@@ -105,29 +105,12 @@ def test_interval_join_left_outer_stream(spark, sf_dir):
     Outer-join NULL rows only emit once the watermark passes the left
     row's horizon, so the tail of a finite replay would be withheld —
     the standard fix (used in production too) is a far-future flush
-    sentinel that advances the watermark past every real row."""
-    import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    sentinel that advances the watermark past every real row
+    (write_replay_batches(sentinel=True))."""
     from pandas_streaming_spark.catalog import load_table
     from pandas_streaming_spark.streaming.joins import interval_join
 
-    replay_dir = write_replay_batches(sf_dir, 3)
-    # flush sentinel: one purchase + one click, unmatched key, ts far
-    # beyond max_ts + watermark delay
-    first = pq.read_table(os.path.join(replay_dir, "batch_0000.parquet"))
-    sent = first.to_pandas().iloc[:2].copy()
-    sent["event_id"] = [-1, -2]
-    sent["user_id"] = -1
-    sent["event_type"] = ["purchase", "click"]
-    sent["ts"] = sent["ts"].max() + pd.Timedelta(days=365)
-    pq.write_table(
-        pa.Table.from_pandas(sent, schema=first.schema, preserve_index=False),
-        os.path.join(replay_dir, "batch_9999.parquet"),
-    )
-
+    replay_dir = write_replay_batches(spark, sf_dir, 3, sentinel=True)
     purchases = replay_events(spark, sf_dir, replay_dir).filter(
         F.col("event_type") == "purchase"
     )
@@ -174,7 +157,7 @@ def test_ewm_stream_matches_pandas(spark, sf_dir):
     """ewm operator: streaming fold over any split == pandas ewm(adjust=True)."""
     from pandas_streaming_spark.operators.stateful import ewm_stream
 
-    replay_dir = write_replay_batches(sf_dir, 3)
+    replay_dir = write_replay_batches(spark, sf_dir, 3)
     stream = replay_events(spark, sf_dir, replay_dir)
     got = (
         run_stream_to_final(ewm_stream(stream, alpha=0.5), "append")
