@@ -140,9 +140,9 @@ class StreamingFrame:
         self, col: str, how: str, order_by: str, partition_by: str | None = None
     ) -> Column:
         """cumsum/cummax/cummin as a window expression."""
-        w = (
-            Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
-        ).orderBy(order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w = _ordered_window(partition_by, order_by).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
         return _AGGS[how](F.col(col)).over(w)
 
     def time_window(
@@ -257,6 +257,24 @@ class GroupedFrame:
         return all_numeric
 
 
+def _ordered_window(partition_by: str | None, order_by: str):
+    """Ordered window spec; a missing partition key means Spark funnels
+    EVERY row through one task for the sort — fine on a laptop, a
+    scale-killer on a cluster. Callers get a loud warning so the global
+    form is always a conscious choice."""
+    if partition_by:
+        return Window.partitionBy(partition_by).orderBy(order_by)
+    import warnings
+
+    warnings.warn(
+        "window without partition_by plans a single-partition global sort; "
+        "pass a partition key for any data that doesn't fit one executor",
+        UserWarning,
+        stacklevel=3,
+    )
+    return Window.partitionBy().orderBy(order_by)
+
+
 class RollingFrame:
     """Reference ``rolling(n)`` / ``window(n=K)``: trailing K-row stats.
     Batch lowering is a ROWS window frame (built-in, codegen'd); the
@@ -264,8 +282,9 @@ class RollingFrame:
 
     def __init__(self, df: DataFrame, n: int, order_by: str, partition_by: str | None):
         self.df, self.n = df, n
-        w = Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
-        self.w = w.orderBy(order_by).rowsBetween(-(n - 1), Window.currentRow)
+        self.w = _ordered_window(partition_by, order_by).rowsBetween(
+            -(n - 1), Window.currentRow
+        )
 
     def agg(self, **named: tuple[str, str]) -> StreamingFrame:
         out = self.df

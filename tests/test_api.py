@@ -65,6 +65,24 @@ def test_rolling_matches_pandas(spark, sf_dir):
     )
 
 
+def test_global_window_warns(spark, sf_dir):
+    """No partition key -> single-partition global sort: allowed (pandas
+    parity) but must warn loudly so it never ships silently at scale."""
+    import pytest
+
+    sdf = wrap(load_table(spark, sf_dir, "events"))
+    with pytest.warns(UserWarning, match="single-partition global sort"):
+        sdf.rolling(3, order_by="event_id")
+    with pytest.warns(UserWarning, match="single-partition global sort"):
+        sdf.cumulative("value", "sum", order_by="event_id")
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # partitioned forms stay silent
+        sdf.rolling(3, order_by="event_id", partition_by="user_id")
+        sdf.cumulative("value", "sum", order_by="event_id", partition_by="user_id")
+
+
 def test_map_partitions(spark, sf_dir):
     sdf = wrap(load_table(spark, sf_dir, "documents"))
 
