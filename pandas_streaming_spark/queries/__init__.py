@@ -111,6 +111,7 @@ _EXTRAS = [
     "q59_embedding_neardup",
     "q60_stream_stream_join",
     "q71_stream_outer_join",
+    "q72_stream_ewm",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -252,6 +252,26 @@ def q71_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_stream_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted exponentially-weighted mean per user over the replayed
+    stream (pandas ewm(alpha=0.5, adjust=True) semantics), carried as
+    (num, den) state so any batch split is invariant. Oracle: a duckdb
+    recursive CTE running the same fold — both sides execute the identical
+    IEEE op sequence (num*decay + v), so values agree bit-for-bit; the
+    comparison still uses floor-to-micro-units per the repo's
+    determinism rules."""
+    from pandas_streaming_spark.operators.stateful import ewm_stream
+
+    out = _final(
+        spark, sf_dir, lambda s: ewm_stream(s, alpha=0.5), "append"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("ewm_value") * 1e6 + F.lit(0.5)).cast("long").alias("ewm_e6"),
+    ).orderBy("user_id", "event_id")
+
+
 QUERIES = {
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
@@ -261,6 +281,7 @@ QUERIES = {
     "q48_stateful_accumulate": q48_stateful_accumulate,
     "q60_stream_stream_join": q60_stream_stream_join,
     "q71_stream_outer_join": q71_stream_outer_join,
+    "q72_stream_ewm": q72_stream_ewm,
 }
 
 ORACLES = {
@@ -348,5 +369,27 @@ LEFT JOIN events c
 WHERE p.event_type = 'purchase'
 GROUP BY p.user_id
 ORDER BY p.user_id
+""",
+    # Runs the exact (num*0.5 + v) fold the streaming operator runs, so
+    # the division num/den is performed on bit-identical operands.
+    "q72_stream_ewm": """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+rec AS (
+  SELECT user_id, event_id, rn,
+         value AS num, CAST(1.0 AS DOUBLE) AS den
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.rn,
+         r.num * 0.5 + o.value, r.den * 0.5 + 1.0
+  FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id,
+       CAST(FLOOR(num / den * 1e6 + 0.5) AS BIGINT) AS ewm_e6
+FROM rec
+ORDER BY user_id, event_id
 """,
 }
