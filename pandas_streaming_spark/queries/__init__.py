@@ -112,6 +112,7 @@ _EXTRAS = [
     "q60_stream_stream_join",
     "q71_stream_outer_join",
     "q72_stream_ewm",
+    "q73_decimal_pricing",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

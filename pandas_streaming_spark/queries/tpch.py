@@ -256,6 +256,30 @@ def q69_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_decimal_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal pricing (SURVEY §1.2 decimal note): money doubles are
+    cast to DECIMAL(12,2) and every product/sum stays in decimal, so the
+    revenue is exact to 6 decimal places with no float drift. (12,2) keeps
+    the three-way product inside both engines' 38-digit cap — duckdb
+    *errors* past it rather than rounding, Spark silently drops scale.
+    Compared as exact integer micro-units."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(12,2)"
+    price = F.col("l_extendedprice").cast(dec)
+    disc = F.col("l_discount").cast(dec)
+    tax = F.col("l_tax").cast(dec)
+    one = F.lit(1).cast(dec)
+    rev = price * (one - disc) * (one + tax)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.sum(rev) * F.lit(1000000)).cast("long").alias("revenue_e6"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_projection_filter": q02_projection_filter,
@@ -272,6 +296,7 @@ QUERIES = {
     "q13_having": q13_having,
     "q68_scalar_subquery": q68_scalar_subquery,
     "q69_exists_subquery": q69_exists_subquery,
+    "q73_decimal_pricing": q73_decimal_pricing,
 }
 
 ORACLES = {
@@ -406,5 +431,16 @@ SELECT s_suppkey, s_name,
 FROM supplier s
 WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_suppkey = s.s_suppkey)
 ORDER BY s_suppkey
+""",
+    "q73_decimal_pricing": """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
+            * 1000000 AS BIGINT) AS revenue_e6,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """,
 }

@@ -72,3 +72,36 @@ def test_partitioned_parquet_write_prunes(spark, sf_dir):
         assert "PartitionFilters" in physical_plan(back)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_kafka_contract_without_broker(spark):
+    """No broker or connector jar in the sandbox, so the honest contract
+    is (a) the option map the reader is built with, (b) an actionable
+    error naming the missing package instead of a bare
+    DATA_SOURCE_NOT_FOUND."""
+    import pytest
+
+    from pandas_streaming_spark.sources import KAFKA_PACKAGE, kafka, kafka_options
+
+    opts = kafka_options(
+        "events,orders", "broker-1:9092,broker-2:9092",
+        starting_offsets="latest", maxOffsetsPerTrigger="10000",
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "subscribe": "events,orders",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    with pytest.raises(RuntimeError, match=KAFKA_PACKAGE.replace(".", r"\.")):
+        kafka(spark, "events", "localhost:9092")
+
+
+def test_to_kafka_contract_without_broker(spark):
+    import pytest
+
+    from pandas_streaming_spark.sources import KAFKA_PACKAGE, to_kafka
+
+    df = spark.createDataFrame([("k", "v")], "key string, value string")
+    with pytest.raises(RuntimeError, match=KAFKA_PACKAGE.replace(".", r"\.")):
+        to_kafka(df, "events", "localhost:9092")
