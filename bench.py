@@ -57,17 +57,48 @@ def main() -> None:
         times[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": round(sum(times.values()), 4),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    result = {
+        "metric": "suite_seconds",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Scaling curve: replicate the facts 10x (dims untouched) and time one
+    # pass, so the record shows how each plan grows with data — at sf0.1
+    # alone every number is dominated by the fixed ~0.3-0.5 s local-mode
+    # floor. Controlled by SPARK_GRAFT_SCALE_FACTOR (0 disables).
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    if factor > 1:
+        try:
+            from pandas_streaming_spark.datagen import scale_dataset
+            from pandas_streaming_spark.streaming.replay import _fresh_dir, SCRATCH
+
+            scaled_dir = os.path.join(
+                SCRATCH, f"scaled-{os.path.basename(sf_dir.rstrip('/'))}-x{factor}"
+            )
+            scale_dataset(spark, sf_dir, scaled_dir, factor)
+            for name in HEADLINE:  # warm the scaled file listings
+                QUERIES[name](spark, scaled_dir).collect()
+            scaled_times: dict[str, float] = {}
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, scaled_dir).collect()
+                scaled_times[name] = round(time.perf_counter() - t0, 4)
+            result["scaled"] = {
+                "factor": factor,
+                "queries": scaled_times,
+                "value": round(sum(scaled_times.values()), 4),
+                "growth": {
+                    n: round(scaled_times[n] / times[n], 2) if times[n] else None
+                    for n in HEADLINE
+                },
             }
-        )
-    )
+        except Exception as e:  # the headline numbers must never be lost
+            result["scaled"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,62 @@
+"""Synthetic scale-up of a testdata directory (bench scaling curve).
+
+The driver ships sf0.001/0.01/0.1; to measure how plans *scale* rather
+than re-measure the fixed ~0.3–0.5 s local-mode per-query floor, the
+bench replicates the fact tables ``factor``× with disjoint key ranges
+(executor-side crossJoin with ``spark.range`` — no driver materialization)
+and leaves the dimensions untouched, preserving every FK distribution.
+
+Replicated keys are offset per replica so uniqueness invariants hold:
+orders/lineitem share the o_orderkey/l_orderkey offset, so the star join
+stays consistent. Documents keep identical text across replicas, which
+turns the dedup queries into a genuine 10-copy near-dup stress test.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.catalog import TABLES, load_table, table_path
+
+KEY_OFFSET = 1_000_000_000
+
+#: fact table -> key columns to offset per replica
+FACT_KEYS: dict[str, list[str]] = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def scale_dataset(
+    spark: SparkSession, src_dir: str, dest_dir: str, factor: int
+) -> str:
+    """Write a ``factor``×-scaled copy of ``src_dir`` to ``dest_dir``.
+
+    Idempotent: a ``_SCALED_OK`` marker short-circuits repeat calls, so
+    the bench synthesizes once and reuses across runs."""
+    marker = os.path.join(dest_dir, "_SCALED_OK")
+    if os.path.exists(marker):
+        return dest_dir
+    os.makedirs(dest_dir, exist_ok=True)
+    for name in TABLES:
+        dest = table_path(dest_dir, name)
+        if name not in FACT_KEYS:
+            shutil.copyfile(table_path(src_dir, name), dest)
+            continue
+        df = load_table(spark, src_dir, name)  # events arrives µs-normalized
+        rep = df.crossJoin(
+            spark.range(factor).withColumnRenamed("id", "__rep")
+        )
+        for key in FACT_KEYS[name]:
+            rep = rep.withColumn(key, F.col(key) + F.col("__rep") * KEY_OFFSET)
+        rep.drop("__rep").select(*df.columns).write.mode("overwrite").parquet(dest)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return dest_dir

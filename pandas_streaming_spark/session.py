@@ -72,6 +72,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # local mode runs everything in the driver JVM; the 1g default
+        # heap OOMs building 64 MiB-threshold broadcasts once the facts
+        # grow (bench's 10x pass). Only effective before JVM launch.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
     )
