@@ -50,19 +50,29 @@ def minhash_signatures(
     n_hashes: int = 16,
     k: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: array of ``n_hashes`` md5-hex minima over
+    """Per-doc MinHash signature: array of ``n_hashes`` integer minima over
     k-word shingles.
 
-    Plan: explode shingles to rows, hash with codegen'd md5, one
-    groupBy(doc) with n_hashes min() aggregates (map-side combined — the
-    shuffle carries one row per doc). The pure array-expression form
-    (functions.minhash_sig) is ~10× slower at scale because higher-order
-    array functions are interpreted, not codegen'd.
+    Plan: explode shingles to rows, ONE codegen'd md5 per shingle, split
+    the digest into two 28-bit ints, and derive the i-th hash as
+    ``h1 + i*h2`` (Kirsch–Mitzenmacher universal family — max value
+    < 2^32, so no int64 overflow and no modulo). One groupBy(doc) with
+    n_hashes min() aggregates (map-side combined — the shuffle carries one
+    row per doc). Earlier form hashed md5(shingle+salt) n_hashes times:
+    correct, but n_hashes× the digest cost per shingle; the pure
+    array-expression form (functions.minhash_sig) is ~10× slower still
+    because higher-order array functions are interpreted, not codegen'd.
     """
     sh = _exploded_shingles(df, id_col, text_col, k)
-    agg = sh.groupBy(id_col).agg(
+    m = F.md5(F.col("__sh"))
+    hashed = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(m, 1, 7), 16, 10).cast("long").alias("__h1"),
+        F.conv(F.substring(m, 8, 7), 16, 10).cast("long").alias("__h2"),
+    )
+    agg = hashed.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.col("__sh"), F.lit(f"#{i}")))).alias(f"__mh{i}")
+            F.min(F.col("__h1") + F.lit(i) * F.col("__h2")).alias(f"__mh{i}")
             for i in range(n_hashes)
         ]
     )

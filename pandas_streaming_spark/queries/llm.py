@@ -265,8 +265,13 @@ _SHINGLES = f"""
   FROM ({_TOKS})
 """
 
+# One md5 per shingle, Kirsch–Mitzenmacher h1 + s*h2 over two 28-bit
+# digest halves — the exact arithmetic operators/dedup.minhash_signatures
+# runs, so integer minima hash-match.
 _MINHASH_SIG = f"""
-  SELECT doc_id, s, MIN(MD5(sh || '#' || s)) AS mh
+  SELECT doc_id, s,
+         MIN(CAST(CONCAT('0x', SUBSTR(MD5(sh), 1, 7)) AS BIGINT)
+             + s * CAST(CONCAT('0x', SUBSTR(MD5(sh), 8, 7)) AS BIGINT)) AS mh
   FROM ({_SHINGLES}) CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS s)
   GROUP BY doc_id, s
 """
