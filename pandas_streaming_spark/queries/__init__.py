@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pandas_streaming_spark.queries import (
     analytic,
+    curation,
     llm,
     scalarfn,
     streaming_q,
@@ -32,7 +33,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _ALL_QUERIES: dict[str, QueryFn] = {}
 _ALL_ORACLES: dict[str, str] = {}
-for mod in (tpch, analytic, scalarfn, llm, streaming_q, udf_q):
+for mod in (tpch, analytic, scalarfn, llm, streaming_q, udf_q, curation):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLES.update({k: v for k, v in mod.ORACLES.items() if v is not None})
 
@@ -113,6 +114,9 @@ _EXTRAS = [
     "q71_stream_outer_join",
     "q72_stream_ewm",
     "q73_decimal_pricing",
+    "q74_deterministic_sample",
+    "q75_hash_split",
+    "q76_cap_per_source",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

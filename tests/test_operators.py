@@ -89,6 +89,64 @@ def test_exact_dedup_all_duplicates(spark):
     assert exact_dedup(df).count() == 1
 
 
+def test_deterministic_sample_stable_and_sized(spark, sf_dir):
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(r.doc_id for r in deterministic_sample(docs, "doc_id", 20).collect())
+    b = sorted(
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(7), "doc_id", 20).collect()
+    )
+    assert a == b  # membership survives repartitioning (rand() wouldn't)
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # ~20%
+
+
+def test_hash_split_partitions_everything(spark, sf_dir):
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.sampling import hash_split
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(emb, "vec_id", {"train": 80, "val": 10, "test": 10})
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sum(counts.values()) == emb.count()  # total, disjoint by CASE
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 100"):
+        hash_split(emb, "vec_id", {"train": 70, "test": 10})
+
+
+def test_cap_per_group_bounds_and_keeps_lowest(spark, sf_dir):
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "source", "doc_id", n=5)
+    per = capped.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("mx")
+    )
+    assert per.filter(F.col("n") > 5).count() == 0
+    # kept rows are the lowest doc_ids per source
+    lowest = (
+        docs.groupBy("source")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .select("source", F.slice("ids", 1, 5).alias("keep"))
+    )
+    got = capped.groupBy("source").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("got")
+    )
+    diff = got.join(lowest, "source").filter(F.col("got") != F.col("keep"))
+    assert diff.count() == 0
+
+
 def test_cosine_topk_zero_vector(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])],
