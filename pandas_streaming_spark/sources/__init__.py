@@ -152,6 +152,12 @@ def to_kafka(
 
 def from_iterable(spark: SparkSession, rows, schema) -> DataFrame:
     """Batch frame from a Python iterable (reference from_iterable).
-    For a *streaming* equivalent use streaming.replay.write_replay_batches
-    (file-drop protocol) — iterables aren't replayable, files are."""
+    The *streaming* equivalent is sources.pystream.from_iterable_stream
+    (a real Python DataSource with offsets + recovery replay); the
+    file-drop protocol (streaming.replay) remains the durable path."""
     return spark.createDataFrame(list(rows), schema)
+
+
+from pandas_streaming_spark.sources.pystream import (  # noqa: E402,F401
+    from_iterable_stream,
+)

@@ -139,6 +139,7 @@ def run_stream_to_df(
     stream_df: DataFrame,
     output_mode: str = "complete",
     key_cols: list[str] | None = None,
+    trigger: str = "available_now",
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) and return
     the final state as a *batch* DataFrame.
@@ -171,14 +172,24 @@ def run_stream_to_df(
                 "append"
             ).parquet(spill)
 
-    q = (
+    w = (
         stream_df.writeStream.outputMode(output_mode)
         .foreachBatch(sink)
         .option("checkpointLocation", chkpt)
-        .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    if trigger == "available_now":
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    elif trigger == "drain":
+        # for sources whose availableNow snapshot sees only the first
+        # prefetched batch (e.g. Python SimpleDataSourceStreamReader):
+        # run continuously until no more data is available, then stop
+        q = w.start()
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    else:
+        raise ValueError(f"unknown trigger {trigger!r}")
     shutil.rmtree(chkpt, ignore_errors=True)
 
     if not glob.glob(os.path.join(spill, "*.parquet")):

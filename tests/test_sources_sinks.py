@@ -105,3 +105,30 @@ def test_to_kafka_contract_without_broker(spark):
     df = spark.createDataFrame([("k", "v")], "key string, value string")
     with pytest.raises(RuntimeError, match=KAFKA_PACKAGE.replace(".", r"\.")):
         to_kafka(df, "events", "localhost:9092")
+
+
+def test_from_iterable_stream_real_source(spark):
+    """from_iterable as a true Spark 4 Python DataSource: multiple
+    micro-batches (batch_size-driven offsets), drained to completion;
+    final state equals the one-shot batch aggregation."""
+    from pandas_streaming_spark.sources import from_iterable_stream
+    from pandas_streaming_spark.streaming.replay import run_stream_to_df
+
+    rows = [(i, f"u{i % 3}", float(i)) for i in range(100)]
+    s = from_iterable_stream(
+        spark, rows, "id long, user string, v double", batch_size=30
+    )
+    assert s.isStreaming
+    agg = s.groupBy("user").agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    got = {
+        r["user"]: (r["n"], r["sv"])
+        for r in run_stream_to_df(spark, agg, "complete", trigger="drain").collect()
+    }
+    exp = {
+        r["user"]: (r["n"], r["sv"])
+        for r in spark.createDataFrame(rows, "id long, user string, v double")
+        .groupBy("user")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert got == exp
