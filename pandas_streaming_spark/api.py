@@ -130,6 +130,37 @@ class StreamingFrame:
             self.df.groupBy(col).agg(F.count("*").alias("count"))
         )
 
+    def pivot_table(
+        self,
+        index: str,
+        columns: str,
+        values: str,
+        aggfunc: str = "sum",
+        col_values: list | None = None,
+    ) -> "StreamingFrame":
+        """pandas ``pivot_table``: one output column per ``columns``
+        value. Pass ``col_values`` explicitly on anything big — without
+        it Spark runs an extra distinct job over the whole input just to
+        learn the column set (and an unbounded value domain means an
+        unbounded schema; a pipeline should always know its pivot
+        domain)."""
+        g = self.df.groupBy(index)
+        p = g.pivot(columns, col_values) if col_values else g.pivot(columns)
+        return StreamingFrame(p.agg(_AGGS[aggfunc](F.col(values))))
+
+    def melt(
+        self,
+        id_vars: list[str],
+        value_vars: list[str],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "StreamingFrame":
+        """pandas ``melt`` (wide→long) via Spark's native unpivot —
+        a narrow per-row expansion, no shuffle."""
+        return StreamingFrame(
+            self.df.unpivot(id_vars, value_vars, var_name, value_name)
+        )
+
     # -- ordered / windowed (§2.5, batch semantics) ---------------------
     def rolling(
         self, n: int, order_by: str, partition_by: str | None = None

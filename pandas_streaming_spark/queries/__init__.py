@@ -117,6 +117,8 @@ _EXTRAS = [
     "q74_deterministic_sample",
     "q75_hash_split",
     "q76_cap_per_source",
+    "q77_pivot",
+    "q78_melt",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

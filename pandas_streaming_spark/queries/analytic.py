@@ -311,6 +311,43 @@ def q70_analytic_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q77_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas pivot_table via groupBy().pivot() with an explicit column
+    domain (no distinct pre-scan — at scale the pivot domain must be
+    declared, not discovered)."""
+    from pandas_streaming_spark.api import wrap
+
+    ev = _t(spark, sf_dir, "events")
+    wide = wrap(ev).pivot_table(
+        "user_id", "event_type", "value", aggfunc="sum", col_values=EVENT_TYPES
+    ).df
+    return wide.select(
+        "user_id", *[F.round(F.col(t), 2).alias(t) for t in EVENT_TYPES]
+    ).orderBy("user_id")
+
+
+def q78_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas melt (wide→long) via native unpivot — narrow expansion,
+    no shuffle until the final sort."""
+    from pandas_streaming_spark.api import wrap
+
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+    )
+    return (
+        wrap(wide)
+        .melt(["event_type"], ["n_events", "sum_value", "avg_value"],
+              var_name="metric", value_name="val")
+        .df.orderBy("event_type", "metric")
+    )
+
+
 QUERIES = {
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,
@@ -332,6 +369,8 @@ QUERIES = {
     "q30_intersect": q30_intersect,
     "q30_except": q30_except,
     "q70_analytic_fns": q70_analytic_fns,
+    "q77_pivot": q77_pivot,
+    "q78_melt": q78_melt,
 }
 
 ORACLES = {
@@ -480,5 +519,33 @@ WINDOW o AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey),
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ORDER BY p_brand, pct_rank, p_partkey
 LIMIT 200
+""",
+    "q77_pivot": """
+SELECT user_id,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    "q78_melt": """
+WITH wide AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         ROUND(SUM(value), 2) AS sum_value,
+         ROUND(AVG(value), 2) AS avg_value
+  FROM events GROUP BY event_type
+)
+SELECT event_type, metric, val FROM (
+  SELECT event_type, 'n_events' AS metric, n_events AS val FROM wide
+  UNION ALL
+  SELECT event_type, 'sum_value', sum_value FROM wide
+  UNION ALL
+  SELECT event_type, 'avg_value', avg_value FROM wide
+)
+ORDER BY event_type, metric
 """,
 }

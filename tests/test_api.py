@@ -153,3 +153,23 @@ def test_streaming_accumulate_roundtrip(spark, sf_dir):
     assert len(merged) == len(batch)
     assert (merged.n_events_s == merged.n_events_b).all()
     assert (merged.max_value_s == merged.max_value_b).all()
+
+
+def test_pivot_melt_roundtrip(spark, sf_dir):
+    """pivot_table then melt recovers the grouped aggregation (NULL cells
+    from empty combinations dropped on both sides)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = wrap(ev).pivot_table(
+        "user_id", "event_type", "value", aggfunc="sum", col_values=types
+    )
+    long = (
+        wrap(wide.df)
+        .melt(["user_id"], types, var_name="event_type", value_name="sv")
+        .df.filter(F.col("sv").isNotNull())
+    )
+    exp = ev.groupBy("user_id", "event_type").agg(F.sum("value").alias("sv"))
+    key = lambda df: sorted(
+        (r["user_id"], r["event_type"], round(r["sv"], 6)) for r in df.collect()
+    )
+    assert key(long) == key(exp)
