@@ -54,10 +54,13 @@ def get_spark(
         # --- Arrow for every Python-boundary crossing ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # --- joins: dims (region/nation/customer/supplier/part at test SF)
-        # broadcast; fact-fact joins sort-merge. 64 MiB covers every dim
-        # table even at sf100-equivalent row counts.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- joins: keep Spark's 10 MiB broadcast threshold. Measured on
+        # the star join (q04): 64 MiB pulled a multi-million-row fact
+        # projection into a driver-built broadcast — 5.5 s vs 3.5 s at
+        # 10x sf0.1, and no faster at sf0.1. Always-tiny dims carry
+        # explicit F.broadcast hints; AQE promotes anything whose runtime
+        # size qualifies, which is the right call at every scale.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # --- scans: 128 MiB splits; vectorized parquet reader is default ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
