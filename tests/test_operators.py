@@ -168,3 +168,18 @@ def test_minhash_identical_docs_share_signature(spark):
     sigs = {r["doc_id"]: tuple(r["signature"]) for r in minhash_signatures(df, n_hashes=4).collect()}
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
+
+
+def test_sample_frames_shapes(spark):
+    from pandas_streaming_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a" * 130)), (2, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        (r["doc_id"], r["frame_idx"]): r["frame_len"]
+        for r in sample_frames(df, frame_len=64, every_n=2).collect()
+    }
+    # 130 bytes -> frames 0,1,2 (64,64,2); every 2nd keeps 0 and 2
+    assert rows == {(1, 0): 64, (1, 2): 2}  # empty payload yields nothing
