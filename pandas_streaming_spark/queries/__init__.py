@@ -118,6 +118,7 @@ _EXTRAS = [
     "q74_deterministic_sample",
     "q75_hash_split",
     "q76_cap_per_source",
+    "q80_corpus_pipeline",
     "q77_pivot",
     "q78_melt",
     "q65_map_fns",

@@ -57,10 +57,39 @@ def q76_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build, the engine's flagship composition:
+    exact-dedup (keep lowest doc_id per content hash) → length gate →
+    50% reproducible sample → per-lang corpus stats. Each stage is the
+    production operator; one narrow chain + two shuffles total (dedup
+    window, final agg)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    gated = deduped.filter((F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000))
+    sampled = deterministic_sample(gated, "doc_id", pct=50)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "q74_deterministic_sample": q74_deterministic_sample,
     "q75_hash_split": q75_hash_split,
     "q76_cap_per_source": q76_cap_per_source,
+    "q80_corpus_pipeline": q80_corpus_pipeline,
 }
 
 ORACLES = {
@@ -95,5 +124,24 @@ FROM ranked
 WHERE rn <= 50
 GROUP BY source
 ORDER BY source
+""",
+    "q80_corpus_pipeline": f"""
+WITH deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE n_chars BETWEEN 100 AND 2000
+    AND {_BUCKET_SQL.format(id="doc_id")} < 50
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS n_tokens,
+       SUM(n_chars) AS n_chars
+FROM sampled
+GROUP BY lang
+ORDER BY lang
 """,
 }
