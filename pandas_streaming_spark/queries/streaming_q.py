@@ -38,14 +38,11 @@ def _final(
     key_cols: list[str] | None = None,
     dup_every: int | None = None,
 ):
-    import shutil
-
+    # content-keyed cached split (persists in .scratch; shared by all
+    # streaming queries at this sf/k)
     replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES, dup_every=dup_every)
-    try:
-        stream = replay_events(spark, sf_dir, replay_dir)
-        return run_stream_to_df(spark, transform(stream), output_mode, key_cols)
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    return run_stream_to_df(spark, transform(stream), output_mode, key_cols)
 
 
 def q43_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,34 +160,29 @@ def q60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     are independent streaming readers over the same replay; watermarks
     bound the join state. Final appended matches equal the batch
     interval join."""
-    import shutil
-
     from pandas_streaming_spark.streaming.joins import interval_join
 
     replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES)
-    try:
-        purchases = replay_events(spark, sf_dir, replay_dir).filter(
-            F.col("event_type") == "purchase"
-        )
-        clicks = replay_events(spark, sf_dir, replay_dir).filter(
-            F.col("event_type") == "click"
-        )
-        joined = interval_join(
-            purchases,
-            clicks,
-            key="user_id",
-            left_time="ts",
-            right_time="ts",
-            lookback="1 HOUR",
-            watermark="2 hours",
-        ).select(
-            F.col("l.user_id").alias("user_id"),
-            F.col("l.event_id").alias("purchase_id"),
-            F.col("r.event_id").alias("click_id"),
-        )
-        out = run_stream_to_df(spark, joined, "append")
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+    purchases = replay_events(spark, sf_dir, replay_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = replay_events(spark, sf_dir, replay_dir).filter(
+        F.col("event_type") == "click"
+    )
+    joined = interval_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        lookback="1 HOUR",
+        watermark="2 hours",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    out = run_stream_to_df(spark, joined, "append")
     return (
         out.groupBy("user_id")
         .agg(
@@ -208,36 +200,31 @@ def q71_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon, so the replay appends a far-future flush-sentinel batch
     (write_replay_batches(sentinel=True)) — the same trick a production
     pipeline uses to drain a finite backfill through an outer join."""
-    import shutil
-
     from pandas_streaming_spark.streaming.joins import interval_join
     from pandas_streaming_spark.streaming.replay import SENTINEL_USER
 
     replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES, sentinel=True)
-    try:
-        purchases = replay_events(spark, sf_dir, replay_dir).filter(
-            F.col("event_type") == "purchase"
-        )
-        clicks = replay_events(spark, sf_dir, replay_dir).filter(
-            F.col("event_type") == "click"
-        )
-        joined = interval_join(
-            purchases,
-            clicks,
-            key="user_id",
-            left_time="ts",
-            right_time="ts",
-            lookback="1 HOUR",
-            watermark="2 hours",
-            how="leftOuter",
-        ).select(
-            F.col("l.user_id").alias("user_id"),
-            F.col("l.event_id").alias("purchase_id"),
-            F.col("r.event_id").alias("click_id"),
-        )
-        out = run_stream_to_df(spark, joined, "append")
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+    purchases = replay_events(spark, sf_dir, replay_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = replay_events(spark, sf_dir, replay_dir).filter(
+        F.col("event_type") == "click"
+    )
+    joined = interval_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        lookback="1 HOUR",
+        watermark="2 hours",
+        how="leftOuter",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    out = run_stream_to_df(spark, joined, "append")
     return (
         out.filter(F.col("user_id") != SENTINEL_USER)
         .groupBy("user_id")
