@@ -65,6 +65,31 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    # Streaming throughput: the tumbling-window query through the 5-batch
+    # replay protocol, end-to-end (split cached, so this times the
+    # streaming engine + sink, not fixture prep). Micro-batch scheduling
+    # overhead dominates at this size — the number is the protocol's
+    # floor, not Spark's architecture ceiling (see BASELINE.md).
+    try:
+        import pyarrow.parquet as pq
+
+        from pandas_streaming_spark.queries.streaming_q import q43_stream_tumbling
+
+        n_events = pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows
+        q43_stream_tumbling(spark, sf_dir).collect()  # warm + build split cache
+        t0 = time.perf_counter()
+        q43_stream_tumbling(spark, sf_dir).collect()
+        stream_sec = time.perf_counter() - t0
+        result["streaming"] = {
+            "query": "q43_stream_tumbling",
+            "k_batches": 5,
+            "events": n_events,
+            "seconds": round(stream_sec, 4),
+            "events_per_sec": round(n_events / stream_sec),
+        }
+    except Exception as e:
+        result["streaming"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # Scaling curve: replicate the facts 10x (dims untouched) and time one
     # pass, so the record shows how each plan grows with data — at sf0.1
     # alone every number is dominated by the fixed ~0.3-0.5 s local-mode
@@ -83,9 +108,12 @@ def main() -> None:
                 QUERIES[name](spark, scaled_dir).collect()
             scaled_times: dict[str, float] = {}
             for name in HEADLINE:
-                t0 = time.perf_counter()
-                QUERIES[name](spark, scaled_dir).collect()
-                scaled_times[name] = round(time.perf_counter() - t0, 4)
+                best = float("inf")
+                for _ in range(2):  # best-of-2: single shots are noisy
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, scaled_dir).collect()
+                    best = min(best, time.perf_counter() - t0)
+                scaled_times[name] = round(best, 4)
             result["scaled"] = {
                 "factor": factor,
                 "queries": scaled_times,
