@@ -98,6 +98,51 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-document top-``top_n`` terms by smoothed TF-IDF.
+
+    Pipeline: explode tokens → per-(doc, term) counts (TF) → per-term
+    document frequency (DF, one count over the TF table) → join on term →
+    ``tf * (ln((N+1)/(df+1)) + 1)`` → per-doc row_number cut.
+
+    Scale shape: two map-side-combined aggregations (doc_id+term, term),
+    one shuffle join on term, one per-doc window. The DF side is one row
+    per vocabulary term — small relative to the corpus, so AQE typically
+    broadcasts it; stopword-like terms skew the join key, which AQE's
+    skew-join split handles (tests/test_scale_ops.py pins the salting
+    fallback for engines without AQE). N is a 1-row aggregate joined by
+    broadcast-nested-loop — no driver collect.
+
+    Determinism note: scores are exposed as ``tfidf_e6`` (rounded integer
+    micro-units) and the ranking tie-breaks on term; distinct (tf, df)
+    pairs differ by ≥ tf·ln((df+2)/(df+1)) ≫ 1 ulp, so Spark and a SQL
+    oracle order identically despite independent ``ln`` implementations.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("doc_freq") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__score").desc(), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(n_docs)
+        .withColumn("__score", score)
+        .withColumn("tfidf_e6", F.round(F.lit(1e6) * F.col("__score"), 0).cast("long"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(id_col, "term", "tf", "doc_freq", "tfidf_e6", "rn")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

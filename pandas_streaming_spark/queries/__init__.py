@@ -121,6 +121,7 @@ _EXTRAS = [
     "q80_corpus_pipeline",
     "q77_pivot",
     "q78_melt",
+    "q81_tfidf",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

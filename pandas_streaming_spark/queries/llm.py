@@ -32,6 +32,7 @@ from pandas_streaming_spark.operators.text import (
     LANG_MARKERS,
     language_id,
     quality_score,
+    tf_idf,
     token_stats,
     winnow_fingerprints,
 )
@@ -195,6 +196,11 @@ def q56_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF (operators.text.tf_idf)."""
+    return tf_idf(_t(spark, sf_dir, "documents"), top_n=3).orderBy("doc_id", "rn")
+
+
 # ---------------------------------------------------------------------------
 # Similarity / multimodal extras
 # ---------------------------------------------------------------------------
@@ -248,6 +254,7 @@ QUERIES = {
     "q54_quality_score": q54_quality_score,
     "q55_token_stats": q55_token_stats,
     "q56_winnow_fingerprints": q56_winnow_fingerprints,
+    "q81_tfidf": q81_tfidf,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -472,6 +479,32 @@ SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints
 FROM fp
 GROUP BY doc_id
 ORDER BY doc_id
+""",
+    "q81_tfidf": """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         tf.tf * (LN((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, doc_freq,
+         CAST(ROUND(1e6 * s, 0) AS BIGINT) AS tfidf_e6,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, tfidf_e6, rn
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
 """,
     "q57_ann_bucketed": f"""
 WITH b AS (

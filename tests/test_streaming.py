@@ -187,3 +187,73 @@ def test_ewm_stream_matches_pandas(spark, sf_dir):
         check_dtype=False,
         atol=1e-9,
     )
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir):
+    """Stop/restart against the same checkpoint reprocesses nothing.
+
+    Production restart semantics (SURVEY.md §2.5 watermark/recovery row):
+    the file source's offset log in the checkpoint records which input
+    files each micro-batch consumed, so a restarted query resumes after
+    the last committed batch. We run an append-mode projection over 3
+    files, stop, drop 3 more files in, restart with the SAME checkpoint,
+    and assert every event_id appears exactly once across both runs —
+    phase-1 files are not re-emitted, phase-2 files are not missed.
+    """
+    import os
+    import shutil
+
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.streaming.replay import (
+        SCRATCH,
+        _fresh_dir,
+        write_replay_batches,
+    )
+
+    src = write_replay_batches(spark, sf_dir, 6)  # 6 immutable split files
+    in_dir = _fresh_dir("ckpt-in")
+    chkpt = _fresh_dir("ckpt-log")
+    spill = _fresh_dir("ckpt-out")
+    files = sorted(os.listdir(src))
+    files = [f for f in files if f.endswith(".parquet")]
+    assert len(files) == 6
+
+    schema = load_table(spark, sf_dir, "events").schema
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .select("event_id")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(spill)
+            )
+            .option("checkpointLocation", chkpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        for f in files[:3]:
+            shutil.copy(os.path.join(src, f), os.path.join(in_dir, f))
+        run_once()
+        phase1 = spark.read.parquet(spill).count()
+        for f in files[3:]:
+            shutil.copy(os.path.join(src, f), os.path.join(in_dir, f))
+        run_once()  # same checkpoint: must resume, not replay
+
+        got = spark.read.parquet(spill).groupBy("event_id").count()
+        dupes = got.filter(F.col("count") > 1).count()
+        total = got.count()
+        expected = load_table(spark, sf_dir, "events").count()
+        assert dupes == 0, f"{dupes} event_ids emitted more than once"
+        assert total == expected
+        assert 0 < phase1 < expected  # phase 1 really was a partial run
+    finally:
+        for d in (in_dir, chkpt, spill):
+            shutil.rmtree(d, ignore_errors=True)
