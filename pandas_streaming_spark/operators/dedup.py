@@ -213,3 +213,58 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: (``id_col``, ``component``) where
+    ``component`` is the minimum node id reachable through ``pairs``.
+
+    The step after LSH candidate generation in a corpus-dedup pipeline:
+    candidate pairs form a graph; each connected component is one
+    duplicate cluster; keep the canonical (min-id) member per cluster.
+
+    Iterative hash-to-min label propagation: every round each node takes
+    the min label among itself and its neighbors (one shuffle join + one
+    map-side-combined min agg per round), converging in O(graph diameter)
+    rounds. Each round cuts lineage with ``localCheckpoint`` so the plan
+    stays flat; the convergence check is a ``count`` of changed labels
+    (an aggregate action, not a collect of data rows). Dedup graphs are
+    near-degenerate — tiny cliques of near-identical docs — so diameter
+    is small and 2-3 rounds is typical at any scale. For adversarially
+    long chains, switch to the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce"), which
+    converges in O(log n) rounds with the same per-round shape.
+    """
+    a, b = pair_cols
+    half = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

@@ -122,6 +122,7 @@ _EXTRAS = [
     "q77_pivot",
     "q78_melt",
     "q81_tfidf",
+    "q82_dedup_clusters",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

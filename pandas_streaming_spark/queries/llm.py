@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from pandas_streaming_spark.catalog import load_table
 from pandas_streaming_spark.operators.dedup import (
+    connected_components,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -201,6 +202,21 @@ def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_idf(_t(spark, sf_dir, "documents"), top_n=3).orderBy("doc_id", "rn")
 
 
+def q82_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster sizes: LSH candidate pairs (q50's graph) →
+    connected components (iterative hash-to-min) → per-cluster doc count
+    for clusters of ≥2 docs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, n_hashes=8, bands=4, k=3)
+    cc = connected_components(docs, pairs)
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("component")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity / multimodal extras
 # ---------------------------------------------------------------------------
@@ -255,6 +271,7 @@ QUERIES = {
     "q55_token_stats": q55_token_stats,
     "q56_winnow_fingerprints": q56_winnow_fingerprints,
     "q81_tfidf": q81_tfidf,
+    "q82_dedup_clusters": q82_dedup_clusters,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -386,6 +403,33 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b
+""",
+    "q82_dedup_clusters": f"""
+WITH RECURSIVE bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM ({_MINHASH_SIG})
+  GROUP BY doc_id, s // 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
+),
+cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+SELECT component, COUNT(*) AS n_docs
+FROM cc GROUP BY component
+HAVING COUNT(*) >= 2
+ORDER BY component
 """,
     "q51_simhash": f"""
 WITH tok AS (

@@ -183,3 +183,18 @@ def test_sample_frames_shapes(spark):
     }
     # 130 bytes -> frames 0,1,2 (64,64,2); every 2nd keeps 0 and 2
     assert rows == {(1, 0): 64, (1, 2): 2}  # empty payload yields nothing
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from pandas_streaming_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # a 5-chain (needs several propagation rounds), a 2-clique, a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
