@@ -60,6 +60,35 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, int],
+    default_pct: int = 0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-stratum sampling rates (``df.sampleBy`` shape, but
+    content-addressed): keep a row iff its id's hash bucket falls under
+    its stratum's percentage. ``fractions`` maps stratum value → pct in
+    [0, buckets]; unlisted strata get ``default_pct``.
+
+    The corpus-mixing primitive (e.g. keep 100% of books, 10% of web):
+    a narrow map + filter, no shuffle, no RNG — rerunning on a regrown
+    input keeps every previously-selected id (same property as
+    :func:`deterministic_sample`)."""
+    for k, pct in fractions.items():
+        if not 0 <= pct <= buckets:
+            raise ValueError(f"fraction for {k!r} must be within [0, {buckets}]")
+    if not 0 <= default_pct <= buckets:
+        raise ValueError(f"default_pct must be within [0, {buckets}]")
+    b = hash_bucket(id_col, buckets)
+    cut = F.lit(default_pct)
+    for value, pct in fractions.items():
+        cut = F.when(F.col(strata_col) == value, pct).otherwise(cut)
+    return df.filter(b < cut)
+
+
 def cap_per_group(
     df: DataFrame, group_col: str, order_col: str, n: int
 ) -> DataFrame:

@@ -123,6 +123,7 @@ _EXTRAS = [
     "q78_melt",
     "q81_tfidf",
     "q82_dedup_clusters",
+    "q83_stratified_sample",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -16,6 +16,7 @@ from pandas_streaming_spark.operators.sampling import (
     cap_per_group,
     deterministic_sample,
     hash_split,
+    stratified_sample,
 )
 
 _BUCKET_SQL = (
@@ -57,6 +58,22 @@ def q76_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing rates per language: keep 100% of 'en', 50% of 'de',
+    25% of 'es', 10% of everything else (operators.sampling
+    .stratified_sample — content-addressed, so the oracle computes the
+    identical membership)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = stratified_sample(
+        docs, "doc_id", "lang", {"en": 100, "de": 50, "es": 25}, default_pct=10
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
 def q80_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus build, the engine's flagship composition:
     exact-dedup (keep lowest doc_id per content hash) → length gate →
@@ -89,6 +106,7 @@ QUERIES = {
     "q74_deterministic_sample": q74_deterministic_sample,
     "q75_hash_split": q75_hash_split,
     "q76_cap_per_source": q76_cap_per_source,
+    "q83_stratified_sample": q83_stratified_sample,
     "q80_corpus_pipeline": q80_corpus_pipeline,
 }
 
@@ -124,6 +142,18 @@ FROM ranked
 WHERE rn <= 50
 GROUP BY source
 ORDER BY source
+""",
+    "q83_stratified_sample": f"""
+WITH b AS (
+  SELECT lang, n_chars, {_BUCKET_SQL.format(id="doc_id")} AS bucket
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+                         WHEN 'es' THEN 25 ELSE 10 END
+GROUP BY lang
+ORDER BY lang
 """,
     "q80_corpus_pipeline": f"""
 WITH deduped AS (

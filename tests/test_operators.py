@@ -198,3 +198,29 @@ def test_connected_components_chain_and_singleton(spark):
         for r in connected_components(nodes, pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
+
+
+def test_stratified_sample_rates_and_stability(spark, sf_dir):
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = stratified_sample(
+        docs, "doc_id", "lang", {"en": 100, "de": 0}, default_pct=20
+    )
+    by_lang = {r["lang"]: r["n"] for r in
+               mixed.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("en") == total["en"]      # 100% stratum kept whole
+    assert "de" not in by_lang                   # 0% stratum dropped
+    # default strata: membership == deterministic_sample at the same pct
+    other = mixed.filter(~F.col("lang").isin("en", "de")).select("doc_id")
+    ref = deterministic_sample(
+        docs.filter(~F.col("lang").isin("en", "de")), "doc_id", pct=20
+    ).select("doc_id")
+    assert other.exceptAll(ref).count() == 0
+    assert ref.exceptAll(other).count() == 0
