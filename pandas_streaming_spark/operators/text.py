@@ -143,6 +143,81 @@ def tf_idf(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    tokenize-and-chunk step in front of embedding / context-window
+    pipelines. Chunk i covers tokens ``[i*step, i*step + chunk_tokens)``
+    with ``step = chunk_tokens - overlap``; every token position starts
+    a chunk while it is in range, so tail chunks may be short.
+
+    Returns (id, chunk_idx, chunk_start, n_chunk_tokens, chunk_hash).
+    The chunk text itself is exposed as an md5 (cross-engine gradable,
+    keeps grading rows narrow); callers wanting the text can rebuild it
+    with the same slice. Narrow map + explode — no shuffle; at 100 TB
+    this parallelizes per input split with no repartition.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = F.col("__t")
+    starts = F.when(
+        F.size(t) > 0, F.sequence(F.lit(0), F.size(t) - 1, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), t, F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("start").alias("chunk_start"),
+            F.size(F.slice(t, F.col("start") + 1, F.lit(chunk_tokens))).alias(
+                "n_chunk_tokens"
+            ),
+            F.md5(
+                F.array_join(F.slice(t, F.col("start") + 1, F.lit(chunk_tokens)), " ")
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    budget: int = 512,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: documents are laid end-to-end in
+    ``id_col`` order and cut into fixed ``budget``-token training
+    sequences; each doc reports the sequence ids its tokens land in
+    (``first_seq``..``last_seq``, crossing docs span both).
+
+    ``partition_by`` packs within groups (e.g. per source shard) — the
+    form that scales: one running-sum window per group. Without it the
+    cumsum is a single-partition global sort, acceptable only for small
+    corpora (api.py's ordered-window warning applies).
+    """
+    w = (
+        Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
+    ).orderBy(id_col)
+    n = F.col(n_tokens_col).cast("long")
+    end = F.sum(n).over(w)  # running total including this doc
+    start = end - n
+    return df.select(
+        *( [partition_by] if partition_by else [] ),
+        id_col,
+        n.alias("n_tokens"),
+        F.floor(start / budget).cast("long").alias("first_seq"),
+        F.floor((end - 1) / budget).cast("long").alias("last_seq"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -124,6 +124,8 @@ _EXTRAS = [
     "q81_tfidf",
     "q82_dedup_clusters",
     "q83_stratified_sample",
+    "q84_chunk_documents",
+    "q85_pack_sequences",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -74,6 +74,19 @@ def q83_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q85_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop packing map (operators.text.pack_sequences):
+    512-token training sequences packed per source shard."""
+    from pandas_streaming_spark.operators.text import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tok", budget=512, partition_by="source"
+    ).orderBy("source", "doc_id")
+
+
 def q80_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus build, the engine's flagship composition:
     exact-dedup (keep lowest doc_id per content hash) → length gate →
@@ -107,6 +120,7 @@ QUERIES = {
     "q75_hash_split": q75_hash_split,
     "q76_cap_per_source": q76_cap_per_source,
     "q83_stratified_sample": q83_stratified_sample,
+    "q85_pack_sequences": q85_pack_sequences,
     "q80_corpus_pipeline": q80_corpus_pipeline,
 }
 
@@ -154,6 +168,22 @@ WHERE bucket < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
                          WHEN 'es' THEN 25 ELSE 10 END
 GROUP BY lang
 ORDER BY lang
+""",
+    "q85_pack_sequences": """
+WITH t AS (
+  SELECT source, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS endpos
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       CAST(FLOOR((endpos - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+       CAST(FLOOR((endpos - 1) / 512.0) AS BIGINT) AS last_seq
+FROM c
+ORDER BY source, doc_id
 """,
     "q80_corpus_pipeline": f"""
 WITH deduped AS (

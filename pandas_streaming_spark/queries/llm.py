@@ -31,6 +31,7 @@ from pandas_streaming_spark.operators.similarity import (
 )
 from pandas_streaming_spark.operators.text import (
     LANG_MARKERS,
+    chunk_documents,
     language_id,
     quality_score,
     tf_idf,
@@ -202,6 +203,18 @@ def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_idf(_t(spark, sf_dir, "documents"), top_n=3).orderBy("doc_id", "rn")
 
 
+def q84_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators.text.chunk_documents):
+    40-token chunks, 8-token overlap; first 1000 (doc, chunk) rows."""
+    return (
+        chunk_documents(
+            _t(spark, sf_dir, "documents"), chunk_tokens=40, overlap=8
+        )
+        .orderBy("doc_id", "chunk_idx")
+        .limit(1000)
+    )
+
+
 def q82_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster sizes: LSH candidate pairs (q50's graph) →
     connected components (iterative hash-to-min) → per-cluster doc count
@@ -272,6 +285,7 @@ QUERIES = {
     "q56_winnow_fingerprints": q56_winnow_fingerprints,
     "q81_tfidf": q81_tfidf,
     "q82_dedup_clusters": q82_dedup_clusters,
+    "q84_chunk_documents": q84_chunk_documents,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -430,6 +444,21 @@ SELECT component, COUNT(*) AS n_docs
 FROM cc GROUP BY component
 HAVING COUNT(*) >= 2
 ORDER BY component
+""",
+    "q84_chunk_documents": """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id, t, UNNEST(GENERATE_SERIES(0, LEN(t) - 1, 32)) AS start
+  FROM t WHERE LEN(t) > 0
+)
+SELECT doc_id,
+       start // 32 AS chunk_idx,
+       start AS chunk_start,
+       LEN(t[start + 1 : start + 40]) AS n_chunk_tokens,
+       MD5(ARRAY_TO_STRING(t[start + 1 : start + 40], ' ')) AS chunk_hash
+FROM s
+ORDER BY doc_id, chunk_idx
+LIMIT 1000
 """,
     "q51_simhash": f"""
 WITH tok AS (

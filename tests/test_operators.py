@@ -224,3 +224,39 @@ def test_stratified_sample_rates_and_stability(spark, sf_dir):
     ).select("doc_id")
     assert other.exceptAll(ref).count() == 0
     assert ref.exceptAll(other).count() == 0
+
+
+def test_chunk_documents_windows(spark):
+    from pandas_streaming_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(7))), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    }
+    # doc 1: 7 tokens, step 2 -> starts 0,2,4,6 with sizes 4,4,3,1
+    assert rows == {
+        (1, 0): (0, 4), (1, 1): (2, 4), (1, 2): (4, 3), (1, 3): (6, 1),
+        (2, 0): (0, 1),
+    }
+
+
+def test_pack_sequences_concat_and_chop(spark):
+    from pandas_streaming_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [("s", 1, 6), ("s", 2, 3), ("s", 3, 8), ("t", 9, 2)],
+        "source string, doc_id long, n long",
+    )
+    got = {
+        r["doc_id"]: (r["first_seq"], r["last_seq"])
+        for r in pack_sequences(
+            df, "doc_id", "n", budget=8, partition_by="source"
+        ).collect()
+    }
+    # s: doc1 tokens [0,6) seq 0; doc2 [6,9) spans seqs 0-1; doc3 [9,17) spans 1-2
+    # t: fresh partition, doc9 [0,2) seq 0
+    assert got == {1: (0, 0), 2: (0, 1), 3: (1, 2), 9: (0, 0)}
