@@ -28,6 +28,8 @@ HEADLINE = [
     "q39_similarity_topk",      # brute-force cosine top-k
     "q40_top_tokens",           # explode + count (text analysis)
     "q50_lsh_candidate_pairs",  # MinHash/LSH near-dup candidates
+    "q81_tfidf",                # TF/DF aggs + term join + per-doc top-k
+    "q84_chunk_documents",      # narrow token-window chunking (no shuffle)
 ]
 
 

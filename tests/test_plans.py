@@ -58,3 +58,14 @@ def test_media_metadata_query_skips_payload(spark, sf_dir):
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     meta_only = media.select("doc_id")
     assert scan_read_schema(meta_only) == ["doc_id"]
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """chunk_documents claims a narrow map+explode — its physical plan
+    must contain no Exchange (at 100 TB that means per-split parallelism
+    with zero data movement)."""
+    from pandas_streaming_spark.operators.text import chunk_documents
+    from pandas_streaming_spark.plans import physical_plan
+
+    plan = physical_plan(chunk_documents(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in plan, plan[:800]
