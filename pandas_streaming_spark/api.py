@@ -130,6 +130,22 @@ class StreamingFrame:
             self.df.groupBy(col).agg(F.count("*").alias("count"))
         )
 
+    def fillna(self, value, subset: list[str] | None = None) -> "StreamingFrame":
+        """pandas ``fillna``: scalar or per-column dict (narrow map)."""
+        return StreamingFrame(self.df.fillna(value, subset=subset))
+
+    def dropna(
+        self, how: str = "any", subset: list[str] | None = None
+    ) -> "StreamingFrame":
+        """pandas ``dropna`` (narrow filter; pushes to the scan)."""
+        return StreamingFrame(self.df.dropna(how=how, subset=subset))
+
+    def describe(self, *cols: str) -> "StreamingFrame":
+        """pandas ``describe``: count/mean/stddev/min/max per column —
+        one map-side-combined aggregate pass, rows on the driver only
+        (5 × n_cols cells)."""
+        return StreamingFrame(self.df.describe(*cols))
+
     def pivot_table(
         self,
         index: str,

@@ -173,3 +173,19 @@ def test_pivot_melt_roundtrip(spark, sf_dir):
         (r["user_id"], r["event_type"], round(r["sv"], 6)) for r in df.collect()
     )
     assert key(long) == key(exp)
+
+
+def test_fillna_dropna_describe(spark):
+    from pandas_streaming_spark.api import wrap
+
+    df = wrap(
+        spark.createDataFrame(
+            [(1, 2.0), (2, None), (None, 4.0)], "a int, b double"
+        )
+    )
+    assert df.fillna(0).filter(F.col("b") == 0).collect()[0]["a"] == 2
+    assert df.dropna().df.count() == 1
+    assert df.dropna(subset=["b"]).df.count() == 2
+    desc = {r["summary"]: r for r in df.describe("b").collect()}
+    assert desc["count"]["b"] == "2"
+    assert float(desc["max"]["b"]) == 4.0
