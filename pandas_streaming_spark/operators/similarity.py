@@ -63,6 +63,57 @@ def cosine_topk(
     )
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_salts: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN: the ``k`` most-cosine-similar corpus rows for *every*
+    query row (retrieval-eval / neighbor-audit shape; q57's ANN handles
+    the single-query case).
+
+    Plan: broadcast the (small) query set against the corpus — one
+    narrow pass scoring |Q| cosines per corpus row, no shuffle of the
+    corpus — then top-k in two phases: a per-(query, salt) rank cuts
+    each query's candidates to ``n_salts·k`` rows *before* the final
+    per-query rank. A single per-query window would shuffle |corpus|·|Q|
+    rows into |Q| partitions — the classic few-partition skew; the salt
+    (hash of neighbor id — affects partitioning only, never the result:
+    any row cut in phase 1 is beaten by ≥k rows in its own salt group,
+    which also beat it globally) keeps both phases wide. Scores are
+    integer basis points with neighbor-id tie-break (rank-stable
+    cross-engine, same policy as cosine_topk).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    sim_e4 = F.round(F.lit(10000.0) * vec_cosine(vec_col, "__qvec"), 0).cast("long")
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), sim_e4.alias("sim_e4")
+        )
+    )
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("sim_e4").desc(), "neighbor_id"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim_e4").desc(), "neighbor_id")
+    return (
+        scored.withColumn("__salt", F.pmod(F.hash("neighbor_id"), F.lit(n_salts)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim_e4", "rnk")
+    )
+
+
 def similarity_join(
     embeddings: DataFrame,
     threshold: float,

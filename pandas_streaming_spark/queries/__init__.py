@@ -126,6 +126,7 @@ _EXTRAS = [
     "q83_stratified_sample",
     "q84_chunk_documents",
     "q85_pack_sequences",
+    "q86_knn_join",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -27,6 +27,7 @@ from pandas_streaming_spark.operators.multimodal import decode_images, documents
 from pandas_streaming_spark.operators.similarity import (
     ann_bucketed_topk,
     cosine_topk,
+    knn_join,
     similarity_join,
 )
 from pandas_streaming_spark.operators.text import (
@@ -203,6 +204,15 @@ def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_idf(_t(spark, sf_dir, "documents"), top_n=3).orderBy("doc_id", "rn")
 
 
+def q86_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN (operators.similarity.knn_join): top-3 cosine
+    neighbors for each of the 5 lowest-id query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb.filter(F.col("vec_id") < 5), emb, k=3).orderBy(
+        "query_id", "rnk"
+    )
+
+
 def q84_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (operators.text.chunk_documents):
     40-token chunks, 8-token overlap; first 1000 (doc, chunk) rows."""
@@ -286,6 +296,7 @@ QUERIES = {
     "q81_tfidf": q81_tfidf,
     "q82_dedup_clusters": q82_dedup_clusters,
     "q84_chunk_documents": q84_chunk_documents,
+    "q86_knn_join": q86_knn_join,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -459,6 +470,26 @@ SELECT doc_id,
 FROM s
 ORDER BY doc_id, chunk_idx
 LIMIT 1000
+""",
+    "q86_knn_join": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(ROUND(10000.0 * {_cos("e.embedding", "q.qv")}, 0) AS BIGINT) AS sim_e4
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim_e4,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_e4 DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, sim_e4, rnk
+FROM r WHERE rnk <= 3
+ORDER BY query_id, rnk
 """,
     "q51_simhash": f"""
 WITH tok AS (

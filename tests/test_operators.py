@@ -260,3 +260,30 @@ def test_pack_sequences_concat_and_chop(spark):
     # s: doc1 tokens [0,6) seq 0; doc2 [6,9) spans seqs 0-1; doc3 [9,17) spans 1-2
     # t: fresh partition, doc9 [0,2) seq 0
     assert got == {1: (0, 0), 2: (0, 1), 3: (1, 2), 9: (0, 0)}
+
+
+def test_knn_join_two_phase_equals_plain_topk(spark, sf_dir):
+    """The salted two-phase rank must be result-identical to a single
+    per-query window (the salt only changes partitioning)."""
+    from pyspark.sql import Window
+
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.functions import vec_cosine
+    from pandas_streaming_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = knn_join(emb.filter(F.col("vec_id") < 4), emb, k=5, n_salts=3)
+
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    sim = F.round(F.lit(10000.0) * vec_cosine("embedding", "__qvec"), 0).cast("long")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_e4").desc(), "neighbor_id")
+    exp = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim_e4"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
