@@ -72,12 +72,44 @@ class CompareResult:
         return self.ok
 
 
+def _dtype_class(dtype) -> str:
+    """Collapse a pandas dtype to the class the driver's value hash keys on.
+
+    int widths (int32 vs int64) are equivalent, but int-vs-float is NOT:
+    duckdb renders SUM(BIGINT) as DECIMAL128 -> float64 while Spark casts
+    to long, and the driver hashes `57.0` != `57`. That exact divergence
+    shipped q45 red in round 2 because compare used to equate 3.0 == 3;
+    dtype classes must now match before values are compared.
+    """
+    k = dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    if k == "b":
+        return "bool"
+    return "object"
+
+
 def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if s_cols != o_cols:
         return CompareResult(
             name, False, len(spark_pdf), len(oracle_pdf),
             f"column mismatch: spark={s_cols} oracle={o_cols}",
+        )
+    bad = [
+        f"{c}: spark={spark_pdf[c].dtype} oracle={oracle_pdf[c].dtype}"
+        for c in s_cols
+        if _dtype_class(spark_pdf[c].dtype) != _dtype_class(oracle_pdf[c].dtype)
+    ]
+    if bad:
+        return CompareResult(
+            name, False, len(spark_pdf), len(oracle_pdf),
+            "dtype mismatch (cast the oracle output, e.g. CAST(SUM(x) AS BIGINT)): "
+            + "; ".join(bad),
         )
     s, o = normalize(spark_pdf), normalize(oracle_pdf)
     if len(s) != len(o):

@@ -126,7 +126,7 @@ QUERIES = {
 
 ORACLES = {
     "q74_deterministic_sample": f"""
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE {_BUCKET_SQL.format(id="doc_id")} < 20
 GROUP BY lang
@@ -140,7 +140,7 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n, COUNT(DISTINCT label) AS n_labels,
-       SUM(label) AS sum_label
+       CAST(SUM(label) AS BIGINT) AS sum_label
 FROM b
 GROUP BY 1
 ORDER BY split
@@ -151,7 +151,7 @@ WITH ranked AS (
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM ranked
 WHERE rn <= 50
 GROUP BY source
@@ -162,7 +162,7 @@ WITH b AS (
   SELECT lang, n_chars, {_BUCKET_SQL.format(id="doc_id")} AS bucket
   FROM documents
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM b
 WHERE bucket < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
                          WHEN 'es' THEN 25 ELSE 10 END
@@ -198,8 +198,8 @@ sampled AS (
     AND {_BUCKET_SQL.format(id="doc_id")} < 50
 )
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS n_tokens,
-       SUM(n_chars) AS n_chars
+       CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
 FROM sampled
 GROUP BY lang
 ORDER BY lang

@@ -305,7 +305,8 @@ per_session AS (
   SELECT user_id, session_id, COUNT(*) AS n_events
   FROM sessions GROUP BY user_id, session_id
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(n_events) AS max_session_events
 FROM per_session
 GROUP BY user_id
@@ -346,7 +347,7 @@ ORDER BY p.user_id
     "q71_stream_outer_join": """
 SELECT p.user_id, COUNT(*) AS n_rows,
        COUNT(c.event_id) AS n_matched,
-       SUM(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+       CAST(SUM(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
 FROM events p
 LEFT JOIN events c
   ON p.user_id = c.user_id
