@@ -89,6 +89,8 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    max_bucket: int | None = 64,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band (n_hashes/bands rows per band)
     become candidate pairs (a < b).
@@ -98,6 +100,15 @@ def lsh_candidate_pairs(
     buckets stay small), expand pairs inside each bucket, distinct. This
     avoids the naive self-join, which would recompute the signature
     pipeline on both sides and shuffle the banded table twice.
+
+    ``max_bucket`` drops buckets with more members than the cap before
+    pair expansion. A degenerate band (empty/boilerplate docs all hashing
+    equal) otherwise produces O(bucket²) pairs in ONE task — the classic
+    LSH failure mode at corpus scale. Members of a dropped bucket are
+    near-identical to thousands of others, so production pipelines drop
+    (or exact-hash) them rather than enumerate the quadratic pair set.
+    Set ``max_bucket=None`` to disable. ``log_dropped=True`` runs one
+    extra count job and logs how many buckets the cap removed.
     """
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
@@ -125,6 +136,18 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        if log_dropped:
+            import logging
+
+            n_dropped = buckets.filter(F.size("ids") > max_bucket).count()
+            if n_dropped:
+                logging.getLogger(__name__).info(
+                    "lsh_candidate_pairs: dropped %d buckets over max_bucket=%d",
+                    n_dropped,
+                    max_bucket,
+                )
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     # all ordered pairs within a bucket: for each position i, pair ids[i]
     # with every later element (arrays are tiny — bucket-sized)
     pair_structs = F.flatten(

@@ -124,7 +124,7 @@ def q49_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q50_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(
-        _t(spark, sf_dir, "documents"), n_hashes=8, bands=4, k=3
+        _t(spark, sf_dir, "documents"), n_hashes=8, bands=4, k=3, max_bucket=64
     ).orderBy("id_a", "id_b")
 
 
@@ -230,7 +230,7 @@ def q82_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components (iterative hash-to-min) → per-cluster doc count
     for clusters of ≥2 docs."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs, n_hashes=8, bands=4, k=3)
+    pairs = lsh_candidate_pairs(docs, n_hashes=8, bands=4, k=3, max_bucket=64)
     cc = connected_components(docs, pairs)
     return (
         cc.groupBy("component")
@@ -423,9 +423,14 @@ WITH bands AS (
   SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
   FROM ({_MINHASH_SIG})
   GROUP BY doc_id, s // 2
+),
+ok AS (  -- mirror max_bucket=64: oversized buckets are dropped, not paired
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b
+FROM bands a
+JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+JOIN bands b
   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b
 """,
@@ -435,9 +440,14 @@ WITH RECURSIVE bands AS (
   FROM ({_MINHASH_SIG})
   GROUP BY doc_id, s // 2
 ),
+ok AS (  -- mirror max_bucket=64 in dedup_clusters' pair source
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bands b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ),
 edges AS (

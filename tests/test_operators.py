@@ -170,6 +170,22 @@ def test_minhash_identical_docs_share_signature(spark):
     assert sigs[1] != sigs[3]
 
 
+def test_lsh_max_bucket_drops_degenerate_bucket(spark):
+    from pandas_streaming_spark.operators.dedup import lsh_candidate_pairs
+
+    # 30 identical docs -> one degenerate bucket (435 pairs if expanded);
+    # 2 identical outliers -> a small legitimate bucket.
+    rows = [(i, "w x y z common body") for i in range(30)]
+    rows += [(100, "rare pair of docs q"), (101, "rare pair of docs q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = lsh_candidate_pairs(df, n_hashes=4, bands=2, k=2, max_bucket=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+
+    uncapped = lsh_candidate_pairs(df, n_hashes=4, bands=2, k=2, max_bucket=None)
+    assert uncapped.count() == 30 * 29 // 2 + 1
+
+
 def test_sample_frames_shapes(spark):
     from pandas_streaming_spark.operators.multimodal import sample_frames
 
