@@ -52,7 +52,9 @@ def scale_dataset(
             continue
         df = load_table(spark, src_dir, name)  # events arrives µs-normalized
         rep = df.crossJoin(
-            spark.range(factor).withColumnRenamed("id", "__rep")
+            # explicit hint: without it the BNLJ may pick the fact side to
+            # broadcast (observed on the q81 1-row crossJoin)
+            F.broadcast(spark.range(factor).withColumnRenamed("id", "__rep"))
         )
         for key in FACT_KEYS[name]:
             rep = rep.withColumn(key, F.col(key) + F.col("__rep") * KEY_OFFSET)
