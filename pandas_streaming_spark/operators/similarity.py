@@ -189,6 +189,53 @@ def ann_bucketed_topk(
     )
 
 
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-label centroid of an embedding column, in exact integer units.
+
+    Float component sums are order-dependent, so a naive ``avg`` is not
+    reproducible across engines (or even across partitionings of the same
+    engine). Fixed-point sidesteps it: each component is rounded to
+    integer micro-units FIRST (``round(scale * x)`` — deterministic, no
+    accumulation), the per-(label, dim) SUM is exact 64-bit integer
+    arithmetic (associative — any shuffle order agrees), and the centroid
+    is the rounded ratio of two exact integers. Same policy as the
+    ``sim_e4`` basis-point outputs.
+
+    Output: one row per (label, dim): ``n_vecs``, ``sum_e6`` (exact
+    component sum in micro-units), ``centroid_e6`` (mean, micro-units).
+
+    Scale shape: posexplode is a narrow map (rows = n_vectors × dim);
+    one map-side-combined groupBy on (label, dim) — the natural
+    partitioning for wide embeddings, with no per-label collect_list and
+    no hot single-label reducer: a label's work spreads over its dims.
+    Overflow headroom: |component| ≤ 1e3 → |c_e6| ≤ 1e9, so a single
+    (label, dim) cell can absorb ~9e9 vectors before approaching the
+    int64 limit.
+    """
+    comps = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "comp"),
+    )
+    return (
+        comps.select(
+            "label",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.round(F.lit(scale) * F.col("comp"), 0).cast("long").alias("c_e6"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("c_e6").alias("sum_e6"),
+            F.round(F.sum("c_e6") / F.count("*"), 0).cast("long").alias("centroid_e6"),
+        )
+    )
+
+
 def cosine_topk_numpy(
     embeddings: DataFrame,
     query: list[float],

@@ -127,6 +127,7 @@ _EXTRAS = [
     "q84_chunk_documents",
     "q85_pack_sequences",
     "q86_knn_join",
+    "q87_label_centroid",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

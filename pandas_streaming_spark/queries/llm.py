@@ -28,6 +28,7 @@ from pandas_streaming_spark.operators.similarity import (
     ann_bucketed_topk,
     cosine_topk,
     knn_join,
+    label_centroids,
     similarity_join,
 )
 from pandas_streaming_spark.operators.text import (
@@ -213,6 +214,13 @@ def q86_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q87_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in exact integer micro-units
+    (operators.similarity.label_centroids) — the fixed-point
+    representation makes a float-vector aggregate cross-engine gradable."""
+    return label_centroids(_t(spark, sf_dir, "embeddings")).orderBy("label", "dim")
+
+
 def q84_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (operators.text.chunk_documents):
     40-token chunks, 8-token overlap; first 1000 (doc, chunk) rows."""
@@ -297,6 +305,7 @@ QUERIES = {
     "q82_dedup_clusters": q82_dedup_clusters,
     "q84_chunk_documents": q84_chunk_documents,
     "q86_knn_join": q86_knn_join,
+    "q87_label_centroid": q87_label_centroid,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -500,6 +509,23 @@ r AS (
 SELECT query_id, neighbor_id, sim_e4, rnk
 FROM r WHERE rnk <= 3
 ORDER BY query_id, rnk
+""",
+    "q87_label_centroid": """
+WITH comps AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         -- CAST component to DOUBLE: duckdb's DECIMAL * FLOAT stays
+         -- float32 while Spark promotes to double before multiplying
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings
+)
+SELECT label, dim, COUNT(*) AS n_vecs,
+       CAST(SUM(c_e6) AS BIGINT) AS sum_e6,
+       -- CAST to DOUBLE first: DECIMAL/BIGINT division is decimal-typed,
+       -- double division matches the Spark side bit-for-bit
+       CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS centroid_e6
+FROM comps
+GROUP BY label, dim
+ORDER BY label, dim
 """,
     "q51_simhash": f"""
 WITH tok AS (

@@ -170,6 +170,31 @@ def test_minhash_identical_docs_share_signature(spark):
     assert sigs[1] != sigs[3]
 
 
+def test_label_centroids_exact_and_partition_invariant(spark):
+    from pandas_streaming_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(0, [0.1, -0.5]), (0, [0.3, 0.5]), (1, [1.0, 2.0])],
+        "label int, embedding array<float>",
+    )
+    rows = {
+        (r["label"], r["dim"]): (r["n_vecs"], r["sum_e6"], r["centroid_e6"])
+        for r in label_centroids(df).collect()
+    }
+    # float32(0.1) = 0.100000001490... -> rounds to exactly 100000 e6 units
+    assert rows[(0, 1)] == (2, 400000, 200000)
+    assert rows[(0, 2)] == (2, 0, 0)
+    assert rows[(1, 1)] == (1, 1000000, 1000000)
+
+    # integer sums are associative: any partitioning gives identical rows
+    for n in (1, 7):
+        alt = {
+            (r["label"], r["dim"]): (r["n_vecs"], r["sum_e6"], r["centroid_e6"])
+            for r in label_centroids(df.repartition(n)).collect()
+        }
+        assert alt == rows
+
+
 def test_lsh_max_bucket_drops_degenerate_bucket(spark):
     from pandas_streaming_spark.operators.dedup import lsh_candidate_pairs
 
