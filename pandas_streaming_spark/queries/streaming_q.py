@@ -289,8 +289,11 @@ ORDER BY w_start
     "q45_stream_session": """
 WITH flagged AS (
   SELECT user_id, event_id, ts,
+         -- strictly greater: Spark's session_window treats an event at
+         -- exactly last_ts + gap as touching, and touching windows merge
+         -- (pinned by tests/test_session_property.py)
          CASE WHEN LAG(ts) OVER w IS NULL
-              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
