@@ -40,10 +40,23 @@ def scale_dataset(
     """Write a ``factor``×-scaled copy of ``src_dir`` to ``dest_dir``.
 
     Idempotent: a ``_SCALED_OK`` marker short-circuits repeat calls, so
-    the bench synthesizes once and reuses across runs."""
+    the bench synthesizes once and reuses across runs. The marker encodes
+    the factor and a source fingerprint (per-table size+mtime): calling
+    with a different factor, or after the source data is regenerated,
+    re-synthesizes instead of returning a stale copy."""
+    import hashlib
+
+    fp = hashlib.md5()
+    for name in TABLES:
+        st = os.stat(table_path(src_dir, name))
+        fp.update(f"{name}|{st.st_size}|{st.st_mtime_ns}|".encode())
+    stamp = f"factor={factor} src={fp.hexdigest()[:16]}"
     marker = os.path.join(dest_dir, "_SCALED_OK")
     if os.path.exists(marker):
-        return dest_dir
+        with open(marker) as f:
+            if f.read() == stamp:
+                return dest_dir
+        shutil.rmtree(dest_dir, ignore_errors=True)  # stale: wrong factor/source
     os.makedirs(dest_dir, exist_ok=True)
     for name in TABLES:
         dest = table_path(dest_dir, name)
@@ -60,5 +73,5 @@ def scale_dataset(
             rep = rep.withColumn(key, F.col(key) + F.col("__rep") * KEY_OFFSET)
         rep.drop("__rep").select(*df.columns).write.mode("overwrite").parquet(dest)
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(stamp)
     return dest_dir

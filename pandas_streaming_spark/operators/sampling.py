@@ -47,16 +47,22 @@ def hash_split(
     (e.g. {"train": 80, "val": 10, "test": 10}; weights sum to
     ``buckets``). Membership depends only on the id — adding data later
     never moves an existing row across splits (the property training
-    pipelines rely on to avoid test-set leakage)."""
+    pipelines rely on to avoid test-set leakage).
+
+    Bucket ranges are assigned in SORTED name order, so membership is a
+    function of the mapping alone: {"train": 80, "val": 10, "test": 10}
+    and {"test": 10, "train": 80, "val": 10} give identical assignments
+    (dict insertion order used to define the layout — a silent
+    row-moving hazard)."""
     if sum(splits.values()) != buckets:
         raise ValueError(f"split weights must sum to {buckets}: {splits}")
     b = hash_bucket(id_col, buckets)
     expr = None
     lo = 0
-    for name, width in splits.items():
-        cond = b < lo + width
+    for name in sorted(splits):
+        cond = b < lo + splits[name]
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-        lo += width
+        lo += splits[name]
     return df.withColumn("split", expr)
 
 

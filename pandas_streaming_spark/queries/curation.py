@@ -136,9 +136,11 @@ ORDER BY lang
 WITH b AS (
   SELECT label, {_BUCKET_SQL.format(id="vec_id")} AS bucket FROM embeddings
 )
-SELECT CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'val'
-            ELSE 'test' END AS split,
+-- ranges follow hash_split's sorted-name layout: test [0,10), train
+-- [10,90), val [90,100)
+SELECT CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 90 THEN 'train'
+            ELSE 'val' END AS split,
        COUNT(*) AS n, COUNT(DISTINCT label) AS n_labels,
        CAST(SUM(label) AS BIGINT) AS sum_label
 FROM b

@@ -68,18 +68,36 @@ def write_replay_batches(
     if out_dir is None:
         import hashlib
 
+        # key on source content (size+mtime), not just the path string:
+        # regenerated testdata at the same path must not reuse a stale split
+        src = os.path.join(sf_dir, "events.parquet")
+        st = os.stat(src)
         key = hashlib.md5(
-            f"{sf_dir}|{k}|{dup_every}|{sentinel}".encode()
+            f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{k}|{dup_every}|{sentinel}".encode()
         ).hexdigest()[:12]
         out_dir = os.path.join(SCRATCH, f"replay-{key}")
         marker = os.path.join(out_dir, "_OK")
         if os.path.exists(marker):
             return out_dir
-        shutil.rmtree(out_dir, ignore_errors=True)  # partial leftovers
-        os.makedirs(out_dir, exist_ok=True)
-        _write_replay_batches(spark, sf_dir, k, out_dir, dup_every, sentinel)
-        with open(marker, "w") as f:
+        # build in a private temp dir and publish with one atomic rename,
+        # so a concurrent worker can never observe a half-written split
+        tmp_dir = f"{out_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        _write_replay_batches(spark, sf_dir, k, tmp_dir, dup_every, sentinel)
+        with open(os.path.join(tmp_dir, "_OK"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:
+            if os.path.exists(marker):  # another worker published first
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+            else:  # stale markerless leftover: replace it
+                shutil.rmtree(out_dir, ignore_errors=True)
+                try:
+                    os.rename(tmp_dir, out_dir)
+                except OSError:
+                    return tmp_dir  # lost a re-race; our copy is complete
         return out_dir
     return _write_replay_batches(spark, sf_dir, k, out_dir, dup_every, sentinel)
 

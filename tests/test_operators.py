@@ -118,6 +118,16 @@ def test_hash_split_partitions_everything(spark, sf_dir):
     }
     assert sum(counts.values()) == emb.count()  # total, disjoint by CASE
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+    # layout is a function of the mapping, not dict insertion order
+    reordered = {
+        r["split"]: r["n"]
+        for r in hash_split(emb, "vec_id", {"test": 10, "train": 80, "val": 10})
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert reordered == counts
     import pytest
 
     with pytest.raises(ValueError, match="sum to 100"):
