@@ -30,6 +30,7 @@ HEADLINE = [
     "q50_lsh_candidate_pairs",  # MinHash/LSH near-dup candidates
     "q81_tfidf",                # TF/DF aggs + term join + per-doc top-k
     "q84_chunk_documents",      # narrow token-window chunking (no shuffle)
+    "q88_salted_hot_key",       # two-phase salted agg, 97%-hot group key
 ]
 
 

@@ -348,6 +348,47 @@ def q78_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q88_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end skew path (operators.skew.salted_groupby): a synthetic
+    hot key funnels ~97% of events into ONE group (event_id % 100 < 97 →
+    'hot'), the single-hot-reducer shape AQE cannot split for an
+    aggregation. The two-phase salted plan spreads the hot group over 16
+    reducers, then combines 16 partials per key.
+
+    Value sums use exact integer cents (floor(value*100)) so the salted
+    re-association is bit-identical to the oracle's single-phase SUM —
+    the same fixed-point policy as q24/q87.
+    """
+    from pandas_streaming_spark.operators.skew import salted_groupby
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 100 < 97, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = salted_groupby(
+        ev,
+        keys=["k"],
+        aggs={
+            "n": ("cents", "count"),
+            "sum_cents": ("cents", "sum"),
+            "min_cents": ("cents", "min"),
+            "max_cents": ("cents", "max"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "k",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        "min_cents",
+        "max_cents",
+        # avg in e2 micro-units from the two exact integers
+        F.round(F.col("sum_cents") / F.col("n"), 0).cast("long").alias("avg_cents"),
+    ).orderBy("k")
+
+
 QUERIES = {
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,
@@ -371,6 +412,7 @@ QUERIES = {
     "q70_analytic_fns": q70_analytic_fns,
     "q77_pivot": q77_pivot,
     "q78_melt": q78_melt,
+    "q88_salted_hot_key": q88_salted_hot_key,
 }
 
 ORACLES = {
@@ -547,5 +589,20 @@ SELECT event_type, metric, val FROM (
   SELECT event_type, 'avg_value', avg_value FROM wide
 )
 ORDER BY event_type, metric
+""",
+    "q88_salted_hot_key": """
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 100 < 97 THEN 'hot' ELSE event_type END AS k,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT k, COUNT(cents) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents,
+       CAST(ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(cents), 0) AS BIGINT) AS avg_cents
+FROM keyed
+GROUP BY k
+ORDER BY k
 """,
 }
