@@ -236,6 +236,60 @@ def label_centroids(
     )
 
 
+def assign_to_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means E-step: assign every vector to its nearest centroid by
+    cosine. ``centroids`` defaults to :func:`label_centroids` of the
+    input (long (label, dim, centroid_e6) format), whose fixed-point
+    values make the centroid arrays — and therefore every similarity —
+    bit-identical across engines.
+
+    Plan: centroid arrays are rebuilt from the exact integer units and
+    BROADCAST (k × dim values — always tiny); the big side gets a narrow
+    map computing k similarities per vector, then one per-vector
+    row_number picks the argmax (ties on the smaller label). At real
+    scale swap the window for a ``max_by``-style struct-argmax to keep
+    the reduction map-side combinable; the window form is used here for
+    exact tie-semantics parity with the SQL oracle.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = label_centroids(embeddings, label_col, vec_col)
+    cent = (
+        centroids.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid_e6"))),
+                lambda s: s["centroid_e6"].cast("double") / F.lit(1000000.0),
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    sims = embeddings.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col("c_label"),
+        vec_cosine(vec_col, "cvec").alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc_nulls_last("sim"), "c_label")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            label_col,
+            F.col("c_label").alias("assigned_label"),
+            F.round(F.lit(10000.0) * F.col("sim"), 0).cast("long").alias("sim_e4"),
+        )
+    )
+
+
 def cosine_topk_numpy(
     embeddings: DataFrame,
     query: list[float],

@@ -248,3 +248,76 @@ def winnow_fingerprints(
     )
     fp = hashed.select(id_col, F.min("h").over(w).alias("fp"))
     return fp.groupBy(id_col).agg(F.countDistinct("fp").alias("n_fingerprints"))
+
+
+def repetition_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Duplicate-k-gram fraction per document — the standard degenerate-
+    text signal (boilerplate, keyword stuffing, decode loops repeat
+    n-grams; natural prose rarely does).
+
+    ``rep_e4 = round(1e4 * (n_grams - n_distinct) / n_grams)`` (0 for
+    docs shorter than k tokens). Pure column expressions over the
+    materialized token array — a narrow map with NO shuffle and no
+    per-doc state, so it runs at full scan speed at any corpus size.
+    """
+    t = tokens(text_col)
+    grams = shingles_of(t, k)
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    rep = F.when(
+        n > 0,
+        F.round(F.lit(10000.0) * (n - nd) / n, 0).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_grams"),
+        nd.cast("long").alias("n_distinct"),
+        rep.alias("rep_e4"),
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct
+    k-grams that also appear in ``benchmark`` (the eval set a training
+    corpus must not leak). ``contam_e4 = round(1e4 * matched / total)``.
+
+    Plan: distinct k-grams per doc (narrow map + explode), benchmark
+    grams deduped and BROADCAST (eval sets are tiny next to a training
+    corpus), left join + per-doc count. The big side is never shuffled
+    by gram — at 100 TB the only wide op is the per-doc aggregation,
+    which is map-side combinable on doc_id.
+    """
+    def grams_of(frame: DataFrame, cols: list) -> DataFrame:
+        return frame.select(
+            *cols, tokens(text_col).alias("__t")
+        ).select(*cols, F.explode(F.array_distinct(shingles_of(F.col("__t"), k))).alias("g"))
+
+    doc_grams = grams_of(df, [F.col(id_col)])
+    bench_grams = grams_of(benchmark, []).distinct().withColumn("__hit", F.lit(1))
+    joined = doc_grams.join(F.broadcast(bench_grams), "g", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_matched"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_matched",
+            F.round(F.lit(10000.0) * F.col("n_matched") / F.col("n_grams"), 0)
+            .cast("long")
+            .alias("contam_e4"),
+        )
+    )

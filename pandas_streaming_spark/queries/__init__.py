@@ -138,6 +138,9 @@ _EXTRAS = [
     "q86_knn_join",
     "q87_label_centroid",
     "q88_salted_hot_key",
+    "q89_repetition_score",
+    "q90_contamination",
+    "q91_centroid_assign",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

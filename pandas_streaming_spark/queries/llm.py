@@ -26,6 +26,7 @@ from pandas_streaming_spark.operators.dedup import (
 from pandas_streaming_spark.operators.multimodal import decode_images, documents_as_media
 from pandas_streaming_spark.operators.similarity import (
     ann_bucketed_topk,
+    assign_to_centroids,
     cosine_topk,
     knn_join,
     label_centroids,
@@ -34,8 +35,10 @@ from pandas_streaming_spark.operators.similarity import (
 from pandas_streaming_spark.operators.text import (
     LANG_MARKERS,
     chunk_documents,
+    contamination_check,
     language_id,
     quality_score,
+    repetition_score,
     tf_idf,
     token_stats,
     winnow_fingerprints,
@@ -221,6 +224,27 @@ def q87_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(_t(spark, sf_dir, "embeddings")).orderBy("label", "dim")
 
 
+def q89_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram fraction per doc (operators.text.repetition_score):
+    the degenerate/boilerplate-text curation gate."""
+    return repetition_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q90_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.text.contamination_check):
+    per-doc fraction of distinct 5-grams shared with a pseudo-benchmark
+    set (docs with doc_id % 97 == 0)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_check(docs, bench, k=5).orderBy("doc_id")
+
+
+def q91_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step (operators.similarity.assign_to_centroids): nearest
+    per-label centroid by cosine, centroids in exact fixed point."""
+    return assign_to_centroids(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
 def q84_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (operators.text.chunk_documents):
     40-token chunks, 8-token overlap; first 1000 (doc, chunk) rows."""
@@ -306,6 +330,9 @@ QUERIES = {
     "q84_chunk_documents": q84_chunk_documents,
     "q86_knn_join": q86_knn_join,
     "q87_label_centroid": q87_label_centroid,
+    "q89_repetition_score": q89_repetition_score,
+    "q90_contamination": q90_contamination,
+    "q91_centroid_assign": q91_centroid_assign,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -338,6 +365,14 @@ _SHINGLES = f"""
   SELECT doc_id,
          UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0)),
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM ({_TOKS})
+"""
+
+_SHINGLES5 = f"""
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - 4, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                     || t[i+3] || ' ' || t[i+4])) AS sh
   FROM ({_TOKS})
 """
 
@@ -526,6 +561,64 @@ SELECT label, dim, COUNT(*) AS n_vecs,
 FROM comps
 GROUP BY label, dim
 ORDER BY label, dim
+""",
+    "q89_repetition_score": f"""
+WITH g AS (
+  SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT sh) AS n_distinct
+  FROM ({_SHINGLES})
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(g.n_grams, 0) AS n_grams,
+       COALESCE(g.n_distinct, 0) AS n_distinct,
+       COALESCE(CAST(ROUND(10000.0 * CAST(g.n_grams - g.n_distinct AS DOUBLE)
+                           / g.n_grams, 0) AS BIGINT), 0) AS rep_e4
+FROM documents d LEFT JOIN g USING (doc_id)
+ORDER BY d.doc_id
+""",
+    "q90_contamination": f"""
+WITH dg AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES5})),
+bg AS (SELECT DISTINCT sh FROM ({_SHINGLES5}) WHERE doc_id % 97 = 0),
+j AS (
+  SELECT dg.doc_id, CASE WHEN bg.sh IS NULL THEN 0 ELSE 1 END AS hit
+  FROM dg LEFT JOIN bg ON dg.sh = bg.sh
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(hit) AS BIGINT) AS n_matched,
+       CAST(ROUND(10000.0 * CAST(SUM(hit) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+         AS contam_e4
+FROM j GROUP BY doc_id ORDER BY doc_id
+""",
+    "q91_centroid_assign": f"""
+WITH comps AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS c_label,
+         LIST(CAST(centroid_e6 AS DOUBLE) / 1000000.0 ORDER BY dim) AS cvec
+  FROM (
+    SELECT label, dim,
+           CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS centroid_e6
+    FROM comps GROUP BY label, dim
+  ) GROUP BY label
+),
+sims AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         {_cos("e.embedding", "c.cvec")} AS sim
+  FROM embeddings e CROSS JOIN cent c
+),
+r AS (
+  SELECT vec_id, label, c_label, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC NULLS LAST, c_label) AS rn
+  FROM sims
+)
+SELECT vec_id, label, c_label AS assigned_label,
+       CAST(ROUND(10000.0 * sim, 0) AS BIGINT) AS sim_e4
+FROM r WHERE rn = 1
+ORDER BY vec_id
 """,
     "q51_simhash": f"""
 WITH tok AS (

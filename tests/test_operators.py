@@ -338,3 +338,53 @@ def test_knn_join_two_phase_equals_plain_topk(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_repetition_score_edges(spark):
+    from pandas_streaming_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a a"),          # 4 identical 3-grams -> 7500
+            (2, "one two three four"),   # 2 distinct 3-grams -> 0
+            (3, "xy zz"),                # < 3 tokens -> no grams, 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["n_grams"], r["n_distinct"], r["rep_e4"])
+            for r in repetition_score(df).collect()}
+    assert rows[1] == (4, 1, 7500)
+    assert rows[2] == (2, 2, 0)
+    assert rows[3] == (0, 0, 0)
+
+
+def test_contamination_check_bounds(spark):
+    from pandas_streaming_spark.operators.text import contamination_check
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # both 5-grams in benchmark
+            (2, "p q r s t u"),        # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "a b c d e f")], "doc_id long, text string")
+    rows = {r["doc_id"]: (r["n_matched"], r["contam_e4"])
+            for r in contamination_check(docs, bench, k=5).collect()}
+    assert rows[1] == (2, 10000)
+    assert rows[2] == (0, 0)
+
+
+def test_assign_to_centroids_separated_clusters(spark):
+    from pandas_streaming_spark.operators.similarity import assign_to_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0),
+            (2, [0.0, 1.0], 1), (3, [0.1, 0.9], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["vec_id"]: r["assigned_label"] for r in assign_to_centroids(df).collect()}
+    # well-separated clusters: every vector lands on its own label's centroid
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1}
