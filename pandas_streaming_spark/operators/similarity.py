@@ -290,6 +290,67 @@ def assign_to_centroids(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: probe the ``n_probe`` centroids nearest the query,
+    exact top-k only within vectors ASSIGNED to those centroids.
+
+    The inverted-file structure is :func:`label_centroids` (the coarse
+    quantizer, exact fixed point) + :func:`assign_to_centroids` (the
+    cell lists). Candidate count drops ~(n_probe / n_cells)-fold before
+    the exact kernel — the same prune-then-rerank shape as
+    :func:`ann_bucketed_topk`, but with learned cells instead of sign
+    bits, so recall tracks the data distribution.
+
+    At corpus scale the assignment is precomputed and the table written
+    partitioned by assigned cell, making the probe a partition-pruned
+    scan; here it is derived inline so the operator is self-contained
+    and oracle-gradable end-to-end.
+    """
+    assigned = assign_to_centroids(embeddings, None, id_col, label_col, vec_col)
+    # which cells does the query probe? its n_probe highest-sim centroids
+    cents = label_centroids(embeddings, label_col, vec_col)
+    cent = (
+        cents.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid_e6"))),
+                lambda s: s["centroid_e6"].cast("double") / F.lit(1000000.0),
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    q = _query_vec(embeddings, query_id, id_col, vec_col)
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("c_label", vec_cosine("cvec", "__qvec").alias("sim"))
+        .orderBy(F.desc_nulls_last("sim"), "c_label")
+        .limit(n_probe)
+        .select(F.col("c_label").alias("assigned_label"))
+    )
+    # candidate ids = members of the probed cells; no explicit broadcast —
+    # the filtered set's runtime size is what matters, and AQE promotes
+    # small sides to broadcast after the probe filter materializes
+    cand_ids = assigned.join(F.broadcast(probes), "assigned_label", "left_semi").select(
+        id_col
+    )
+    candidates = embeddings.join(cand_ids, id_col, "left_semi")
+    sim_e4 = F.round(F.lit(10000.0) * vec_cosine(vec_col, "__qvec"), 0).cast("long")
+    return (
+        candidates.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim_e4.alias("sim_e4"))
+        .orderBy(F.col("sim_e4").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_numpy(
     embeddings: DataFrame,
     query: list[float],

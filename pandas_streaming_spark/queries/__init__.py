@@ -141,6 +141,7 @@ _EXTRAS = [
     "q89_repetition_score",
     "q90_contamination",
     "q91_centroid_assign",
+    "q92_ivf_topk",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -28,6 +28,7 @@ from pandas_streaming_spark.operators.similarity import (
     ann_bucketed_topk,
     assign_to_centroids,
     cosine_topk,
+    ivf_topk,
     knn_join,
     label_centroids,
     similarity_join,
@@ -245,6 +246,12 @@ def q91_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_to_centroids(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
 
 
+def q92_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators.similarity.ivf_topk): probe the 2 centroids
+    nearest vec_id=0's vector, exact top-10 within the probed cells."""
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_probe=2)
+
+
 def q84_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (operators.text.chunk_documents):
     40-token chunks, 8-token overlap; first 1000 (doc, chunk) rows."""
@@ -333,6 +340,7 @@ QUERIES = {
     "q89_repetition_score": q89_repetition_score,
     "q90_contamination": q90_contamination,
     "q91_centroid_assign": q91_centroid_assign,
+    "q92_ivf_topk": q92_ivf_topk,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -619,6 +627,49 @@ SELECT vec_id, label, c_label AS assigned_label,
        CAST(ROUND(10000.0 * sim, 0) AS BIGINT) AS sim_e4
 FROM r WHERE rn = 1
 ORDER BY vec_id
+""",
+    "q92_ivf_topk": f"""
+WITH comps AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS c_label,
+         LIST(CAST(centroid_e6 AS DOUBLE) / 1000000.0 ORDER BY dim) AS cvec
+  FROM (
+    SELECT label, dim,
+           CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS centroid_e6
+    FROM comps GROUP BY label, dim
+  ) GROUP BY label
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT c.c_label
+  FROM cent c CROSS JOIN q
+  ORDER BY {_cos("c.cvec", "q.qv")} DESC NULLS LAST, c.c_label
+  LIMIT 2
+),
+sims AS (
+  SELECT e.vec_id, c.c_label, {_cos("e.embedding", "c.cvec")} AS sim
+  FROM embeddings e CROSS JOIN cent c
+),
+r AS (
+  SELECT vec_id, c_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC NULLS LAST, c_label) AS rn
+  FROM sims
+),
+assigned AS (SELECT vec_id, c_label FROM r WHERE rn = 1),
+cand AS (
+  SELECT vec_id FROM assigned
+  WHERE c_label IN (SELECT c_label FROM probes)
+)
+SELECT e.vec_id,
+       CAST(ROUND(10000.0 * {_cos("e.embedding", "q.qv")}, 0) AS BIGINT) AS sim_e4
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY sim_e4 DESC, e.vec_id
+LIMIT 10
 """,
     "q51_simhash": f"""
 WITH tok AS (

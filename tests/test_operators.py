@@ -388,3 +388,22 @@ def test_assign_to_centroids_separated_clusters(spark):
     out = {r["vec_id"]: r["assigned_label"] for r in assign_to_centroids(df).collect()}
     # well-separated clusters: every vector lands on its own label's centroid
     assert out == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_ivf_topk_probe_semantics(spark):
+    from pandas_streaming_spark.operators.similarity import cosine_topk, ivf_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0), (1, [0.95, 0.05], 0), (2, [0.9, 0.1], 0),
+            (3, [0.0, 1.0], 1), (4, [0.05, 0.95], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # n_probe=1: only the query's own cell is searched
+    one = {r["vec_id"] for r in ivf_topk(df, query_id=0, k=5, n_probe=1).collect()}
+    assert one == {0, 1, 2}
+    # n_probe = all cells: identical to brute force
+    exact = [(r["vec_id"], r["sim_e4"]) for r in cosine_topk(df, query_id=0, k=5).collect()]
+    full = [(r["vec_id"], r["sim_e4"]) for r in ivf_topk(df, query_id=0, k=5, n_probe=2).collect()]
+    assert full == exact
