@@ -69,3 +69,44 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
 
     plan = physical_plan(chunk_documents(load_table(spark, sf_dir, "documents")))
     assert "Exchange" not in plan, plan[:800]
+
+
+def test_repetition_score_is_shuffle_free(spark, sf_dir):
+    """repetition_score claims a pure narrow map — no Exchange anywhere."""
+    from pandas_streaming_spark.operators.text import repetition_score
+    from pandas_streaming_spark.plans import physical_plan
+
+    plan = physical_plan(repetition_score(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_tfidf_broadcasts_both_small_sides(spark, sf_dir):
+    """Pins the q81 fix: the 1-row n_docs crossJoin must be BuildRight
+    (broadcast the scalar, never the (doc, term) table), and the term
+    join must not be a cartesian product."""
+    from pandas_streaming_spark.operators.text import tf_idf
+    from pandas_streaming_spark.plans import physical_plan
+
+    plan = physical_plan(tf_idf(load_table(spark, sf_dir, "documents")))
+    assert "BroadcastNestedLoopJoin BuildLeft" not in plan, plan[:1200]
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The eval-set gram side must broadcast: the corpus side of the
+    decontamination join is never shuffled on gram."""
+    from pandas_streaming_spark.operators.text import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = contamination_check(docs, docs.filter(F.col("doc_id") % 97 == 0), k=5)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_centroid_assign_broadcasts_centroids(spark, sf_dir):
+    from pandas_streaming_spark.operators.similarity import assign_to_centroids
+
+    df = assign_to_centroids(load_table(spark, sf_dir, "embeddings"))
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, strategies
