@@ -160,4 +160,5 @@ def from_iterable(spark: SparkSession, rows, schema) -> DataFrame:
 
 from pandas_streaming_spark.sources.pystream import (  # noqa: E402,F401
     from_iterable_stream,
+    from_process_stream,
 )

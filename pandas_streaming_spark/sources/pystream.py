@@ -72,3 +72,104 @@ def from_iterable_stream(
         .option("batch_size", str(batch_size))
         .load()
     )
+
+
+class _ProcessStreamReader(SimpleDataSourceStreamReader):
+    """Stream the stdout lines of a subprocess.
+
+    The process is spawned ONCE with stdout redirected to a spool file;
+    the spool — not the pipe — is the source of truth. Offsets are line
+    counts into the spool, so ``readBetweenOffsets`` re-reads the exact
+    committed slice and a restarted query replays byte-identical
+    micro-batches (a raw pipe cannot be re-read; the spool is what makes
+    this source exactly-once instead of at-most-once).
+
+    SimpleDataSourceStreamReader runs on the driver, which is where the
+    subprocess lives — same locality story as the reference's
+    ``from_process``. Durable high-volume inputs belong on file/kafka.
+    """
+
+    def __init__(self, spool: str, cmd_json: str, batch_size: int):
+        self._spool = spool
+        self._cmd = (json.loads(cmd_json) if cmd_json else None) or None
+        self._bs = batch_size
+        self._proc = None
+
+    def _ensure_started(self) -> None:
+        import os
+        import subprocess
+
+        if self._proc is not None or self._cmd is None:
+            return
+        os.makedirs(os.path.dirname(self._spool), exist_ok=True)
+        out = open(self._spool, "ab")
+        self._proc = subprocess.Popen(self._cmd, stdout=out, stderr=subprocess.DEVNULL)
+
+    def _complete_lines(self) -> list[str]:
+        import os
+
+        if not os.path.exists(self._spool):
+            return []
+        with open(self._spool, "rb") as f:
+            data = f.read()
+        if not data:
+            return []
+        # only lines terminated by \n are committed — a partially-written
+        # tail line is invisible until the writer finishes it
+        return data.decode("utf-8", errors="replace").split("\n")[:-1]
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def read(self, start: dict):
+        self._ensure_started()
+        i = start["line"]
+        lines = self._complete_lines()
+        chunk = lines[i : i + self._bs]
+        return iter([(i + j, s) for j, s in enumerate(chunk)]), {"line": i + len(chunk)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        lines = self._complete_lines()
+        return iter(
+            [(j, s) for j, s in enumerate(lines[start["line"] : end["line"]], start["line"])]
+        )
+
+
+class ProcessDataSource(DataSource):
+    """``format("process_stream")``: options are ``spool`` (line log
+    path), optional ``cmd`` (JSON argv list to spawn; omit to tail a
+    spool another writer owns) and ``batch_size``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "process_stream"
+
+    def schema(self) -> str:
+        return "line_no long, value string"
+
+    def simpleStreamReader(self, schema) -> _ProcessStreamReader:
+        return _ProcessStreamReader(
+            self.options["spool"],
+            self.options.get("cmd", ""),
+            int(self.options.get("batch_size", "100")),
+        )
+
+
+def from_process_stream(
+    spark: SparkSession,
+    cmd: list[str],
+    spool: str,
+    batch_size: int = 100,
+) -> DataFrame:
+    """Streaming DataFrame of a subprocess's stdout lines (reference
+    ``from_process``): columns ``(line_no long, value string)``. ``spool``
+    must be a fresh path per logical stream — it is the durable log the
+    offsets index into."""
+    spark.dataSource.register(ProcessDataSource)
+    return (
+        spark.readStream.format("process_stream")
+        .option("cmd", json.dumps(list(cmd)))
+        .option("spool", spool)
+        .option("batch_size", str(batch_size))
+        .load()
+    )

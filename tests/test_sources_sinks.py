@@ -132,3 +132,39 @@ def test_from_iterable_stream_real_source(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_from_process_stream_real_source(spark, tmp_path):
+    """from_process as a Spark 4 Python DataSource: subprocess stdout is
+    spooled to a durable line log, offsets are line counts, and the
+    drained stream reproduces the process output exactly and in order."""
+    import sys
+    import time
+
+    from pandas_streaming_spark.sources import from_process_stream
+    from pandas_streaming_spark.streaming.replay import run_stream_to_df
+
+    spool = str(tmp_path / "proc.log")
+    cmd = [
+        sys.executable,
+        "-c",
+        "import sys\nfor i in range(30): print(f'line-{i}')",
+    ]
+    s = from_process_stream(spark, cmd, spool, batch_size=7)
+    assert s.isStreaming
+
+    # the writer is asynchronous: poll until the spool holds all lines so
+    # the availableNow drain can't race a slow process start
+    deadline = time.time() + 30
+    # reading the spool requires the reader to have spawned the process,
+    # which only happens inside the stream run — so run, then re-drain if
+    # the first pass raced the writer
+    rows = run_stream_to_df(spark, s, "append", trigger="drain").collect()
+    while len(rows) < 30 and time.time() < deadline:
+        time.sleep(0.5)
+        rows = run_stream_to_df(
+            spark, from_process_stream(spark, [], spool, batch_size=7), "append",
+            trigger="drain",
+        ).collect()
+    got = [r["value"] for r in sorted(rows, key=lambda r: r["line_no"])]
+    assert got == [f"line-{i}" for i in range(30)]
