@@ -173,3 +173,60 @@ def from_process_stream(
         .option("batch_size", str(batch_size))
         .load()
     )
+
+
+_HTTP_SERVERS: dict[int, object] = {}
+
+
+def from_http_server(
+    spark: SparkSession,
+    port: int,
+    spool: str,
+    batch_size: int = 100,
+) -> DataFrame:
+    """Streaming DataFrame of lines POSTed to a local HTTP endpoint
+    (reference ``from_http_server``): columns ``(line_no long,
+    value string)``.
+
+    Same durable-log design as ``from_process_stream``: the handler
+    appends newline-terminated lines to the spool under a lock, and the
+    stream reader indexes committed lines by offset — so acknowledged
+    POSTs survive query restarts exactly-once, which a socket buffer
+    cannot promise. The server is a driver-side daemon thread (one per
+    port, reused across calls); production ingestion belongs on
+    file/kafka paths, this is the reference's dev-ingest parity.
+    """
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    if port not in _HTTP_SERVERS:
+        lock = threading.Lock()
+
+        class _Handler(BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 (http.server API name)
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode("utf-8", errors="replace")
+                lines = [ln for ln in body.split("\n") if ln]
+                import os
+
+                os.makedirs(os.path.dirname(spool) or ".", exist_ok=True)
+                with lock, open(spool, "a", encoding="utf-8") as f:
+                    for ln in lines:
+                        f.write(ln + "\n")
+                self.send_response(200)
+                self.end_headers()
+
+            def log_message(self, *a):  # silence per-request stderr noise
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        _HTTP_SERVERS[port] = srv
+
+    spark.dataSource.register(ProcessDataSource)
+    return (
+        spark.readStream.format("process_stream")
+        .option("spool", spool)
+        .option("batch_size", str(batch_size))
+        .load()
+    )

@@ -168,3 +168,27 @@ def test_from_process_stream_real_source(spark, tmp_path):
         ).collect()
     got = [r["value"] for r in sorted(rows, key=lambda r: r["line_no"])]
     assert got == [f"line-{i}" for i in range(30)]
+
+
+def test_from_http_server_real_source(spark, tmp_path):
+    """from_http_server: POSTed lines land in the spool and stream out
+    with stable line offsets."""
+    import urllib.request
+
+    from pandas_streaming_spark.sources import from_http_server
+    from pandas_streaming_spark.streaming.replay import run_stream_to_df
+
+    spool = str(tmp_path / "http.log")
+    port = 48231
+    s = from_http_server(spark, port, spool, batch_size=4)
+    assert s.isStreaming
+
+    for i in range(10):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/", data=f"msg-{i}".encode(), method="POST"
+        )
+        assert urllib.request.urlopen(req, timeout=10).status == 200
+
+    rows = run_stream_to_df(spark, s, "append", trigger="drain").collect()
+    got = [r["value"] for r in sorted(rows, key=lambda r: r["line_no"])]
+    assert got == [f"msg-{i}" for i in range(10)]
