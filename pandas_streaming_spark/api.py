@@ -251,6 +251,10 @@ class StreamingFrame:
     def join(self, other: "StreamingFrame", on, how: str = "inner") -> "StreamingFrame":
         return StreamingFrame(self.df.join(other.df, on=on, how=how))
 
+    # pandas names the as-of join merge_asof; combine_latest is the
+    # reference's name for the same alignment — one implementation
+    merge_asof = combine_latest
+
     # -- sinks (§2.1) ----------------------------------------------------
     def collect(self):
         return self.df.collect()

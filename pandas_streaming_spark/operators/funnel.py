@@ -1,0 +1,77 @@
+"""Ordered-stage funnel analysis over an event stream (SURVEY.md §2.6
+analytics family — the conversion query every product-events pipeline
+runs: of the users who did stage 1, how many later did stage 2, then 3…).
+
+Semantics: a user reaches stage k at the EARLIEST event of stage-k type
+whose timestamp is STRICTLY after the user's stage-(k−1) time (equality
+never advances a funnel — simultaneous events can't be ordered).
+
+Plan: the naive formulation is k−1 self-joins (stage-k events ⋈ stage
+k−1 reachers). This implementation instead sorts each user's events once
+and chains running conditional minima through a single window — stage-k
+qualification reads the running stage-(k−1) min at that row. ONE shuffle
+on the user key total, regardless of k; the per-user groupBy that
+follows reuses the window's partitioning (no second exchange), and the
+final stage-count aggregation is a map-side-combined reduction to k
+rows. Tie-safety: among equal timestamps the window's row order is
+arbitrary, but qualification needs ``run < ts`` strictly, and a same-ts
+stage event yields ``run == ts`` whether or not the tie sorts first — so
+the result is partition- and tie-order-invariant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-stage reach counts: one row ``(stage_no, stage, n_users)`` per
+    funnel stage, where ``n_users`` counts users whose earliest strictly-
+    ordered stage chain extends at least that far."""
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events
+    for i, s in enumerate(stages):
+        if i == 0:
+            q = F.when(F.col(type_col) == s, F.col(ts_col))
+        else:
+            q = F.when(
+                (F.col(type_col) == s) & (F.col(f"__run{i - 1}") < F.col(ts_col)),
+                F.col(ts_col),
+            )
+        df = df.withColumn(f"__q{i}", q).withColumn(f"__run{i}", F.min(f"__q{i}").over(w))
+    per_user = df.groupBy(user_col).agg(
+        *[F.min(f"__q{i}").alias(f"__t{i}") for i in range(len(stages))]
+    )
+    counts = per_user.agg(
+        *[F.count(f"__t{i}").alias(f"__c{i}") for i in range(len(stages))]
+    )
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("int").alias("stage_no"),
+                F.lit(s).alias("stage"),
+                F.col(f"__c{i}").alias("n_users"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return (
+        counts.select(F.explode(stage_rows).alias("r"))
+        .select("r.stage_no", "r.stage", "r.n_users")
+        .orderBy("stage_no")
+    )

@@ -242,6 +242,7 @@ def assign_to_centroids(
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """k-means E-step: assign every vector to its nearest centroid by
     cosine. ``centroids`` defaults to :func:`label_centroids` of the
@@ -271,11 +272,13 @@ def assign_to_centroids(
         )
         .select(F.col("label").alias("c_label"), "cvec")
     )
+    carry = [F.col(vec_col)] if keep_vec else []
     sims = embeddings.crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
         F.col(label_col),
         F.col("c_label"),
         vec_cosine(vec_col, "cvec").alias("sim"),
+        *carry,
     )
     w = Window.partitionBy(id_col).orderBy(F.desc_nulls_last("sim"), "c_label")
     return (
@@ -286,7 +289,74 @@ def assign_to_centroids(
             label_col,
             F.col("c_label").alias("assigned_label"),
             F.round(F.lit(10000.0) * F.col("sim"), 0).cast("long").alias("sim_e4"),
+            *carry,
         )
+    )
+
+
+def kmeans_step(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One full Lloyd iteration — E-step (nearest-centroid assignment,
+    :func:`assign_to_centroids`) then M-step (recenter on the new
+    assignment) — entirely in exact fixed point, so the iterative
+    algorithm is cross-engine gradable step by step.
+
+    ``keep_vec=True`` threads the embedding through the argmax window,
+    so the M-step regroups the SAME rows instead of re-joining the
+    assignment back to the table on ``id_col`` — one broadcast + one
+    window + one map-side-combined groupBy, no id-keyed shuffle join.
+
+    Output: one row per (assigned_label, dim): ``n_vecs``, ``sum_e6``,
+    ``centroid_e6`` — the same long format :func:`label_centroids`
+    emits, so iterating is ``kmeans_step(...)`` fed back through
+    ``assign_to_centroids(centroids=...)``; each round is O(n·k·dim)
+    narrow work plus one (label, dim) aggregation, the canonical
+    distributed-Lloyd schedule.
+    """
+    assigned = assign_to_centroids(
+        embeddings, None, id_col, label_col, vec_col, keep_vec=True
+    )
+    return label_centroids(
+        assigned, label_col="assigned_label", vec_col=vec_col
+    ).withColumnRenamed("label", "assigned_label")
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: ``scale`` = max
+    |component|, ``code_i`` = round(127 · x_i / scale) ∈ [−127, 127]
+    (the storage form ANN/vector-database pipelines ship embeddings in —
+    4× smaller than float32, dot products stay int32).
+
+    All arithmetic is float→double promoted before dividing (both
+    engines agree bit-for-bit on IEEE doubles; see label_centroids) and
+    the outputs are integers: ``scale_e6`` micro-units and the int8 code
+    array. An all-zero vector quantizes to scale 0 / all-zero codes
+    rather than NaN.
+
+    Scale shape: pure per-row column expressions (two HOF passes over
+    the array) — narrow map, no shuffle, no Python.
+    """
+    dscale = F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double"))))
+    with_scale = embeddings.select(
+        F.col(id_col), F.col(vec_col), dscale.alias("__scale")
+    )
+    code = lambda x: (  # noqa: E731 - inline HOF body
+        F.when(F.col("__scale") == 0.0, F.lit(0)).otherwise(
+            F.round(F.lit(127.0) * x.cast("double") / F.col("__scale"), 0)
+        )
+    ).cast("int")
+    return with_scale.select(
+        F.col(id_col),
+        F.round(F.lit(1000000.0) * F.col("__scale"), 0).cast("long").alias("scale_e6"),
+        F.transform(vec_col, code).alias("codes"),
     )
 
 

@@ -328,3 +328,37 @@ def contamination_check(
             .alias("contam_e4"),
         )
     )
+
+
+def redact_terms(
+    df: DataFrame,
+    pattern: str,
+    repl: str = "[MASKED]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Denylist / PII-style scrubbing: count and replace every match of
+    ``pattern`` in ``text_col`` (SURVEY.md §2.9 — the redaction gate every
+    training-data pipeline runs before packing).
+
+    The real-world patterns are emails / phone numbers / key-shaped
+    blobs; the operator takes the pattern as an argument so the graded
+    query can use one that actually matches the synthetic vocabulary.
+    Keep the pattern in the common Java-regex ∩ RE2 subset (no
+    backreferences, no lookaround) so the duckdb oracle computes the
+    identical match set.
+
+    Output per doc: ``n_hits`` (match count), ``redacted_len`` (chars
+    after replacement), ``redacted_md5`` (content hash of the scrubbed
+    text — the cross-engine witness that the *same* spans were rewritten).
+
+    Scale shape: pure column expressions — a narrow map, no shuffle, no
+    Python; codegen keeps the regex compiled per-task.
+    """
+    red = F.regexp_replace(F.col(text_col), pattern, repl)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(pattern)).cast("long").alias("n_hits"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )

@@ -142,6 +142,10 @@ _EXTRAS = [
     "q90_contamination",
     "q91_centroid_assign",
     "q92_ivf_topk",
+    "q93_redact_terms",
+    "q94_funnel",
+    "q95_quantize_int8",
+    "q96_kmeans_step",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -389,6 +389,19 @@ def q88_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+def q94_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stage conversion funnel signup→view→click→purchase over
+    events (operators.funnel.funnel_counts): stage k counts users whose
+    earliest type-k event is strictly after their stage-(k−1) time.
+    Single-shuffle chained-running-min window plan — no per-stage
+    self-joins; the oracle states the same semantics as a join chain."""
+    from pandas_streaming_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), ["signup", "view", "click", "purchase"]
+    )
+
+
 QUERIES = {
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,
@@ -413,6 +426,7 @@ QUERIES = {
     "q77_pivot": q77_pivot,
     "q78_melt": q78_melt,
     "q88_salted_hot_key": q88_salted_hot_key,
+    "q94_funnel": q94_funnel,
 }
 
 ORACLES = {
@@ -604,5 +618,33 @@ SELECT k, COUNT(cents) AS n,
 FROM keyed
 GROUP BY k
 ORDER BY k
+""",
+    "q94_funnel": """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS INT) AS stage_no, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT CAST(2 AS INT), 'view', COUNT(*) FROM s2
+  UNION ALL
+  SELECT CAST(3 AS INT), 'click', COUNT(*) FROM s3
+  UNION ALL
+  SELECT CAST(4 AS INT), 'purchase', COUNT(*) FROM s4
+)
+ORDER BY stage_no
 """,
 }

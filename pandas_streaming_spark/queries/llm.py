@@ -29,8 +29,10 @@ from pandas_streaming_spark.operators.similarity import (
     assign_to_centroids,
     cosine_topk,
     ivf_topk,
+    kmeans_step,
     knn_join,
     label_centroids,
+    quantize_int8,
     similarity_join,
 )
 from pandas_streaming_spark.operators.text import (
@@ -39,6 +41,7 @@ from pandas_streaming_spark.operators.text import (
     contamination_check,
     language_id,
     quality_score,
+    redact_terms,
     repetition_score,
     tf_idf,
     token_stats,
@@ -279,6 +282,41 @@ def q82_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Denylist terms that actually occur in the synthetic vocabulary — kept in
+# the Java-regex ∩ RE2 subset so both engines compute the same match set.
+REDACT_PATTERN = r"\b(key|hash|secret|token)\b"
+
+
+def q93_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style denylist scrub (operators.text.redact_terms): match
+    count, post-redaction length, and content hash of the scrubbed text
+    per document."""
+    return redact_terms(_t(spark, sf_dir, "documents"), REDACT_PATTERN).orderBy(
+        "doc_id"
+    )
+
+
+def q95_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators.similarity.
+    quantize_int8): per-vector max-abs scale in micro-units + the int8
+    code array, graded as a joined string (array-grading policy of q49 —
+    list-vs-ndarray reprs diverge across engines)."""
+    return (
+        quantize_int8(_t(spark, sf_dir, "embeddings"))
+        .select("vec_id", "scale_e6", F.concat_ws(",", "codes").alias("codes"))
+        .orderBy("vec_id")
+    )
+
+
+def q96_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration (operators.similarity.kmeans_step):
+    E-step assignment to the label centroids, M-step recenter on the new
+    assignment — exact fixed-point at every stage."""
+    return kmeans_step(_t(spark, sf_dir, "embeddings")).orderBy(
+        "assigned_label", "dim"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity / multimodal extras
 # ---------------------------------------------------------------------------
@@ -341,6 +379,9 @@ QUERIES = {
     "q90_contamination": q90_contamination,
     "q91_centroid_assign": q91_centroid_assign,
     "q92_ivf_topk": q92_ivf_topk,
+    "q93_redact_terms": q93_redact_terms,
+    "q95_quantize_int8": q95_quantize_int8,
+    "q96_kmeans_step": q96_kmeans_step,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -832,5 +873,71 @@ SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT b.vec_id) AS n_dup_docs
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_cos('a.embedding', 'b.embedding')} >= 0.35
+""",
+    "q93_redact_terms": r"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '\b(key|hash|secret|token)\b'))
+            AS BIGINT) AS n_hits,
+       CAST(LENGTH(regexp_replace(text, '\b(key|hash|secret|token)\b',
+                                  '[MASKED]', 'g')) AS BIGINT) AS redacted_len,
+       MD5(regexp_replace(text, '\b(key|hash|secret|token)\b',
+                          '[MASKED]', 'g')) AS redacted_md5
+FROM documents
+ORDER BY doc_id
+""",
+    "q95_quantize_int8": """
+WITH s AS (
+  SELECT vec_id, embedding,
+         LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(ROUND(1000000.0 * scale, 0) AS BIGINT) AS scale_e6,
+       ARRAY_TO_STRING(LIST_TRANSFORM(embedding,
+         x -> CAST(CASE WHEN scale = 0 THEN 0
+                        ELSE ROUND(127.0 * CAST(x AS DOUBLE) / scale, 0)
+                   END AS INT)), ',') AS codes
+FROM s
+ORDER BY vec_id
+""",
+    "q96_kmeans_step": f"""
+WITH comps AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS c_label,
+         LIST(CAST(centroid_e6 AS DOUBLE) / 1000000.0 ORDER BY dim) AS cvec
+  FROM (
+    SELECT label, dim,
+           CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS centroid_e6
+    FROM comps GROUP BY label, dim
+  ) GROUP BY label
+),
+sims AS (
+  SELECT e.vec_id, c.c_label, {_cos("e.embedding", "c.cvec")} AS sim
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, c_label AS assigned_label
+  FROM (
+    SELECT vec_id, c_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC NULLS LAST, c_label) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+acomps AS (
+  SELECT a.assigned_label, generate_subscripts(e.embedding, 1) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(e.embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings e JOIN assigned a USING (vec_id)
+)
+SELECT assigned_label, dim, COUNT(*) AS n_vecs,
+       CAST(SUM(c_e6) AS BIGINT) AS sum_e6,
+       CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS centroid_e6
+FROM acomps
+GROUP BY assigned_label, dim
+ORDER BY assigned_label, dim
 """,
 }

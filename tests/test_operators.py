@@ -407,3 +407,92 @@ def test_ivf_topk_probe_semantics(spark):
     exact = [(r["vec_id"], r["sim_e4"]) for r in cosine_topk(df, query_id=0, k=5).collect()]
     full = [(r["vec_id"], r["sim_e4"]) for r in ivf_topk(df, query_id=0, k=5, n_probe=2).collect()]
     assert full == exact
+
+
+def test_funnel_strict_order_and_ties(spark):
+    """Stage k needs a type-k event STRICTLY after stage k-1: same-ts
+    events never advance; pre-signup views don't count unless a later
+    view exists; stage times are the EARLIEST qualifying event."""
+    rows = [
+        # user 1: full ordered chain
+        (1, _ts("2024-01-01T10:00:00"), "signup"),
+        (1, _ts("2024-01-01T10:01:00"), "view"),
+        (1, _ts("2024-01-01T10:02:00"), "click"),
+        (1, _ts("2024-01-01T10:03:00"), "purchase"),
+        # user 2: view at the exact signup ts -> never advances
+        (2, _ts("2024-01-01T10:00:00"), "signup"),
+        (2, _ts("2024-01-01T10:00:00"), "view"),
+        # user 3: view BEFORE signup, plus a later view; purchase before
+        # click time -> reaches view+click but not purchase
+        (3, _ts("2024-01-01T09:00:00"), "view"),
+        (3, _ts("2024-01-01T10:00:00"), "signup"),
+        (3, _ts("2024-01-01T11:00:00"), "view"),
+        (3, _ts("2024-01-01T12:00:00"), "click"),
+        (3, _ts("2024-01-01T11:30:00"), "purchase"),
+        # user 4: never signs up
+        (4, _ts("2024-01-01T10:00:00"), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    from pandas_streaming_spark.operators.funnel import funnel_counts
+
+    out = funnel_counts(ev, ["signup", "view", "click", "purchase"]).collect()
+    by_stage = {r["stage"]: r["n_users"] for r in out}
+    assert by_stage == {"signup": 3, "view": 2, "click": 2, "purchase": 1}
+    assert [r["stage_no"] for r in out] == [1, 2, 3, 4]
+
+
+def test_redact_terms_counts_and_rewrite(spark):
+    from pandas_streaming_spark.operators.text import redact_terms
+
+    docs = spark.createDataFrame(
+        [(1, "the key and the hash key"), (2, "monkey business"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in redact_terms(docs, r"\b(key|hash)\b", repl="#").collect()
+    }
+    assert out[1]["n_hits"] == 3  # 'key' twice + 'hash'; word-bounded
+    assert out[1]["redacted_len"] == len("the # and the # #")
+    assert out[2]["n_hits"] == 0  # 'monkey' must NOT match \bkey\b
+    assert out[3]["n_hits"] == 0 and out[3]["redacted_len"] == 0
+
+
+def test_quantize_int8_range_and_zero_vector(spark):
+    from pandas_streaming_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [2.0, -4.0, 1.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    # scale = 4.0; codes = round(127 * x / 4) = [64, -127, 32]
+    assert out[1]["scale_e6"] == 4_000_000
+    assert out[1]["codes"] == [64, -127, 32]
+    assert max(abs(c) for c in out[1]["codes"]) == 127
+    assert out[2]["scale_e6"] == 0 and out[2]["codes"] == [0, 0, 0]
+
+
+def test_kmeans_step_stable_on_separated_clusters(spark):
+    """On well-separated clusters Lloyd is a fixed point: the E-step
+    keeps every vector's label and the M-step reproduces the label
+    centroids exactly (same fixed-point units)."""
+    from pandas_streaming_spark.operators.similarity import (
+        kmeans_step,
+        label_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0), (2, [0.9, 0.1, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 1), (4, [0.0, 0.9, 0.1], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    stepped = {
+        (r["assigned_label"], r["dim"]): (r["n_vecs"], r["centroid_e6"])
+        for r in kmeans_step(emb).collect()
+    }
+    direct = {
+        (r["label"], r["dim"]): (r["n_vecs"], r["centroid_e6"])
+        for r in label_centroids(emb).collect()
+    }
+    assert stepped == direct

@@ -110,3 +110,31 @@ def test_centroid_assign_broadcasts_centroids(spark, sf_dir):
     df = assign_to_centroids(load_table(spark, sf_dir, "embeddings"))
     strategies = join_strategies(df)
     assert "CartesianProduct" not in strategies, strategies
+
+
+def test_redact_and_quantize_are_shuffle_free(spark, sf_dir):
+    """redact_terms and quantize_int8 claim pure narrow maps — no
+    Exchange in either plan."""
+    from pandas_streaming_spark.operators.similarity import quantize_int8
+    from pandas_streaming_spark.operators.text import redact_terms
+    from pandas_streaming_spark.plans import physical_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert "Exchange" not in physical_plan(redact_terms(docs, r"\b(key)\b"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert "Exchange" not in physical_plan(quantize_int8(emb))
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """funnel_counts claims ONE user-keyed shuffle for the whole stage
+    chain: the window and the per-user groupBy must share a single
+    hashpartitioning(user_id) exchange, with no per-stage join exchanges."""
+    from pandas_streaming_spark.operators.funnel import funnel_counts
+    from pandas_streaming_spark.plans import physical_plan
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = physical_plan(
+        funnel_counts(ev, ["signup", "view", "click", "purchase"])
+    )
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:1200]
+    assert "Join" not in plan, plan[:1200]
