@@ -230,3 +230,267 @@ def from_http_server(
         .option("batch_size", str(batch_size))
         .load()
     )
+
+
+_WS_SERVERS: dict[int, object] = {}
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
+
+
+def _ws_handshake(conn) -> bool:
+    """Read the client's HTTP upgrade request and answer 101 with the
+    RFC 6455 accept key. Returns False on a malformed request."""
+    import base64
+    import hashlib
+
+    data = b""
+    while b"\r\n\r\n" not in data:
+        chunk = conn.recv(4096)
+        if not chunk:
+            return False
+        data += chunk
+    key = None
+    for line in data.split(b"\r\n"):
+        if line.lower().startswith(b"sec-websocket-key:"):
+            key = line.split(b":", 1)[1].strip().decode()
+    if key is None:
+        return False
+    accept = base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode()).digest()
+    ).decode()
+    conn.sendall(
+        b"HTTP/1.1 101 Switching Protocols\r\n"
+        b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+        b"Sec-WebSocket-Accept: " + accept.encode() + b"\r\n\r\n"
+    )
+    return True
+
+
+def _ws_read_frame(conn):
+    """Parse one client frame → (opcode, payload bytes) or None on EOF.
+    Client frames are always masked (RFC 6455 §5.1)."""
+
+    def recv_exact(n: int) -> bytes | None:
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    hdr = recv_exact(2)
+    if hdr is None:
+        return None
+    opcode = hdr[0] & 0x0F
+    masked, ln = hdr[1] & 0x80, hdr[1] & 0x7F
+    if ln == 126:
+        ext = recv_exact(2)
+        if ext is None:
+            return None
+        ln = int.from_bytes(ext, "big")
+    elif ln == 127:
+        ext = recv_exact(8)
+        if ext is None:
+            return None
+        ln = int.from_bytes(ext, "big")
+    mask = recv_exact(4) if masked else b"\x00" * 4
+    if mask is None:
+        return None
+    payload = recv_exact(ln) if ln else b""
+    if payload is None:
+        return None
+    return opcode, bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+
+
+def from_websocket(
+    spark: SparkSession,
+    port: int,
+    spool: str,
+    batch_size: int = 100,
+) -> DataFrame:
+    """Streaming DataFrame of text messages sent to a local WebSocket
+    endpoint (reference ``from_websocket``): columns ``(line_no long,
+    value string)``.
+
+    The server is a stdlib RFC 6455 implementation (handshake accept
+    key, masked client frames, close/ping control frames) running as a
+    driver-side daemon thread — the same durable-spool design as
+    ``from_http_server``: each text message appends one newline-
+    terminated line under a lock, and the stream reader's line offsets
+    make acknowledged messages replayable exactly-once across restarts.
+    Newlines inside a message are message separators, matching the
+    line-oriented schema shared by the process/http/socket sources.
+    """
+    import socket
+    import threading
+
+    if port not in _WS_SERVERS:
+        lock = threading.Lock()
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", port))
+        srv.listen()
+
+        def spool_lines(text: str) -> None:
+            import os
+
+            lines = [ln for ln in text.split("\n") if ln]
+            os.makedirs(os.path.dirname(spool) or ".", exist_ok=True)
+            with lock, open(spool, "a", encoding="utf-8") as f:
+                for ln in lines:
+                    f.write(ln + "\n")
+
+        def serve_conn(conn) -> None:
+            with conn:
+                if not _ws_handshake(conn):
+                    return
+                while True:
+                    frame = _ws_read_frame(conn)
+                    if frame is None:
+                        return
+                    opcode, payload = frame
+                    if opcode == 0x8:  # close: echo and finish
+                        conn.sendall(b"\x88\x00")
+                        return
+                    if opcode == 0x9:  # ping -> pong, unmasked server frame
+                        conn.sendall(bytes([0x8A, len(payload)]) + payload)
+                        continue
+                    if opcode in (0x1, 0x0):  # text / continuation
+                        spool_lines(payload.decode("utf-8", errors="replace"))
+
+        def accept_loop() -> None:
+            while True:
+                try:
+                    conn, _ = srv.accept()
+                except OSError:  # listener closed
+                    return
+                threading.Thread(target=serve_conn, args=(conn,), daemon=True).start()
+
+        threading.Thread(target=accept_loop, daemon=True).start()
+        _WS_SERVERS[port] = srv
+
+    spark.dataSource.register(ProcessDataSource)
+    return (
+        spark.readStream.format("process_stream")
+        .option("spool", spool)
+        .option("batch_size", str(batch_size))
+        .load()
+    )
+
+
+_MQTT_SERVERS: dict[int, object] = {}
+
+
+def _mqtt_read_packet(conn):
+    """Read one MQTT control packet → (type, flags, body) or None on EOF.
+    Remaining-length is the spec's 7-bit varint (§2.2.3)."""
+
+    def recv_exact(n: int) -> bytes | None:
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    hdr = recv_exact(1)
+    if hdr is None:
+        return None
+    ptype, flags = hdr[0] >> 4, hdr[0] & 0x0F
+    ln, shift = 0, 0
+    for _ in range(4):
+        b = recv_exact(1)
+        if b is None:
+            return None
+        ln |= (b[0] & 0x7F) << shift
+        if not b[0] & 0x80:
+            break
+        shift += 7
+    body = recv_exact(ln) if ln else b""
+    if body is None:
+        return None
+    return ptype, flags, body
+
+
+def from_mqtt(
+    spark: SparkSession,
+    port: int,
+    spool: str,
+    batch_size: int = 100,
+) -> DataFrame:
+    """Streaming DataFrame of messages PUBLISHed to a local MQTT 3.1.1
+    endpoint (reference ``from_mqtt``): columns ``(line_no long,
+    value string)`` where value is ``topic<TAB>payload``.
+
+    A broker-less stdlib endpoint speaking the server half of MQTT
+    3.1.1: CONNECT→CONNACK, SUBSCRIBE→SUBACK, PINGREQ→PINGRESP,
+    PUBLISH QoS 0 spooled / QoS 1 spooled-then-PUBACK (the ack ordering
+    is what makes QoS 1 at-least-once end-to-end: the line is durable
+    before the client is told), DISCONNECT closes. Same durable-spool
+    exactly-once replay story as the http/websocket sources; a real
+    deployment points from_kafka/file paths at a production broker —
+    this is the reference's dev-ingest parity surface.
+    """
+    import socket
+    import threading
+
+    if port not in _MQTT_SERVERS:
+        lock = threading.Lock()
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", port))
+        srv.listen()
+
+        def spool_line(topic: str, payload: str) -> None:
+            import os
+
+            os.makedirs(os.path.dirname(spool) or ".", exist_ok=True)
+            line = topic + "\t" + payload.replace("\n", " ")
+            with lock, open(spool, "a", encoding="utf-8") as f:
+                f.write(line + "\n")
+
+        def serve_conn(conn) -> None:
+            with conn:
+                while True:
+                    pkt = _mqtt_read_packet(conn)
+                    if pkt is None:
+                        return
+                    ptype, flags, body = pkt
+                    if ptype == 1:  # CONNECT -> CONNACK (session 0, rc 0)
+                        conn.sendall(b"\x20\x02\x00\x00")
+                    elif ptype == 3:  # PUBLISH
+                        qos = (flags >> 1) & 0x3
+                        tlen = int.from_bytes(body[:2], "big")
+                        topic = body[2 : 2 + tlen].decode("utf-8", "replace")
+                        rest = body[2 + tlen :]
+                        pkt_id = rest[:2] if qos else b""
+                        payload = rest[2:] if qos else rest
+                        spool_line(topic, payload.decode("utf-8", "replace"))
+                        if qos == 1:  # durable first, then PUBACK
+                            conn.sendall(b"\x40\x02" + pkt_id)
+                    elif ptype == 8:  # SUBSCRIBE -> SUBACK (maxQoS 0)
+                        conn.sendall(b"\x90\x03" + body[:2] + b"\x00")
+                    elif ptype == 12:  # PINGREQ -> PINGRESP
+                        conn.sendall(b"\xd0\x00")
+                    elif ptype == 14:  # DISCONNECT
+                        return
+
+        def accept_loop() -> None:
+            while True:
+                try:
+                    conn, _ = srv.accept()
+                except OSError:
+                    return
+                threading.Thread(target=serve_conn, args=(conn,), daemon=True).start()
+
+        threading.Thread(target=accept_loop, daemon=True).start()
+        _MQTT_SERVERS[port] = srv
+
+    spark.dataSource.register(ProcessDataSource)
+    return (
+        spark.readStream.format("process_stream")
+        .option("spool", spool)
+        .option("batch_size", str(batch_size))
+        .load()
+    )

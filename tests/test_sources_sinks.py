@@ -192,3 +192,125 @@ def test_from_http_server_real_source(spark, tmp_path):
     rows = run_stream_to_df(spark, s, "append", trigger="drain").collect()
     got = [r["value"] for r in sorted(rows, key=lambda r: r["line_no"])]
     assert got == [f"msg-{i}" for i in range(10)]
+
+
+def test_from_websocket_real_source(spark, tmp_path):
+    """from_websocket: a stdlib RFC 6455 client handshakes, sends masked
+    text frames (including a 126-length extended frame and a ping), and
+    the messages stream out of the spool with stable offsets."""
+    import base64
+    import hashlib
+    import socket
+
+    from pandas_streaming_spark.sources import from_websocket
+    from pandas_streaming_spark.sources.pystream import _WS_GUID
+    from pandas_streaming_spark.streaming.replay import run_stream_to_df
+
+    spool = str(tmp_path / "ws.log")
+    port = 48233
+    s = from_websocket(spark, port, spool, batch_size=4)
+    assert s.isStreaming
+
+    def masked(opcode: int, payload: bytes, mask: bytes = b"\x12\x34\x56\x78") -> bytes:
+        ln = len(payload)
+        if ln < 126:
+            hdr = bytes([0x80 | opcode, 0x80 | ln])
+        else:
+            hdr = bytes([0x80 | opcode, 0x80 | 126]) + ln.to_bytes(2, "big")
+        return hdr + mask + bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+
+    conn = socket.create_connection(("127.0.0.1", port), timeout=10)
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    conn.sendall(
+        (
+            f"GET / HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        resp += conn.recv(4096)
+    assert b"101" in resp.split(b"\r\n")[0]
+    expect = base64.b64encode(hashlib.sha1((key + _WS_GUID).encode()).digest())
+    assert expect in resp  # server computed the RFC accept key
+
+    for i in range(9):
+        conn.sendall(masked(0x1, f"ws-{i}".encode()))
+    conn.sendall(masked(0x9, b"hello"))  # ping
+    pong = conn.recv(2 + 5)
+    assert pong[:2] == bytes([0x8A, 5]) and pong[2:] == b"hello"
+    conn.sendall(masked(0x1, ("long-" + "x" * 130).encode()))  # 126-len path
+    conn.sendall(masked(0x8, b""))  # close
+    assert conn.recv(2)[:1] == b"\x88"
+    conn.close()
+
+    import time
+
+    deadline = time.time() + 30
+    rows = run_stream_to_df(spark, s, "append", trigger="drain").collect()
+    while len(rows) < 10 and time.time() < deadline:
+        time.sleep(0.5)
+        rows = run_stream_to_df(
+            spark, from_websocket(spark, port, spool, batch_size=4),
+            "append", trigger="drain",
+        ).collect()
+    got = [r["value"] for r in sorted(rows, key=lambda r: r["line_no"])]
+    assert got == [f"ws-{i}" for i in range(9)] + ["long-" + "x" * 130]
+
+
+def test_from_mqtt_real_source(spark, tmp_path):
+    """from_mqtt: a hand-rolled MQTT 3.1.1 client CONNECTs, PUBLISHes at
+    QoS 0 and QoS 1 (PUBACK awaited), pings, and the topic+payload lines
+    stream out of the spool in publish order."""
+    import socket
+    import time
+
+    from pandas_streaming_spark.sources import from_mqtt
+    from pandas_streaming_spark.streaming.replay import run_stream_to_df
+
+    spool = str(tmp_path / "mqtt.log")
+    port = 48234
+    s = from_mqtt(spark, port, spool, batch_size=4)
+    assert s.isStreaming
+
+    def mqtt_str(b: bytes) -> bytes:
+        return len(b).to_bytes(2, "big") + b
+
+    def packet(ptype: int, flags: int, body: bytes) -> bytes:
+        # remaining-length varint (all test bodies < 128 except none)
+        ln, enc = len(body), b""
+        while True:
+            d, ln = ln & 0x7F, ln >> 7
+            enc += bytes([d | (0x80 if ln else 0)])
+            if not ln:
+                break
+        return bytes([(ptype << 4) | flags]) + enc + body
+
+    conn = socket.create_connection(("127.0.0.1", port), timeout=10)
+    connect_body = (
+        mqtt_str(b"MQTT") + b"\x04\x02\x00\x3c" + mqtt_str(b"test-client")
+    )
+    conn.sendall(packet(1, 0, connect_body))
+    assert conn.recv(4) == b"\x20\x02\x00\x00"  # CONNACK accepted
+
+    for i in range(6):  # QoS 0
+        conn.sendall(packet(3, 0, mqtt_str(b"t/a") + f"m{i}".encode()))
+    # QoS 1: packet id 7, PUBACK must echo it
+    conn.sendall(packet(3, 0x2, mqtt_str(b"t/b") + b"\x00\x07" + b"qos1-msg"))
+    assert conn.recv(4) == b"\x40\x02\x00\x07"
+    conn.sendall(packet(12, 0, b""))  # PINGREQ
+    assert conn.recv(2) == b"\xd0\x00"
+    conn.sendall(packet(14, 0, b""))  # DISCONNECT
+    conn.close()
+
+    deadline = time.time() + 30
+    rows = run_stream_to_df(spark, s, "append", trigger="drain").collect()
+    while len(rows) < 7 and time.time() < deadline:
+        time.sleep(0.5)
+        rows = run_stream_to_df(
+            spark, from_mqtt(spark, port, spool, batch_size=4),
+            "append", trigger="drain",
+        ).collect()
+    got = [r["value"] for r in sorted(rows, key=lambda r: r["line_no"])]
+    assert got == [f"t/a\tm{i}" for i in range(6)] + ["t/b\tqos1-msg"]
