@@ -166,3 +166,49 @@ def ewm_stream(events_stream: DataFrame, alpha: float = 0.5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUT = StructType(
+    [StructField("user_id", LongType()), StructField("n_stages", LongType())]
+)
+FUNNEL_STATE = StructType([StructField("times", ArrayType(LongType()))])
+
+
+def funnel_stream(events_stream: DataFrame, stages: list[str]) -> DataFrame:
+    """Streaming conversion funnel: per-key state machine advancing one
+    stage per qualifying event (type matches the next stage AND its ts is
+    strictly after the previous stage's time — the operators.funnel batch
+    semantics, computed incrementally).
+
+    Emits the per-user reached-stage count each micro-batch; the final
+    state equals the batch funnel for any batch split *given in-ts-order
+    arrival per key* (true for the replay protocol, where ts is monotone
+    in event_id). Out-of-order deployments put a watermarked event-time
+    sort in front, trading the stated lateness bound for the guarantee.
+
+    State is just the reached-stage timestamps (≤ len(stages) longs per
+    user) — constant-size per key, so the state store scales with user
+    cardinality, never stream length.
+    """
+    n = len(stages)
+
+    def fold(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        times = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            for et, ts in zip(pdf["event_type"], pdf["ts"].astype("int64")):
+                k = len(times)
+                if k < n and et == stages[k] and (k == 0 or int(ts) > times[-1]):
+                    times.append(int(ts))
+        state.update((times,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_stages": [len(times)]})
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=FUNNEL_OUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -146,6 +146,8 @@ _EXTRAS = [
     "q94_funnel",
     "q95_quantize_int8",
     "q96_kmeans_step",
+    "q97_canonical_docs",
+    "q98_stream_funnel",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

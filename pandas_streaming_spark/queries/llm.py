@@ -317,6 +317,33 @@ def q96_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q97_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keep-best: per duplicate cluster (q82's LSH→connected-
+    components graph) select the canonical document — longest n_chars,
+    ties to the lowest doc_id — and report cluster size + drop count.
+    The standard 'which duplicate survives' decision of a corpus dedup
+    pass; one window over the (tiny) per-cluster membership after the
+    heavy lifting is done by the bucketed-LSH + log-depth-CC pipeline."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, n_hashes=8, bands=4, k=3, max_bucket=64)
+    cc = connected_components(docs, pairs)  # (doc_id, component)
+    scored = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("canonical_chars"),
+            (F.count("*") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity / multimodal extras
 # ---------------------------------------------------------------------------
@@ -382,6 +409,7 @@ QUERIES = {
     "q93_redact_terms": q93_redact_terms,
     "q95_quantize_int8": q95_quantize_int8,
     "q96_kmeans_step": q96_kmeans_step,
+    "q97_canonical_docs": q97_canonical_docs,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -939,5 +967,46 @@ SELECT assigned_label, dim, COUNT(*) AS n_vecs,
 FROM acomps
 GROUP BY assigned_label, dim
 ORDER BY assigned_label, dim
+""",
+    "q97_canonical_docs": f"""
+WITH RECURSIVE bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM ({_MINHASH_SIG})
+  GROUP BY doc_id, s // 2
+),
+ok AS (
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
+),
+cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+r AS (
+  SELECT cc.component, cc.node AS doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cc.component
+                            ORDER BY d.n_chars DESC, cc.node) AS rn
+  FROM cc JOIN documents d ON d.doc_id = cc.node
+)
+SELECT component, COUNT(*) AS n_docs,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+       MAX(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM r
+GROUP BY component
+ORDER BY component
 """,
 }

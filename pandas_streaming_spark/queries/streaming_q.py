@@ -259,6 +259,42 @@ def q72_stream_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def q98_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming conversion funnel (operators.stateful.funnel_stream):
+    a per-user state machine advances stage-by-stage on strictly-later
+    qualifying events; final per-user reached-stage counts aggregate to
+    the SAME per-stage reach table as the batch q94_funnel — the oracle
+    is shared verbatim, pinning streaming-vs-batch equivalence."""
+    from pandas_streaming_spark.operators.stateful import funnel_stream
+
+    out = _final(
+        spark,
+        sf_dir,
+        lambda s: funnel_stream(s, FUNNEL_STAGES),
+        "update",
+        key_cols=["user_id"],
+    )
+    reached = out.filter(F.col("n_stages") >= 1).select(
+        F.explode(F.sequence(F.lit(1), F.col("n_stages"))).alias("stage_no")
+    )
+    counts = reached.groupBy("stage_no").agg(F.count("*").alias("__n"))
+    stage_tbl = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(FUNNEL_STAGES)], "stage_no int, stage string"
+    )
+    return (
+        stage_tbl.join(counts, "stage_no", "left")
+        .select(
+            "stage_no",
+            "stage",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_users"),
+        )
+        .orderBy("stage_no")
+    )
+
+
 QUERIES = {
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
@@ -269,6 +305,7 @@ QUERIES = {
     "q60_stream_stream_join": q60_stream_stream_join,
     "q71_stream_outer_join": q71_stream_outer_join,
     "q72_stream_ewm": q72_stream_ewm,
+    "q98_stream_funnel": q98_stream_funnel,
 }
 
 ORACLES = {
@@ -384,3 +421,9 @@ FROM rec
 ORDER BY user_id, event_id
 """,
 }
+
+# streaming-vs-batch equivalence pinned by construction: the streaming
+# funnel grades against the batch q94 oracle verbatim
+from pandas_streaming_spark.queries import analytic as _analytic  # noqa: E402
+
+ORACLES["q98_stream_funnel"] = _analytic.ORACLES["q94_funnel"]

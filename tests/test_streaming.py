@@ -257,3 +257,29 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir):
     finally:
         for d in (in_dir, chkpt, spill):
             shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("k", [1, 20])
+def test_funnel_stream_split_invariance(spark, sf_dir, k):
+    """The stateful streaming funnel must equal the batch funnel operator
+    for any micro-batch split (q98 covers k=5 vs the SQL oracle; this
+    pins k=1 and k=20 against operators.funnel directly)."""
+    from pandas_streaming_spark.operators.funnel import funnel_counts
+    from pandas_streaming_spark.operators.stateful import funnel_stream
+    from pandas_streaming_spark.catalog import load_table
+
+    stages = ["signup", "view", "click", "purchase"]
+    replay_dir = write_replay_batches(spark, sf_dir, k)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    out = run_stream_to_final(
+        funnel_stream(stream, stages), "update", key_cols=["user_id"]
+    )
+    # reached-stage histogram -> per-stage reach counts
+    got = {
+        s: int((out["n_stages"] >= i + 1).sum()) for i, s in enumerate(stages)
+    }
+    batch = {
+        r["stage"]: r["n_users"]
+        for r in funnel_counts(load_table(spark, sf_dir, "events"), stages).collect()
+    }
+    assert got == batch
