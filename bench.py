@@ -31,6 +31,7 @@ HEADLINE = [
     "q81_tfidf",                # TF/DF aggs + term join + per-doc top-k
     "q84_chunk_documents",      # narrow token-window chunking (no shuffle)
     "q88_salted_hot_key",       # two-phase salted agg, 97%-hot group key
+    "q94_funnel",               # chained-running-min funnel, 1 shuffle
 ]
 
 

@@ -146,6 +146,44 @@ class StreamingFrame:
         (5 × n_cols cells)."""
         return StreamingFrame(self.df.describe(*cols))
 
+    drop_duplicates = distinct  # pandas name for the same op
+
+    def rename(self, mapping: dict[str, str]) -> "StreamingFrame":
+        """pandas ``rename(columns=...)`` (projection only, no shuffle)."""
+        return StreamingFrame(self.df.withColumnsRenamed(mapping))
+
+    def sort_values(self, by, ascending: bool = True) -> "StreamingFrame":
+        """pandas ``sort_values``: a global range-partitioned sort. For
+        top-k use ``nlargest``/``nsmallest`` — they never sort the full
+        dataset."""
+        cols = [by] if isinstance(by, str) else list(by)
+        order = [F.col(c).asc() if ascending else F.col(c).desc() for c in cols]
+        return StreamingFrame(self.df.orderBy(*order))
+
+    def head(self, n: int = 5) -> "StreamingFrame":
+        return StreamingFrame(self.df.limit(n))
+
+    def nlargest(self, n: int, col: str) -> "StreamingFrame":
+        """pandas ``nlargest``: compiles to TakeOrderedAndProject (per-
+        partition top-n then a driver-side n-way merge of n-row heaps —
+        never a global sort)."""
+        return StreamingFrame(self.df.orderBy(F.col(col).desc()).limit(n))
+
+    def nsmallest(self, n: int, col: str) -> "StreamingFrame":
+        return StreamingFrame(self.df.orderBy(F.col(col).asc()).limit(n))
+
+    def sample(self, frac: float, id_col: str) -> "StreamingFrame":
+        """pandas ``sample(frac=...)``, but content-addressed instead of
+        seeded-RNG (operators.sampling policy): membership is a pure
+        function of ``id_col``, so the sample is stable under reshards,
+        re-runs, and engine changes — what a training pipeline actually
+        wants from 'random' sampling."""
+        from pandas_streaming_spark.operators.sampling import deterministic_sample
+
+        return StreamingFrame(
+            deterministic_sample(self.df, id_col, pct=int(round(frac * 100)))
+        )
+
     def pivot_table(
         self,
         index: str,

@@ -189,3 +189,40 @@ def test_fillna_dropna_describe(spark):
     desc = {r["summary"]: r for r in df.describe("b").collect()}
     assert desc["count"]["b"] == "2"
     assert float(desc["max"]["b"]) == 4.0
+
+
+def test_pandas_names_sort_head_nlargest(spark):
+    from pandas_streaming_spark.api import wrap
+    from pandas_streaming_spark.plans import physical_plan
+
+    df = wrap(
+        spark.createDataFrame(
+            [(i, float((i * 37) % 11)) for i in range(20)], "k long, v double"
+        )
+    )
+    top = df.nlargest(3, "v").collect()
+    assert [r["v"] for r in top] == sorted([float((i * 37) % 11) for i in range(20)], reverse=True)[:3]
+    # nlargest must compile to the top-k operator, not a global sort
+    assert "TakeOrderedAndProject" in physical_plan(df.nlargest(3, "v").df)
+    assert df.head(4).df.count() == 4
+    sv = df.sort_values("v", ascending=False).collect()
+    assert [r["v"] for r in sv] == sorted((r["v"] for r in sv), reverse=True)
+    ren = df.rename({"k": "id"}).df
+    assert ren.columns == ["id", "v"]
+    assert df.drop_duplicates(["v"]).df.count() == 11
+
+
+def test_sample_is_content_addressed(spark, sf_dir):
+    from pandas_streaming_spark.api import wrap
+    from pandas_streaming_spark.catalog import load_table
+
+    docs = wrap(load_table(spark, sf_dir, "documents"))
+    a = sorted(r["doc_id"] for r in docs.sample(0.2, "doc_id").df.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in docs.sample(0.2, "doc_id")
+        .df.repartition(7)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and 0 < len(a) < docs.df.count()

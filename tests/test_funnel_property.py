@@ -1,0 +1,57 @@
+"""Property test: funnel_counts == a pure-Python sequential-min funnel on
+randomized event streams (same differential idiom as the as-of property
+test, SURVEY.md §5.1). Exercises equal-timestamp ties, repeated stages,
+out-of-order stage types, and users missing stages entirely.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pandas_streaming_spark.operators.funnel import funnel_counts
+
+STAGES = ["s1", "s2", "s3"]
+
+ROW = st.tuples(
+    st.integers(min_value=0, max_value=3),   # user
+    st.integers(min_value=0, max_value=8),   # time (seconds; small => ties)
+    st.sampled_from(STAGES + ["other"]),     # event type
+)
+
+
+def _py_funnel(rows: list[tuple[int, int, str]]) -> dict[str, int]:
+    """Reference implementation: t_k = min ts of stage-k events strictly
+    after t_{k-1}, computed per user by exhaustive search."""
+    counts = dict.fromkeys(STAGES, 0)
+    for u in {r[0] for r in rows}:
+        ev = [(t, s) for (uu, t, s) in rows if uu == u]
+        prev = None
+        for stage in STAGES:
+            cand = [
+                t for (t, s) in ev
+                if s == stage and (prev is None or t > prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[stage] += 1
+    return counts
+
+
+def _ts(sec: int) -> pd.Timestamp:
+    return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=sec)
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(ROW, min_size=1, max_size=24))
+def test_funnel_matches_python_reference(spark, rows):
+    pdf = pd.DataFrame(
+        [(u, _ts(t), s) for (u, t, s) in rows],
+        columns=["user_id", "ts", "event_type"],
+    )
+    out = funnel_counts(spark.createDataFrame(pdf), STAGES).collect()
+    got = {r["stage"]: r["n_users"] for r in out}
+    assert got == _py_funnel(rows)
