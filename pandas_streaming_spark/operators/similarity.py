@@ -360,6 +360,43 @@ def quantize_int8(
     )
 
 
+def normalize_embeddings(
+    embeddings: DataFrame,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2-normalization, optionally after matryoshka truncation to the
+    first ``dims`` components (the standard serving transform: truncate a
+    matryoshka-trained embedding, then re-normalize so cosine becomes a
+    plain dot product downstream).
+
+    Exact cross-engine form: the norm is the index-order double fold of
+    functions.vec_norm (bit-identical to duckdb's LIST_AGGREGATE sum),
+    and outputs are micro-unit integers — ``norm_e6`` plus the unit
+    vector as an e6-scaled integer array. Zero vectors normalize to
+    all-zero rather than NaN.
+
+    Scale shape: slice + two HOF passes per row — narrow map, no
+    shuffle, no Python.
+    """
+    from pandas_streaming_spark.functions import vec_norm
+
+    v = F.col(vec_col) if dims is None else F.slice(vec_col, 1, dims)
+    with_v = embeddings.select(F.col(id_col), v.alias("__v"))
+    nrm = vec_norm("__v")
+    unit = lambda x: (  # noqa: E731 - inline HOF body
+        F.when(nrm == 0.0, F.lit(0)).otherwise(
+            F.round(F.lit(1000000.0) * x.cast("double") / nrm, 0)
+        )
+    ).cast("long")
+    return with_v.select(
+        F.col(id_col),
+        F.round(F.lit(1000000.0) * nrm, 0).cast("long").alias("norm_e6"),
+        F.transform("__v", unit).alias("unit_e6"),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,

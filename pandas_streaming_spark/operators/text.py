@@ -362,3 +362,65 @@ def redact_terms(
         F.length(red).cast("long").alias("redacted_len"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    k: int = 3,
+    divisor: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls AFTER token i
+    whenever the hash of the k-token gram ending at i is ≡ 0 (mod
+    ``divisor``) — the Rabin-style CDC used by dedup storage systems,
+    here over word tokens. Unlike fixed-size chunking (chunk_documents),
+    an insertion only moves boundaries locally, so chunk hashes of
+    near-identical documents mostly coincide — which is what makes
+    chunk-level dedup effective on versioned corpora.
+
+    Expected chunk length is ``divisor`` tokens; documents shorter than
+    ``k`` tokens form one chunk. Output: (id, chunk_idx, n_tokens,
+    chunk_md5) — the md5 is the dedup key.
+
+    Scale shape: tokens + boundary scan + chunk emit are all per-row
+    array expressions — narrow map, no shuffle (HOFs are interpreted,
+    so the boundary scan is the per-row hot loop; the token array is
+    materialized once per row first).
+    """
+    toks = F.split(F.col(text_col), " ")
+    with_t = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n"))
+    gram_md5 = lambda i: F.md5(  # noqa: E731 - gram ending at 1-based i
+        F.concat_ws(" ", F.slice("__t", i - F.lit(k - 1), k))
+    )
+    is_bound = lambda i: (  # noqa: E731
+        F.conv(F.substring(gram_md5(i), 1, 4), 16, 10).cast("long") % divisor == 0
+    )
+    bounds = F.when(
+        F.col("__n") >= k,
+        F.filter(F.sequence(F.lit(k), F.col("__n")), is_bound),
+    ).otherwise(F.array().cast("array<int>"))
+    ends = F.array_sort(
+        F.array_distinct(F.concat(bounds, F.array(F.col("__n"))))
+    )
+    with_e = with_t.select(id_col, "__t", ends.alias("__ends"))
+    # (end, 0-based j) pairs -> chunk spans; element_at is 1-based so
+    # element_at(__ends, j) is the PREVIOUS end for j >= 1
+    spans = F.transform(
+        "__ends",
+        lambda e, j: F.struct(
+            j.alias("ci"),
+            F.when(j == 0, F.lit(1))
+            .otherwise(F.element_at("__ends", j) + 1)
+            .alias("s"),
+            e.alias("e"),
+        ),
+    )
+    exploded = with_e.select(id_col, "__t", F.explode(spans).alias("sp"))
+    chunk_toks = F.slice("__t", F.col("sp.s"), F.col("sp.e") - F.col("sp.s") + 1)
+    return exploded.select(
+        F.col(id_col),
+        F.col("sp.ci").cast("long").alias("chunk_idx"),
+        (F.col("sp.e") - F.col("sp.s") + 1).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk_toks)).alias("chunk_md5"),
+    )

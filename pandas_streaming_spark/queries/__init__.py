@@ -148,6 +148,8 @@ _EXTRAS = [
     "q96_kmeans_step",
     "q97_canonical_docs",
     "q98_stream_funnel",
+    "q99_normalize_matryoshka",
+    "q100_cdc_chunks",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -317,6 +317,33 @@ def q96_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q99_normalize_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation to 16 dims + exact-integer L2 normalization
+    (operators.similarity.normalize_embeddings): the serving transform
+    that turns truncated embeddings back into unit vectors. Unit vector
+    graded as a joined string per the q49/q95 array policy."""
+    from pandas_streaming_spark.operators.similarity import normalize_embeddings
+
+    return (
+        normalize_embeddings(_t(spark, sf_dir, "embeddings"), dims=16)
+        .select("vec_id", "norm_e6", F.concat_ws(",", "unit_e6").alias("unit_e6"))
+        .orderBy("vec_id")
+    )
+
+
+def q100_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators.text.cdc_chunks): Rabin-style
+    token-gram boundaries (md5 mod 8), per-chunk token count + dedup
+    hash; first 2000 (doc, chunk) rows."""
+    from pandas_streaming_spark.operators.text import cdc_chunks
+
+    return (
+        cdc_chunks(_t(spark, sf_dir, "documents"), k=3, divisor=8)
+        .orderBy("doc_id", "chunk_idx")
+        .limit(2000)
+    )
+
+
 def q97_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup keep-best: per duplicate cluster (q82's LSH→connected-
     components graph) select the canonical document — longest n_chars,
@@ -410,6 +437,8 @@ QUERIES = {
     "q95_quantize_int8": q95_quantize_int8,
     "q96_kmeans_step": q96_kmeans_step,
     "q97_canonical_docs": q97_canonical_docs,
+    "q99_normalize_matryoshka": q99_normalize_matryoshka,
+    "q100_cdc_chunks": q100_cdc_chunks,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -1008,5 +1037,56 @@ SELECT component, COUNT(*) AS n_docs,
 FROM r
 GROUP BY component
 ORDER BY component
+""",
+    "q99_normalize_matryoshka": """
+WITH s AS (
+  SELECT vec_id, embedding[1:16] AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         SQRT(LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(v)),
+              i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)), 'sum')) AS nrm
+  FROM s
+)
+SELECT vec_id,
+       CAST(ROUND(1000000.0 * nrm, 0) AS BIGINT) AS norm_e6,
+       ARRAY_TO_STRING(LIST_TRANSFORM(v,
+         x -> CAST(CASE WHEN nrm = 0 THEN 0
+                        ELSE ROUND(1000000.0 * CAST(x AS DOUBLE) / nrm, 0)
+                   END AS BIGINT)), ',') AS unit_e6
+FROM n
+ORDER BY vec_id
+""",
+    "q100_cdc_chunks": """
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+         LEN(STRING_SPLIT(text, ' ')) AS n
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks, n,
+         LIST_SORT(LIST_DISTINCT(
+           LIST_FILTER(GENERATE_SERIES(3, n),
+             i -> CAST(CONCAT('0x', SUBSTR(MD5(
+                    ARRAY_TO_STRING(toks[i-2:i], ' ')), 1, 4)) AS BIGINT)
+                  % 8 = 0)
+           || [n])) AS ends
+  FROM t
+),
+e AS (
+  SELECT doc_id, toks, generate_subscripts(ends, 1) AS j, UNNEST(ends) AS en,
+         ends
+  FROM b
+)
+SELECT doc_id,
+       CAST(j - 1 AS BIGINT) AS chunk_idx,
+       CAST(en - (CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END) + 1
+            AS BIGINT) AS n_tokens,
+       MD5(ARRAY_TO_STRING(
+         toks[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):en], ' '))
+         AS chunk_md5
+FROM e
+ORDER BY doc_id, chunk_idx
+LIMIT 2000
 """,
 }

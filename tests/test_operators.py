@@ -496,3 +496,55 @@ def test_kmeans_step_stable_on_separated_clusters(spark):
         for r in label_centroids(emb).collect()
     }
     assert stepped == direct
+
+
+def test_normalize_embeddings_exact_and_zero(spark):
+    from pandas_streaming_spark.operators.similarity import normalize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r for r in normalize_embeddings(emb).collect()}
+    assert out[1]["norm_e6"] == 5_000_000
+    assert out[1]["unit_e6"] == [600_000, 800_000]  # (0.6, 0.8) exactly
+    assert out[2]["norm_e6"] == 0 and out[2]["unit_e6"] == [0, 0]
+    # matryoshka: truncate to 1 dim -> unit vector is sign(x)*1e6
+    t = {r["vec_id"]: r for r in normalize_embeddings(emb, dims=1).collect()}
+    assert t[1]["norm_e6"] == 3_000_000 and t[1]["unit_e6"] == [1_000_000]
+
+
+def test_cdc_chunks_cover_and_locality(spark):
+    from pandas_streaming_spark.operators.text import cdc_chunks
+
+    base = " ".join(f"w{(i * 7) % 23}" for i in range(120))
+    edited = "zzz qqq " + base  # prefix insertion
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "a b")],  # doc 3: shorter than k
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs, k=3, divisor=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # chunks tile the token sequence exactly
+    assert sum(r["n_tokens"] for r in by_doc[1]) == 120
+    assert sum(r["n_tokens"] for r in by_doc[2]) == 122
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 2
+    # content-defined locality: a prefix edit leaves MOST chunk hashes
+    # intact (fixed-size chunking would shift every chunk)
+    h1 = {r["chunk_md5"] for r in by_doc[1]}
+    h2 = {r["chunk_md5"] for r in by_doc[2]}
+    shared = len(h1 & h2)
+    assert shared >= max(1, len(h1) - 2), (len(h1), len(h2), shared)
+
+
+def test_cdc_and_normalize_are_shuffle_free(spark, sf_dir):
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.similarity import normalize_embeddings
+    from pandas_streaming_spark.operators.text import cdc_chunks
+    from pandas_streaming_spark.plans import physical_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert "Exchange" not in physical_plan(cdc_chunks(docs))
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert "Exchange" not in physical_plan(normalize_embeddings(emb, dims=16))
