@@ -276,13 +276,17 @@ class StreamingFrame:
         right_time: str,
         value_cols: list[str],
         right_ord: str | None = None,
+        direction: str = "backward",
     ) -> "StreamingFrame":
         """Reference ``combine_latest``/``zip_latest``: each left element
-        pairs with the latest-known right element — the as-of join."""
+        pairs with the latest-known right element — the as-of join.
+        ``direction`` covers the pd.merge_asof trio
+        (backward/forward/nearest)."""
         return StreamingFrame(
             asof_join(
                 self.df, other.df, key=key, left_time=left_time,
                 right_time=right_time, value_cols=value_cols, right_ord=right_ord,
+                direction=direction,
             )
         )
 

@@ -1,4 +1,5 @@
-"""As-of (backward nearest-timestamp) join — SURVEY.md §2.3 custom op #1.
+"""As-of (nearest-timestamp) join, backward/forward/nearest —
+SURVEY.md §2.3 custom op #1.
 
 The reference idiom is ``pd.merge_asof`` inside user map-partitions code.
 Spark has no single as-of primitive, so this implements the *union+window*
@@ -35,16 +36,27 @@ def asof_join(
     right_time: str | Column,
     value_cols: list[str],
     right_ord: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row's ``value_cols``
-    with ``right_time <= left_time``, matching on ``key``.
+    """For each left row, attach one right row's ``value_cols`` matching
+    on ``key``, chosen by ``direction`` (the pd.merge_asof trio):
+
+    - ``backward``: latest right row with ``right_time <= left_time``;
+    - ``forward``: earliest right row with ``right_time >= left_time``
+      (symmetric window, frame flipped to CURRENT ROW..UNBOUNDED
+      FOLLOWING with ``first(ignorenulls)``);
+    - ``nearest``: whichever of the two candidates is closer in time,
+      ties to the backward side — two frame passes over ONE shuffle
+      (same partitioning, Spark inserts no second exchange).
 
     ``right_ord`` (e.g. an event id) breaks ties among right rows sharing
-    one timestamp: the greatest wins — the same rule a sorted
-    ``pd.merge_asof`` with a deduplicated-to-last right side applies.
-    Returned columns: every left column + ``value_cols`` (NULL when no
-    right row precedes).
+    one timestamp: the greatest wins for backward, the smallest for
+    forward — the rules a sorted ``pd.merge_asof`` applies. Returned
+    columns: every left column + ``value_cols`` (NULL when no candidate
+    exists).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest: {direction}")
     clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(
@@ -72,14 +84,40 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
     u = l.unionByName(r)
-    w = (
+    # backward: right rows (side=0) sort BEFORE left at equal t -> the
+    # running last() includes exact matches; among equal-t rights the
+    # max-__ord wins. forward mirrors both choices.
+    wb = (
         Window.partitionBy("__k")
         .orderBy("__t", "__side", "__ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        *left_cols,
-        F.col("__side"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__side").desc(), F.col("__ord").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    if direction == "backward":
+        fills = [F.last(c, ignorenulls=True).over(wb).alias(c) for c in value_cols]
+    elif direction == "forward":
+        fills = [F.first(c, ignorenulls=True).over(wf).alias(c) for c in value_cols]
+    else:  # nearest: fill (match_time, values) structs both ways, pick closer
+        rs = F.when(
+            F.col("__side") == 0,
+            F.struct(F.col("__t").alias("__mt"), *[F.col(c) for c in value_cols]),
+        )
+        u = u.withColumn("__rs", rs)
+        bw = F.last("__rs", ignorenulls=True).over(wb)
+        fw = F.first("__rs", ignorenulls=True).over(wf)
+        t = F.col("__t").cast("double")
+        dist_b = F.abs(t - bw["__mt"].cast("double"))
+        dist_f = F.abs(fw["__mt"].cast("double") - t)
+        chosen = (
+            F.when(bw.isNull(), fw)
+            .when(fw.isNull(), bw)
+            .when(dist_b <= dist_f, bw)
+            .otherwise(fw)
+        )
+        fills = [chosen[c].alias(c) for c in value_cols]
+    filled = u.select(*left_cols, F.col("__side"), *fills)
     return filled.filter(F.col("__side") == 1).drop("__side")

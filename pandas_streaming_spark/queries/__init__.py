@@ -150,6 +150,7 @@ _EXTRAS = [
     "q98_stream_funnel",
     "q99_normalize_matryoshka",
     "q100_cdc_chunks",
+    "q101_stream_trending",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -295,6 +295,35 @@ def q98_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending: per tumbling hour, the top-2 event types by
+    count — a windowed state-store aggregation whose final state gets a
+    batch rank-and-filter (the continuous 'what's hot right now' query).
+    At scale the rank runs per window partition inside foreachBatch on
+    the complete-mode output; here it runs on the drained final state."""
+    from pyspark.sql import Window
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("w_start"),
+                "event_type",
+                "n",
+            )
+        )
+
+    out = _final(spark, sf_dir, transform, "complete")
+    w = Window.partitionBy("w_start").orderBy(F.desc("n"), "event_type")
+    return (
+        out.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("w_start", "event_type", F.col("n").cast("long").alias("n"), "rnk")
+        .orderBy("w_start", "rnk")
+    )
+
+
 QUERIES = {
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
@@ -306,6 +335,7 @@ QUERIES = {
     "q71_stream_outer_join": q71_stream_outer_join,
     "q72_stream_ewm": q72_stream_ewm,
     "q98_stream_funnel": q98_stream_funnel,
+    "q101_stream_trending": q101_stream_trending,
 }
 
 ORACLES = {
@@ -427,3 +457,20 @@ ORDER BY user_id, event_id
 from pandas_streaming_spark.queries import analytic as _analytic  # noqa: E402
 
 ORACLES["q98_stream_funnel"] = _analytic.ORACLES["q94_funnel"]
+
+ORACLES["q101_stream_trending"] = """
+WITH c AS (
+  SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS w_start,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT w_start, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY w_start
+                            ORDER BY n DESC, event_type) AS rnk
+  FROM c
+)
+SELECT w_start, event_type, n, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 2
+ORDER BY w_start, rnk
+"""

@@ -67,3 +67,59 @@ def test_asof_matches_pandas_merge_asof(spark, left_rows, right_rows):
     got_v = got["v"].astype("float64")
     exp_v = exp["v"].astype("float64")
     pd.testing.assert_series_equal(got_v, exp_v, check_names=False)
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None)
+@given(
+    left_rows=st.lists(ROW, min_size=1, max_size=12),
+    right_rows=st.lists(ROW, min_size=0, max_size=12),
+    direction=st.sampled_from(["forward", "nearest"]),
+)
+def test_asof_directions_match_pandas(spark, left_rows, right_rows, direction):
+    """forward/nearest vs pd.merge_asof(direction=...). The right side is
+    deduplicated to one row per (k, rt) (max ord) first — pandas' dup-ts
+    tie rule differs per direction, and the implementation documents its
+    own; semantics on unique timestamps are what this pins."""
+    left = pd.DataFrame(
+        [(k, _ts(t), i) for i, (k, t, _) in enumerate(left_rows)],
+        columns=["k", "t", "lid"],
+    )
+    right = (
+        pd.DataFrame(
+            [(k, _ts(t), v, i) for i, (k, t, v) in enumerate(right_rows)],
+            columns=["k", "rt", "v", "ord"],
+        )
+        .sort_values("ord")
+        .groupby(["k", "rt"], as_index=False)
+        .last()
+    )
+
+    sl = spark.createDataFrame(left)
+    sr = (
+        spark.createDataFrame(right[["k", "rt", "v", "ord"]])
+        if len(right)
+        else spark.createDataFrame([], "k bigint, rt timestamp, v double, ord bigint")
+    )
+    got = (
+        asof_join(sl, sr, key="k", left_time="t", right_time="rt",
+                  value_cols=["v"], right_ord="ord", direction=direction)
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+    lsorted = left.sort_values(["t", "lid"]).reset_index(drop=True)
+    rsorted = right.sort_values(["rt"]).reset_index(drop=True)
+    if len(rsorted):
+        exp = pd.merge_asof(
+            lsorted, rsorted[["k", "rt", "v"]], left_on="t", right_on="rt",
+            by="k", direction=direction,
+        )
+    else:
+        exp = lsorted.assign(v=float("nan"))
+    exp = exp.sort_values("lid").reset_index(drop=True)
+
+    pd.testing.assert_series_equal(
+        got["v"].astype("float64"), exp["v"].astype("float64"), check_names=False
+    )
