@@ -151,6 +151,8 @@ _EXTRAS = [
     "q99_normalize_matryoshka",
     "q100_cdc_chunks",
     "q101_stream_trending",
+    "q102_integrity_audit",
+    "q103_length_histogram",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -344,6 +344,63 @@ def q100_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q102_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the corpus tables — the
+    data-quality gate a pipeline runs before training: documents without
+    an embedding row (by id), embeddings without a document, and
+    duplicate-id checks, as one summary table. Anti-joins compile to
+    broadcast/shuffled hash joins with no row materialization beyond
+    the counts."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    embs = _t(spark, sf_dir, "embeddings").select("vec_id")
+    # counts-as-plan: one DataFrame of unioned aggregates, not
+    # driver-side .count() actions
+    d_orphans = (
+        docs.join(embs, docs.doc_id == embs.vec_id, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("docs_without_embedding").alias("check"), "n")
+    )
+    e_orphans = (
+        embs.join(docs, embs.vec_id == docs.doc_id, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("embeddings_without_doc").alias("check"), "n")
+    )
+    dup_docs = (
+        docs.groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("duplicate_doc_ids").alias("check"), "n")
+    )
+    dup_embs = (
+        embs.groupBy("vec_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("duplicate_vec_ids").alias("check"), "n")
+    )
+    return d_orphans.unionByName(e_orphans).unionByName(dup_docs).unionByName(
+        dup_embs
+    ).orderBy("check")
+
+
+def q103_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of the corpus in power-of-two buckets —
+    the sequence-length accounting that sizes packing budgets (q85) and
+    truncation losses. Pure map + one small groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    bucket = F.pow(F.lit(2.0), F.ceil(F.log2(n_tok.cast("double")))).cast("long")
+    return (
+        docs.select(
+            F.when(n_tok <= 1, F.lit(1)).otherwise(bucket).alias("len_bucket")
+        )
+        .groupBy("len_bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("len_bucket")
+    )
+
+
 def q97_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup keep-best: per duplicate cluster (q82's LSH→connected-
     components graph) select the canonical document — longest n_chars,
@@ -439,6 +496,8 @@ QUERIES = {
     "q97_canonical_docs": q97_canonical_docs,
     "q99_normalize_matryoshka": q99_normalize_matryoshka,
     "q100_cdc_chunks": q100_cdc_chunks,
+    "q102_integrity_audit": q102_integrity_audit,
+    "q103_length_histogram": q103_length_histogram,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -1088,5 +1147,35 @@ SELECT doc_id,
 FROM e
 ORDER BY doc_id, chunk_idx
 LIMIT 2000
+""",
+    "q102_integrity_audit": """
+SELECT * FROM (
+  SELECT 'docs_without_embedding' AS check, COUNT(*) AS n
+  FROM documents d WHERE NOT EXISTS
+    (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+  UNION ALL
+  SELECT 'embeddings_without_doc', COUNT(*)
+  FROM embeddings e WHERE NOT EXISTS
+    (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+  UNION ALL
+  SELECT 'duplicate_doc_ids', COUNT(*) FROM
+    (SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)
+  UNION ALL
+  SELECT 'duplicate_vec_ids', COUNT(*) FROM
+    (SELECT vec_id FROM embeddings GROUP BY vec_id HAVING COUNT(*) > 1)
+)
+ORDER BY "check"
+""",
+    "q103_length_histogram": """
+WITH t AS (
+  SELECT LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents
+)
+SELECT CASE WHEN n_tok <= 1 THEN 1
+            ELSE CAST(POW(2.0, CEIL(LOG2(CAST(n_tok AS DOUBLE)))) AS BIGINT)
+       END AS len_bucket,
+       COUNT(*) AS n_docs
+FROM t
+GROUP BY 1
+ORDER BY len_bucket
 """,
 }
