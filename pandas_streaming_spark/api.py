@@ -277,16 +277,19 @@ class StreamingFrame:
         value_cols: list[str],
         right_ord: str | None = None,
         direction: str = "backward",
+        tolerance: float | None = None,
+        allow_exact_matches: bool = True,
     ) -> "StreamingFrame":
         """Reference ``combine_latest``/``zip_latest``: each left element
-        pairs with the latest-known right element — the as-of join.
-        ``direction`` covers the pd.merge_asof trio
-        (backward/forward/nearest)."""
+        pairs with the latest-known right element — the as-of join, with
+        the full pd.merge_asof parameter surface (direction trio,
+        tolerance seconds, allow_exact_matches)."""
         return StreamingFrame(
             asof_join(
                 self.df, other.df, key=key, left_time=left_time,
                 right_time=right_time, value_cols=value_cols, right_ord=right_ord,
-                direction=direction,
+                direction=direction, tolerance=tolerance,
+                allow_exact_matches=allow_exact_matches,
             )
         )
 

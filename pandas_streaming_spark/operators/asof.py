@@ -37,23 +37,32 @@ def asof_join(
     value_cols: list[str],
     right_ord: str | None = None,
     direction: str = "backward",
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For each left row, attach one right row's ``value_cols`` matching
-    on ``key``, chosen by ``direction`` (the pd.merge_asof trio):
+    on ``key`` — the full ``pd.merge_asof`` parameter surface:
 
-    - ``backward``: latest right row with ``right_time <= left_time``;
-    - ``forward``: earliest right row with ``right_time >= left_time``
+    - ``direction='backward'``: latest right row with
+      ``right_time <= left_time``;
+    - ``'forward'``: earliest right row with ``right_time >= left_time``
       (symmetric window, frame flipped to CURRENT ROW..UNBOUNDED
       FOLLOWING with ``first(ignorenulls)``);
-    - ``nearest``: whichever of the two candidates is closer in time,
+    - ``'nearest'``: whichever of the two candidates is closer in time,
       ties to the backward side — two frame passes over ONE shuffle
-      (same partitioning, Spark inserts no second exchange).
+      (same partitioning, Spark inserts no second exchange);
+    - ``tolerance`` (seconds, or plain units for numeric times): a
+      candidate farther than this from ``left_time`` is discarded —
+      the don't-join-stale-quotes guard;
+    - ``allow_exact_matches=False``: the inequality becomes strict,
+      implemented purely by flipping which side sorts first at equal
+      timestamps (no extra pass).
 
     ``right_ord`` (e.g. an event id) breaks ties among right rows sharing
     one timestamp: the greatest wins for backward, the smallest for
     forward — the rules a sorted ``pd.merge_asof`` applies. Returned
     columns: every left column + ``value_cols`` (NULL when no candidate
-    exists).
+    qualifies).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest: {direction}")
@@ -84,40 +93,60 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
     u = l.unionByName(r)
-    # backward: right rows (side=0) sort BEFORE left at equal t -> the
-    # running last() includes exact matches; among equal-t rights the
-    # max-__ord wins. forward mirrors both choices.
+    # Equal-timestamp visibility is pure sort order: for an INCLUSIVE
+    # backward match the right rows (side=0) sort before left at equal t
+    # so the running last() sees them; STRICT flips the side order so
+    # same-t rights fall outside the preceding frame. Forward mirrors it.
+    b_side = F.col("__side").asc() if allow_exact_matches else F.col("__side").desc()
+    f_side = F.col("__side").desc() if allow_exact_matches else F.col("__side").asc()
     wb = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side", "__ord")
+        .orderBy(F.col("__t").asc(), b_side, F.col("__ord").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__side").desc(), F.col("__ord").asc())
+        .orderBy(F.col("__t").asc(), f_side, F.col("__ord").asc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    if direction == "backward":
+    plain = tolerance is None and direction != "nearest"
+    if plain and direction == "backward":
         fills = [F.last(c, ignorenulls=True).over(wb).alias(c) for c in value_cols]
-    elif direction == "forward":
+    elif plain and direction == "forward":
         fills = [F.first(c, ignorenulls=True).over(wf).alias(c) for c in value_cols]
-    else:  # nearest: fill (match_time, values) structs both ways, pick closer
+    else:
+        # fill (match_time, values) structs so tolerance/nearest can
+        # reason about the matched timestamp
         rs = F.when(
             F.col("__side") == 0,
             F.struct(F.col("__t").alias("__mt"), *[F.col(c) for c in value_cols]),
         )
         u = u.withColumn("__rs", rs)
-        bw = F.last("__rs", ignorenulls=True).over(wb)
-        fw = F.first("__rs", ignorenulls=True).over(wf)
         t = F.col("__t").cast("double")
-        dist_b = F.abs(t - bw["__mt"].cast("double"))
-        dist_f = F.abs(fw["__mt"].cast("double") - t)
-        chosen = (
-            F.when(bw.isNull(), fw)
-            .when(fw.isNull(), bw)
-            .when(dist_b <= dist_f, bw)
-            .otherwise(fw)
-        )
+
+        def gated(cand: Column) -> Column:
+            if tolerance is None:
+                return cand
+            return F.when(
+                F.abs(cand["__mt"].cast("double") - t) <= F.lit(float(tolerance)),
+                cand,
+            )
+
+        bw = gated(F.last("__rs", ignorenulls=True).over(wb))
+        fw = gated(F.first("__rs", ignorenulls=True).over(wf))
+        if direction == "backward":
+            chosen = bw
+        elif direction == "forward":
+            chosen = fw
+        else:
+            dist_b = F.abs(t - bw["__mt"].cast("double"))
+            dist_f = F.abs(fw["__mt"].cast("double") - t)
+            chosen = (
+                F.when(bw.isNull(), fw)
+                .when(fw.isNull(), bw)
+                .when(dist_b <= dist_f, bw)
+                .otherwise(fw)
+            )
         fills = [chosen[c].alias(c) for c in value_cols]
     filled = u.select(*left_cols, F.col("__side"), *fills)
     return filled.filter(F.col("__side") == 1).drop("__side")

@@ -123,3 +123,65 @@ def test_asof_directions_match_pandas(spark, left_rows, right_rows, direction):
     pd.testing.assert_series_equal(
         got["v"].astype("float64"), exp["v"].astype("float64"), check_names=False
     )
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None)
+@given(
+    left_rows=st.lists(ROW, min_size=1, max_size=10),
+    right_rows=st.lists(ROW, min_size=0, max_size=10),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    allow_exact=st.booleans(),
+    tol=st.sampled_from([None, 3, 10]),
+)
+def test_asof_tolerance_and_exact_match_pandas(
+    spark, left_rows, right_rows, direction, allow_exact, tol
+):
+    """Full pd.merge_asof parameter surface (tolerance seconds +
+    allow_exact_matches) on a right side deduplicated to unique (k, rt)."""
+    left = pd.DataFrame(
+        [(k, _ts(t), i) for i, (k, t, _) in enumerate(left_rows)],
+        columns=["k", "t", "lid"],
+    )
+    right = (
+        pd.DataFrame(
+            [(k, _ts(t), v, i) for i, (k, t, v) in enumerate(right_rows)],
+            columns=["k", "rt", "v", "ord"],
+        )
+        .sort_values("ord")
+        .groupby(["k", "rt"], as_index=False)
+        .last()
+    )
+
+    sl = spark.createDataFrame(left)
+    sr = (
+        spark.createDataFrame(right[["k", "rt", "v", "ord"]])
+        if len(right)
+        else spark.createDataFrame([], "k bigint, rt timestamp, v double, ord bigint")
+    )
+    got = (
+        asof_join(
+            sl, sr, key="k", left_time="t", right_time="rt",
+            value_cols=["v"], right_ord="ord", direction=direction,
+            tolerance=tol, allow_exact_matches=allow_exact,
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+    lsorted = left.sort_values(["t", "lid"]).reset_index(drop=True)
+    rsorted = right.sort_values(["rt"]).reset_index(drop=True)
+    if len(rsorted):
+        exp = pd.merge_asof(
+            lsorted, rsorted[["k", "rt", "v"]], left_on="t", right_on="rt",
+            by="k", direction=direction, allow_exact_matches=allow_exact,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        )
+    else:
+        exp = lsorted.assign(v=float("nan"))
+    exp = exp.sort_values("lid").reset_index(drop=True)
+
+    pd.testing.assert_series_equal(
+        got["v"].astype("float64"), exp["v"].astype("float64"), check_names=False
+    )
