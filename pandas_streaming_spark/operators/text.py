@@ -389,7 +389,10 @@ def cdc_chunks(
     materialized once per row first).
     """
     toks = F.split(F.col(text_col), " ")
-    with_t = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n"))
+    # a NULL document has no chunks (dropped, not a null-row artifact)
+    with_t = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
+    )
     gram_md5 = lambda i: F.md5(  # noqa: E731 - gram ending at 1-based i
         F.concat_ws(" ", F.slice("__t", i - F.lit(k - 1), k))
     )

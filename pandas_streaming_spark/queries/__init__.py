@@ -153,6 +153,7 @@ _EXTRAS = [
     "q101_stream_trending",
     "q102_integrity_audit",
     "q103_length_histogram",
+    "q104_chunk_dedup_pipeline",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -344,6 +344,44 @@ def q100_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q104_chunk_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup pipeline v2 composing the round-3 ops:
+    scrub (redaction rewrite) → content-defined chunking → corpus-wide
+    chunk-hash dedup rate per source. The storage-dedup view of the
+    corpus: how much of each source is redundant at CDC-chunk
+    granularity. One narrow scrub+chunk pass, a doc_id join for the
+    source label, one aggregation."""
+    from pandas_streaming_spark.operators.text import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    scrubbed = docs.select(
+        "doc_id",
+        F.regexp_replace("text", REDACT_PATTERN, "[MASKED]").alias("text"),
+    )
+    chunks = cdc_chunks(scrubbed, k=3, divisor=8)
+    labeled = chunks.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("chunk_md5").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            F.round(
+                F.lit(10000.0) * (F.col("n_chunks") - F.col("n_distinct"))
+                / F.col("n_chunks"),
+                0,
+            )
+            .cast("long")
+            .alias("dup_e4"),
+        )
+        .orderBy("source")
+    )
+
+
 def q102_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the corpus tables — the
     data-quality gate a pipeline runs before training: documents without
@@ -498,6 +536,7 @@ QUERIES = {
     "q100_cdc_chunks": q100_cdc_chunks,
     "q102_integrity_audit": q102_integrity_audit,
     "q103_length_histogram": q103_length_histogram,
+    "q104_chunk_dedup_pipeline": q104_chunk_dedup_pipeline,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -1177,5 +1216,45 @@ SELECT CASE WHEN n_tok <= 1 THEN 1
 FROM t
 GROUP BY 1
 ORDER BY len_bucket
+""",
+    "q104_chunk_dedup_pipeline": r"""
+WITH t AS (
+  SELECT doc_id,
+         STRING_SPLIT(regexp_replace(text, '\b(key|hash|secret|token)\b',
+                                     '[MASKED]', 'g'), ' ') AS toks,
+         LEN(STRING_SPLIT(regexp_replace(text, '\b(key|hash|secret|token)\b',
+                                         '[MASKED]', 'g'), ' ')) AS n
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks, n,
+         LIST_SORT(LIST_DISTINCT(
+           LIST_FILTER(GENERATE_SERIES(3, n),
+             i -> CAST(CONCAT('0x', SUBSTR(MD5(
+                    ARRAY_TO_STRING(toks[i-2:i], ' ')), 1, 4)) AS BIGINT)
+                  % 8 = 0)
+           || [n])) AS ends
+  FROM t
+),
+e AS (
+  SELECT doc_id, toks, generate_subscripts(ends, 1) AS j, UNNEST(ends) AS en,
+         ends
+  FROM b
+),
+chunks AS (
+  SELECT doc_id,
+         MD5(ARRAY_TO_STRING(
+           toks[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):en], ' '))
+           AS chunk_md5
+  FROM e
+)
+SELECT d.source,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT c.chunk_md5) AS n_distinct,
+       CAST(ROUND(10000.0 * (COUNT(*) - COUNT(DISTINCT c.chunk_md5))
+                  / COUNT(*), 0) AS BIGINT) AS dup_e4
+FROM chunks c JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
 """,
 }

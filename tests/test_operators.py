@@ -548,3 +548,20 @@ def test_cdc_and_normalize_are_shuffle_free(spark, sf_dir):
     assert "Exchange" not in physical_plan(cdc_chunks(docs))
     emb = load_table(spark, sf_dir, "embeddings")
     assert "Exchange" not in physical_plan(normalize_embeddings(emb, dims=16))
+
+
+def test_text_ops_null_and_unicode_safety(spark):
+    """NULL text: redaction null-propagates (SQL semantics), chunking
+    emits no chunks; unicode survives both (regexp + md5 operate on the
+    decoded string, duckdb parity pinned by the ASCII-guarded oracles)."""
+    from pandas_streaming_spark.operators.text import cdc_chunks, redact_terms
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "héllo wörld ünïcode key"), (3, "")],
+        "doc_id long, text string",
+    )
+    red = {r["doc_id"]: r for r in redact_terms(docs, r"\b(key)\b").collect()}
+    assert red[1]["n_hits"] is None and red[1]["redacted_md5"] is None
+    assert red[2]["n_hits"] == 1
+    chunks = cdc_chunks(docs, k=2, divisor=2).collect()
+    assert {r["doc_id"] for r in chunks} == {2, 3}  # null doc -> no rows
