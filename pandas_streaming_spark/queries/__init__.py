@@ -154,6 +154,7 @@ _EXTRAS = [
     "q102_integrity_audit",
     "q103_length_histogram",
     "q104_chunk_dedup_pipeline",
+    "q105_sessionize",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

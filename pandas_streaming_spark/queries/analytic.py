@@ -402,6 +402,19 @@ def q94_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q105_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session labels (operators.sessionize): 30-minute-gap
+    sessions matching q45's boundary contract, emitted as event-level
+    features rather than per-session aggregates."""
+    from pandas_streaming_spark.operators.sessionize import sessionize
+
+    return (
+        sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+        .select("event_id", "user_id", "session_idx")
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,
@@ -427,6 +440,7 @@ QUERIES = {
     "q78_melt": q78_melt,
     "q88_salted_hot_key": q88_salted_hot_key,
     "q94_funnel": q94_funnel,
+    "q105_sessionize": q105_sessionize,
 }
 
 ORACLES = {
@@ -646,5 +660,24 @@ SELECT * FROM (
   SELECT CAST(4 AS INT), 'purchase', COUNT(*) FROM s4
 )
 ORDER BY stage_no
+""",
+    "q105_sessionize": """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT event_id, user_id,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS flag,
+         ts
+  FROM o
+)
+SELECT event_id, user_id,
+       CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM f
+ORDER BY event_id
 """,
 }
