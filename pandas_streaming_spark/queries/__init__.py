@@ -155,6 +155,7 @@ _EXTRAS = [
     "q103_length_histogram",
     "q104_chunk_dedup_pipeline",
     "q105_sessionize",
+    "q106_column_profile",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

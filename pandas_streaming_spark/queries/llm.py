@@ -382,6 +382,56 @@ def q104_chunk_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q106_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling audit of the orders table: per column, null count,
+    exact distinct count, and min/max rendered as strings — the
+    schema-health report a pipeline emits before training. One pass of
+    map-side-combined aggregates per column family (Catalyst fuses them
+    into a single scan); the unpivot is a literal-array explode."""
+    o = _t(spark, sf_dir, "orders")
+    # int/string/date columns only: double→string rendering is engine-
+    # specific (shortest-repr vs binary), so floats are profiled via the
+    # ROUND(x, 2) aggregates of q01/q73 instead
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderdate", "o_orderpriority"]
+    def render(c, agg):
+        # aggregate in the column's own type, THEN render — casting
+        # first would make min/max lexicographic on numerics; date-ish
+        # columns render at DATE granularity (catalog loads them as µs
+        # timestamps, duckdb as DATE)
+        out = agg(F.col(c))
+        if c == "o_orderdate":
+            out = out.cast("date")
+        return out.cast("string")
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__n_{c}"),
+            F.countDistinct(c).alias(f"__d_{c}"),
+            render(c, F.min).alias(f"__mn_{c}"),
+            render(c, F.max).alias(f"__mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n_nulls"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_str"),
+                F.col(f"__mx_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.column", "r.n_nulls", "r.n_distinct", "r.min_str", "r.max_str")
+        .orderBy("column")
+    )
+
+
 def q102_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the corpus tables — the
     data-quality gate a pipeline runs before training: documents without
@@ -537,6 +587,7 @@ QUERIES = {
     "q102_integrity_audit": q102_integrity_audit,
     "q103_length_histogram": q103_length_histogram,
     "q104_chunk_dedup_pipeline": q104_chunk_dedup_pipeline,
+    "q106_column_profile": q106_column_profile,
     "q57_ann_bucketed": q57_ann_bucketed,
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
@@ -1256,5 +1307,41 @@ SELECT d.source,
 FROM chunks c JOIN documents d USING (doc_id)
 GROUP BY d.source
 ORDER BY d.source
+""",
+    "q106_column_profile": """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS "column",
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         COUNT(DISTINCT o_orderkey) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey',
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT o_custkey),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate',
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT o_orderdate),
+         CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+         CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT o_orderpriority),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+)
+ORDER BY "column"
 """,
 }
