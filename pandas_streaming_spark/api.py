@@ -177,12 +177,21 @@ class StreamingFrame:
         seeded-RNG (operators.sampling policy): membership is a pure
         function of ``id_col``, so the sample is stable under reshards,
         re-runs, and engine changes — what a training pipeline actually
-        wants from 'random' sampling."""
+        wants from 'random' sampling.
+
+        Membership buckets are whole percents, so ``frac`` must be a
+        multiple of 0.01 in (0, 1] — anything else would be silently
+        snapped (and frac ≤ 0.005 would snap to an EMPTY sample), so we
+        refuse instead."""
         from pandas_streaming_spark.operators.sampling import deterministic_sample
 
-        return StreamingFrame(
-            deterministic_sample(self.df, id_col, pct=int(round(frac * 100)))
-        )
+        pct = int(round(frac * 100))
+        if not 0 < pct <= 100 or abs(frac * 100 - pct) > 1e-9:
+            raise ValueError(
+                f"sample(frac={frac!r}): content-addressed sampling has 1% "
+                f"granularity; frac must be a multiple of 0.01 in (0, 1]."
+            )
+        return StreamingFrame(deterministic_sample(self.df, id_col, pct=pct))
 
     def pivot_table(
         self,

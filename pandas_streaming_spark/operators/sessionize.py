@@ -3,8 +3,11 @@ feature-engineering form of sessionization: q45 aggregates sessions,
 this labels every event with its session index).
 
 Semantics match the session-window contract pinned by
-tests/test_session_property.py: a gap of ≥ ``gap`` between consecutive
-events of one key starts a new session (the first event always does).
+tests/test_session_property.py: a gap STRICTLY greater than ``gap``
+between consecutive events of one key starts a new session (the first
+event always does) — a gap of exactly ``gap`` merges, because Spark's
+``session_window`` coalesces touching windows ([t, t+gap) and an event
+at t+gap form one session).
 
 Plan: one window over (key, time-ordered events) — lag for the gap flag,
 running sum for the label; a single hash shuffle on the key, the same
@@ -31,7 +34,7 @@ def sessionize(
     prev = F.lag(ts_col).over(w)
     gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
     flag = F.when(
-        prev.isNull() | (gap_us >= gap_minutes * 60 * 1_000_000), 1
+        prev.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1
     ).otherwise(0)
     run = Window.partitionBy(key_col).orderBy(ts_col, ord_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -270,10 +270,16 @@ def repetition_score(
     interpreted and do not share subexpressions, so the inline form
     re-built every shingle string once per reference (measured 6.8 s →
     0.77 s at sf0.1 from this staging alone).
+
+    NULL-text documents count as empty (n_grams = n_distinct = rep_e4 =
+    0) — size(NULL) would propagate NULL counts and silently diverge
+    from the q89 oracle's COALESCE-to-0, so the token array is coalesced
+    to empty before the shingle pass.
     """
-    grams = df.select(F.col(id_col), tokens(text_col).alias("__t")).select(
-        F.col(id_col), shingles_of(F.col("__t"), k).alias("__g")
-    )
+    grams = df.select(
+        F.col(id_col),
+        F.coalesce(tokens(text_col), F.array().cast("array<string>")).alias("__t"),
+    ).select(F.col(id_col), shingles_of(F.col("__t"), k).alias("__g"))
     n = F.size("__g")
     nd = F.size(F.array_distinct("__g"))
     rep = F.when(

@@ -669,7 +669,7 @@ WITH o AS (
 ),
 f AS (
   SELECT event_id, user_id,
-         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS flag,
          ts
   FROM o

@@ -14,6 +14,7 @@ not throughput. Durable inputs belong on the file/kafka paths.
 from __future__ import annotations
 
 import json
+import logging
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -175,7 +176,33 @@ def from_process_stream(
     )
 
 
-_HTTP_SERVERS: dict[int, object] = {}
+_HTTP_SERVERS: dict[int, tuple[object, str]] = {}
+
+#: Per-port count of malformed/unservable requests the ingest endpoints
+#: refused (bad Content-Length, unreadable body). A source that silently
+#: loses data is the one place exception-swallowing is dangerous, so the
+#: drop is counted where tests and operators can see it, and debug-logged.
+SOURCE_DROPS: dict[int, int] = {}
+
+
+def _check_port_spool(
+    cache: dict[int, tuple[object, str]], port: int, spool: str, kind: str
+) -> bool:
+    """True if a server for ``port`` already exists (after verifying it
+    writes to the same ``spool``). The daemon's handler captures the
+    first call's spool in its closure, so reusing the port with a
+    different spool would silently append to the old file while the new
+    stream reads an empty one — refuse loudly instead."""
+    if port in cache:
+        _, bound = cache[port]
+        if bound != spool:
+            raise ValueError(
+                f"{kind} server on port {port} is already spooling to "
+                f"{bound!r}; pass the same spool or use a fresh port "
+                f"(one durable log per endpoint)."
+            )
+        return True
+    return False
 
 
 def from_http_server(
@@ -199,13 +226,29 @@ def from_http_server(
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    if port not in _HTTP_SERVERS:
+    if not _check_port_spool(_HTTP_SERVERS, port, spool, "from_http_server"):
         lock = threading.Lock()
+        SOURCE_DROPS.setdefault(port, 0)
 
         class _Handler(BaseHTTPRequestHandler):
             def do_POST(self):  # noqa: N802 (http.server API name)
-                n = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(n).decode("utf-8", errors="replace")
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(n).decode("utf-8", errors="replace")
+                except (ValueError, OSError) as exc:
+                    # Malformed request: refuse with 400 and COUNT the
+                    # drop — never ack (200) data that didn't reach the
+                    # durable spool.
+                    SOURCE_DROPS[port] += 1
+                    logging.getLogger(__name__).debug(
+                        "from_http_server port %d dropped request: %s", port, exc
+                    )
+                    try:
+                        self.send_response(400)
+                        self.end_headers()
+                    except OSError:
+                        pass  # client already gone; the drop is counted
+                    return
                 lines = [ln for ln in body.split("\n") if ln]
                 import os
 
@@ -221,7 +264,7 @@ def from_http_server(
 
         srv = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
-        _HTTP_SERVERS[port] = srv
+        _HTTP_SERVERS[port] = (srv, spool)
 
     spark.dataSource.register(ProcessDataSource)
     return (
@@ -232,7 +275,7 @@ def from_http_server(
     )
 
 
-_WS_SERVERS: dict[int, object] = {}
+_WS_SERVERS: dict[int, tuple[object, str]] = {}
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
 
 
@@ -324,7 +367,7 @@ def from_websocket(
     import socket
     import threading
 
-    if port not in _WS_SERVERS:
+    if not _check_port_spool(_WS_SERVERS, port, spool, "from_websocket"):
         lock = threading.Lock()
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -367,7 +410,7 @@ def from_websocket(
                 threading.Thread(target=serve_conn, args=(conn,), daemon=True).start()
 
         threading.Thread(target=accept_loop, daemon=True).start()
-        _WS_SERVERS[port] = srv
+        _WS_SERVERS[port] = (srv, spool)
 
     spark.dataSource.register(ProcessDataSource)
     return (
@@ -378,7 +421,7 @@ def from_websocket(
     )
 
 
-_MQTT_SERVERS: dict[int, object] = {}
+_MQTT_SERVERS: dict[int, tuple[object, str]] = {}
 
 
 def _mqtt_read_packet(conn):
@@ -435,7 +478,7 @@ def from_mqtt(
     import socket
     import threading
 
-    if port not in _MQTT_SERVERS:
+    if not _check_port_spool(_MQTT_SERVERS, port, spool, "from_mqtt"):
         lock = threading.Lock()
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -485,7 +528,7 @@ def from_mqtt(
                 threading.Thread(target=serve_conn, args=(conn,), daemon=True).start()
 
         threading.Thread(target=accept_loop, daemon=True).start()
-        _MQTT_SERVERS[port] = srv
+        _MQTT_SERVERS[port] = (srv, spool)
 
     spark.dataSource.register(ProcessDataSource)
     return (

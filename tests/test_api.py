@@ -226,3 +226,10 @@ def test_sample_is_content_addressed(spark, sf_dir):
         .collect()
     )
     assert a == b and 0 < len(a) < docs.df.count()
+    # frac with no whole-percent representation (or an empty snap) is
+    # refused rather than silently rounded
+    import pytest
+
+    for bad in (0.005, 0.015, 0.0, 1.5, -0.1):
+        with pytest.raises(ValueError, match="granularity|multiple"):
+            docs.sample(bad, "doc_id")

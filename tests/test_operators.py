@@ -348,6 +348,7 @@ def test_repetition_score_edges(spark):
             (1, "a a a a a a"),          # 4 identical 3-grams -> 7500
             (2, "one two three four"),   # 2 distinct 3-grams -> 0
             (3, "xy zz"),                # < 3 tokens -> no grams, 0
+            (4, None),                   # NULL text counts as empty, not NULL
         ],
         "doc_id long, text string",
     )
@@ -356,6 +357,7 @@ def test_repetition_score_edges(spark):
     assert rows[1] == (4, 1, 7500)
     assert rows[2] == (2, 2, 0)
     assert rows[3] == (0, 0, 0)
+    assert rows[4] == (0, 0, 0)  # matches the q89 oracle's COALESCE-to-0
 
 
 def test_contamination_check_bounds(spark):
@@ -593,3 +595,27 @@ def test_sessionize_matches_session_window(spark, sf_dir):
     assert got == exp
     first = lab.orderBy("user_id", "ts", "event_id").limit(1).collect()[0]
     assert first["session_idx"] == 1
+
+
+def test_sessionize_exact_boundary_merges(spark):
+    """Pin the boundary rule: a gap of exactly the threshold MERGES
+    (session_window coalesces touching windows); only strictly-greater
+    gaps split. Mirrors tests/test_session_property.py for the
+    per-event labeling form."""
+    import datetime
+
+    from pandas_streaming_spark.operators.sessionize import sessionize
+
+    t0 = datetime.datetime(2024, 1, 1)
+    gap = datetime.timedelta(minutes=30)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + gap),  # exactly the threshold -> same session
+        (3, 1, t0 + gap + gap + datetime.timedelta(microseconds=1)),  # > -> new
+    ]
+    lab = sessionize(
+        spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp"),
+        gap_minutes=30,
+    )
+    got = {r["event_id"]: r["session_idx"] for r in lab.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}

@@ -194,6 +194,46 @@ def test_from_http_server_real_source(spark, tmp_path):
     assert got == [f"msg-{i}" for i in range(10)]
 
 
+def test_from_http_server_counts_malformed_drops(spark, tmp_path):
+    """A malformed POST (non-numeric Content-Length) is refused with 400
+    and COUNTED in SOURCE_DROPS — a source must never lose data silently."""
+    import socket
+
+    from pandas_streaming_spark.sources import from_http_server
+    from pandas_streaming_spark.sources.pystream import SOURCE_DROPS
+
+    spool = str(tmp_path / "http_drop.log")
+    port = 48237
+    from_http_server(spark, port, spool, batch_size=4)
+    before = SOURCE_DROPS.get(port, 0)
+
+    conn = socket.create_connection(("127.0.0.1", port), timeout=10)
+    conn.sendall(
+        b"POST / HTTP/1.1\r\nHost: x\r\nContent-Length: banana\r\n\r\n"
+    )
+    resp = conn.recv(4096)
+    conn.close()
+    assert b"400" in resp.split(b"\r\n")[0]
+    assert SOURCE_DROPS[port] == before + 1
+
+
+def test_port_reuse_with_different_spool_refused(spark, tmp_path):
+    """Reusing a live endpoint port with a different spool must raise —
+    the daemon's handler is bound to the first spool, so silently
+    accepting would append to the old file while the new stream reads an
+    empty one."""
+    import pytest
+
+    from pandas_streaming_spark.sources import from_http_server
+
+    port = 48238
+    s1 = str(tmp_path / "a.log")
+    from_http_server(spark, port, s1)
+    from_http_server(spark, port, s1)  # same spool: fine, server reused
+    with pytest.raises(ValueError, match="already spooling"):
+        from_http_server(spark, port, str(tmp_path / "b.log"))
+
+
 def test_from_websocket_real_source(spark, tmp_path):
     """from_websocket: a stdlib RFC 6455 client handshakes, sends masked
     text frames (including a 126-length extended frame and a ping), and
