@@ -156,6 +156,7 @@ _EXTRAS = [
     "q104_chunk_dedup_pipeline",
     "q105_sessionize",
     "q106_column_profile",
+    "q107_kafka_roundtrip",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -324,6 +324,63 @@ def q101_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q107_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka contract end-to-end without a broker: the events table is
+    produced into a 4-partition spool topic (key=user_id, value=
+    event_type, partition=user_id%4, event-id order within a partition),
+    streamed back through the kafka_spool partitioned DataSource (the
+    connector's 7-column schema, executor-side record decode), and
+    graded on per-partition counts, offset ranges, value bytes and
+    distinct keys. min_off=0 / max_off=n-1 proves offsets are contiguous
+    — the spool replay is exactly-once, no drops and no duplicates. The
+    oracle recomputes the same facts from the table, so a routing,
+    framing, or offset bug cannot grade green."""
+    import hashlib
+    import os
+
+    from pandas_streaming_spark.sources import kafka
+    from pandas_streaming_spark.sources.kafka_spool import produce
+    from pandas_streaming_spark.streaming.replay import SCRATCH
+
+    ev = load_table(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|k4".encode()).hexdigest()[:12]
+    spool = os.path.join(SCRATCH, f"kspool-{key}")
+    marker = os.path.join(spool, "_OK")
+    if not os.path.exists(marker):
+        # fixture producer (driver-side, event-id order -> deterministic
+        # per-partition offsets); the distributed task-side producer is
+        # exercised by to_kafka_spool tests
+        rows = ev.select("event_id", "user_id", "event_type", "ts").orderBy("event_id").collect()
+        produce(
+            spool,
+            "events",
+            [
+                (str(r["user_id"]).encode(), r["event_type"].encode(),
+                 int(r["ts"].timestamp() * 1000))
+                for r in rows
+            ],
+            n_partitions=4,
+            partition_of=lambda k, v: int(k) % 4,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    stream = kafka(spark, "events", "spool://" + spool)
+    out = run_stream_to_df(spark, stream, "append")
+    return (
+        out.groupBy("topic", "partition")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("offset").cast("long").alias("min_off"),
+            F.max("offset").cast("long").alias("max_off"),
+            F.sum(F.octet_length("value")).cast("long").alias("value_bytes"),
+            F.countDistinct("key").cast("long").alias("n_keys"),
+        )
+        .orderBy("partition")
+    )
+
+
 QUERIES = {
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
@@ -336,6 +393,7 @@ QUERIES = {
     "q72_stream_ewm": q72_stream_ewm,
     "q98_stream_funnel": q98_stream_funnel,
     "q101_stream_trending": q101_stream_trending,
+    "q107_kafka_roundtrip": q107_kafka_roundtrip,
 }
 
 ORACLES = {
@@ -449,6 +507,20 @@ SELECT user_id, event_id,
        CAST(FLOOR(num / den * 1e6 + 0.5) AS BIGINT) AS ewm_e6
 FROM rec
 ORDER BY user_id, event_id
+""",
+    "q107_kafka_roundtrip": """
+SELECT 'events' AS topic,
+       CAST(user_id % 4 AS INT) AS partition,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS min_off,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_off,
+       -- STRLEN is bytes in duckdb; event types are ASCII so it equals
+       -- the utf-8 payload size the producer framed
+       CAST(SUM(STRLEN(event_type)) AS BIGINT) AS value_bytes,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM events
+GROUP BY 2
+ORDER BY partition
 """,
 }
 

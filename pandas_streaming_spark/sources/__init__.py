@@ -108,9 +108,22 @@ def kafka(
     offsets for exactly-once processing — a strict upgrade over the
     reference's ref-counted at-least-once delivery.
 
-    Unexercisable end-to-end in the sandbox (no broker, no connector
-    jar); the option contract is pinned by tests via kafka_options and
-    a missing connector raises an actionable error."""
+    A ``spool://<dir>`` bootstrap routes to the kafka_spool broker
+    emulation (same option contract and output schema, partitioned
+    executor-side reads) so kafka-facing queries run and replay in the
+    sandbox; a real ``host:port`` bootstrap needs the connector jar and
+    raises an actionable error without it."""
+    if bootstrap_servers.startswith("spool://"):
+        from pandas_streaming_spark.sources.kafka_spool import from_kafka_spool
+
+        m = extra.get("maxOffsetsPerTrigger")
+        return from_kafka_spool(
+            spark,
+            topics,
+            bootstrap_servers[len("spool://") :],
+            starting_offsets,
+            int(m) if m else None,
+        )
     r = spark.readStream.format("kafka")
     for k, v in kafka_options(topics, bootstrap_servers, starting_offsets, **extra).items():
         r = r.option(k, v)
@@ -129,7 +142,13 @@ def to_kafka(
     """Kafka sink (reference ``to_kafka``): expects ``value`` (and
     optionally ``key``) binary/string columns. Streaming frames get an
     exactly-once writeStream with checkpointing; batch frames a one-shot
-    write."""
+    write. A ``spool://<dir>`` bootstrap routes batch frames to the
+    kafka_spool emulated producer (per-partition logs, task-side writes,
+    driver-commit rename)."""
+    if bootstrap_servers.startswith("spool://") and not df.isStreaming:
+        from pandas_streaming_spark.sources.kafka_spool import to_kafka_spool
+
+        return to_kafka_spool(df, topic, bootstrap_servers[len("spool://") :])
     try:
         if df.isStreaming:
             w = (

@@ -107,6 +107,92 @@ def test_to_kafka_contract_without_broker(spark):
         to_kafka(df, "events", "localhost:9092")
 
 
+def test_kafka_spool_roundtrip_partitioned(spark, tmp_path):
+    """kafka_spool e2e: driver produce -> partitioned stream read with
+    the connector's 7-column schema; offsets contiguous per partition;
+    spool://-bootstrap routing through the public kafka() API."""
+    from pandas_streaming_spark.sources import kafka
+    from pandas_streaming_spark.sources.kafka_spool import produce
+    from pandas_streaming_spark.streaming.replay import run_stream_to_df
+
+    d = str(tmp_path / "broker")
+    recs = [(f"k{i}".encode(), f"value-{i}".encode(), 1_700_000_000_000 + i)
+            for i in range(30)]
+    produce(d, "t", recs, n_partitions=3, partition_of=lambda k, v: int(k[1:]))
+
+    s = kafka(spark, "t", "spool://" + d)
+    assert s.isStreaming
+    assert [f.name for f in s.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp",
+        "timestampType",
+    ]
+    rows = run_stream_to_df(spark, s, "append").collect()
+    assert len(rows) == 30
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["partition"], []).append(r)
+    assert set(by_part) == {0, 1, 2}
+    for p, rs in by_part.items():
+        offs = sorted(r["offset"] for r in rs)
+        assert offs == list(range(len(rs)))  # contiguous: no drops/dups
+        for r in rs:
+            i = int(bytes(r["key"]).decode()[1:])
+            assert i % 3 == p
+            assert bytes(r["value"]).decode() == f"value-{i}"
+            assert r["topic"] == "t" and r["timestampType"] == 0
+
+
+def test_kafka_spool_batch_writer_and_replay(spark, tmp_path):
+    """Task-side batch producer (to_kafka via spool:// bootstrap): every
+    Spark partition becomes one committed partition log (tmp+rename via
+    driver commit — no .tmp files survive), and a SECOND read of the same
+    spool replays byte-identical records (durable-log exactly-once)."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from pandas_streaming_spark.sources import kafka, to_kafka
+    from pandas_streaming_spark.streaming.replay import run_stream_to_df
+
+    d = str(tmp_path / "broker")
+    df = spark.range(50).select(
+        F.col("id").cast("string").alias("key"),
+        F.concat(F.lit("v-"), F.col("id")).alias("value"),
+    )
+    to_kafka(df.repartition(4), "out", "spool://" + d)
+    assert not g.glob(f"{d}/out/*.tmp")  # commit protocol renamed them all
+    assert len(g.glob(f"{d}/out/*.log")) == 4
+
+    def drain():
+        return sorted(
+            bytes(r["value"]).decode()
+            for r in run_stream_to_df(
+                spark, kafka(spark, "out", "spool://" + d), "append"
+            ).collect()
+        )
+
+    first, second = drain(), drain()
+    assert first == second == sorted(f"v-{i}" for i in range(50))
+
+
+def test_kafka_spool_max_offsets_per_trigger(spark, tmp_path):
+    """Admission control parity: maxOffsetsPerTrigger caps records per
+    micro-batch but a drain still delivers everything exactly once."""
+    from pandas_streaming_spark.sources import kafka
+    from pandas_streaming_spark.sources.kafka_spool import produce
+    from pandas_streaming_spark.streaming.replay import run_stream_to_df
+
+    d = str(tmp_path / "broker")
+    recs = [(None, f"m{i}".encode(), 1_700_000_000_000) for i in range(23)]
+    produce(d, "t", recs, n_partitions=2)
+    s = kafka(spark, "t", "spool://" + d, maxOffsetsPerTrigger="7")
+    rows = run_stream_to_df(spark, s, "append", trigger="drain").collect()
+    assert sorted(bytes(r["value"]).decode() for r in rows) == sorted(
+        f"m{i}" for i in range(23)
+    )
+    assert all(r["key"] is None for r in rows)
+
+
 def test_from_iterable_stream_real_source(spark):
     """from_iterable as a true Spark 4 Python DataSource: multiple
     micro-batches (batch_size-driven offsets), drained to completion;
