@@ -11,6 +11,11 @@ Scale: state lives in the executor-local state store (RocksDB-backed on a
 real cluster — set ``spark.sql.streaming.stateStore.providerClass``);
 keys partition across executors by hash, so per-key state is single-writer
 and the operator scales with key cardinality, not stream length.
+
+``running_user_stats_tws`` is the same contract on Spark 4's successor
+``transformWithStateInPandas`` API (typed state handles, timers, RocksDB
+column families) — the preferred form at 100× scale; see compat.py for
+the protobuf runtime discovery that makes it runnable here.
 """
 
 from __future__ import annotations
@@ -68,6 +73,64 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
         stateStructType=RUNNING_STATS_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
+    """``running_user_stats`` on the transformWithStateInPandas API —
+    the successor arbitrary-state operator (typed per-key state handles,
+    timers, column-family state store) and the preferred form at 100×
+    scale. Same contract as the applyInPandasWithState version: per-user
+    running (count, max(value)), converging to the batch GROUP BY for
+    any stream split (pinned by tests against the same oracle).
+
+    Requirements wired up by the engine: a protobuf runtime in the
+    Python workers (compat.ensure_protobuf — fires inside get_spark)
+    and a column-family-capable state store. The session conf is set
+    here because TWS is the only operator that needs RocksDB locally;
+    on a real cluster RocksDB is what you'd run anyway (state larger
+    than executor heap, incremental checkpoints).
+    """
+    from pandas_streaming_spark.compat import tws_ready
+
+    ok, reason = tws_ready()
+    if not ok:
+        raise RuntimeError(reason)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark = events_stream.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", RUNNING_STATS_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = self._state.get() if self._state.exists() else (0, None)
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = pdf["value"].max()
+                mx = batch_max if mx is None else max(mx, batch_max)
+            self._state.update((n, float(mx)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [float(mx)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        _RunningStats(),
+        outputStructType=RUNNING_STATS_OUT,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

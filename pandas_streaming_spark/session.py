@@ -34,6 +34,12 @@ def get_spark(
     On a real cluster, drop ``master`` and submit with executors; every
     other conf below carries over unchanged.
     """
+    # Wire the protobuf fallback (transformWithStateInPandas workers)
+    # before the JVM exists — workers inherit PYTHONPATH from it.
+    from pandas_streaming_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
