@@ -181,6 +181,7 @@ from pandas_streaming_spark.sources.pystream import (  # noqa: E402,F401
     from_http_server,
     from_iterable_stream,
     from_mqtt,
+    from_process_pool,
     from_process_stream,
     from_websocket,
 )

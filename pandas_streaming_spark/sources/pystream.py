@@ -18,7 +18,12 @@ import logging
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _IterableStreamReader(SimpleDataSourceStreamReader):
@@ -171,6 +176,152 @@ def from_process_stream(
         spark.readStream.format("process_stream")
         .option("cmd", json.dumps(list(cmd)))
         .option("spool", spool)
+        .option("batch_size", str(batch_size))
+        .load()
+    )
+
+
+class _WorkerSlice(InputPartition):
+    """Picklable (worker log, line range) read task for the partitioned
+    process source."""
+
+    def __init__(self, worker: int, path: str, start: int, end: int):
+        self.worker = worker
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class _ProcessPoolStreamReader(DataSourceStreamReader):
+    """Partitioned reader for ``from_process_pool``: N worker commands,
+    each spooling stdout to its own durable log; every micro-batch plans
+    one (worker, line range) slice per log and the slices are read IN
+    EXECUTOR TASKS — the scale-out form of the driver-side
+    ``_ProcessStreamReader`` (N workers → N-way read parallelism, the
+    same shape the kafka source gives topic partitions).
+
+    Offsets are ``{worker_index: committed_line_count}``; a restarted
+    query replays exact committed slices from the logs. The worker
+    processes themselves live on the driver (they are the *ingest*
+    edge); the decode/parse cost is what scales out.
+    """
+
+    def __init__(self, spool_dir: str, cmds_json: str, batch_size: int):
+        self._dir = spool_dir
+        self._cmds = json.loads(cmds_json) if cmds_json else []
+        self._bs = batch_size
+        self._procs: list | None = None
+
+    def _log(self, i: int) -> str:
+        import os
+
+        return os.path.join(self._dir, f"w{i:03d}.log")
+
+    def _ensure_started(self) -> None:
+        import os
+        import subprocess
+
+        if self._procs is not None:
+            return
+        os.makedirs(self._dir, exist_ok=True)
+        self._procs = []
+        for i, cmd in enumerate(self._cmds):
+            out = open(self._log(i), "ab")
+            self._procs.append(
+                subprocess.Popen(cmd, stdout=out, stderr=subprocess.DEVNULL)
+            )
+
+    def _n_workers(self) -> int:
+        import glob as g
+        import os
+
+        n_logs = len(g.glob(os.path.join(self._dir, "w*.log")))
+        return max(len(self._cmds), n_logs)
+
+    def initialOffset(self) -> dict:
+        return {str(i): 0 for i in range(self._n_workers())}
+
+    def latestOffset(self) -> dict:
+        import os
+
+        self._ensure_started()
+        prev = getattr(self, "_last_offered", None) or self.initialOffset()
+        out = {}
+        for i in range(self._n_workers()):
+            path = self._log(i)
+            n = 0
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    data = f.read()
+                n = data.count(b"\n")  # committed = newline-terminated
+            # admission control: at most batch_size new lines per worker
+            # per trigger, so one chatty worker can't starve a micro-batch
+            base = prev.get(str(i), 0)
+            out[str(i)] = min(n, base + self._bs)
+        self._last_offered = out
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _WorkerSlice(int(key), self._log(int(key)), start.get(key, 0), hi)
+            for key, hi in end.items()
+            if hi > start.get(key, 0)
+        ]
+
+    def read(self, partition: _WorkerSlice):
+        # executor-side: decode exactly the committed slice of one log
+        s = partition
+        with open(s.path, "rb") as f:
+            lines = f.read().decode("utf-8", errors="replace").split("\n")[:-1]
+        return iter(
+            [(s.worker, j, v) for j, v in enumerate(lines[s.start : s.end], s.start)]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        for p in self._procs or []:
+            if p.poll() is None:
+                p.terminate()
+
+
+class ProcessPoolDataSource(DataSource):
+    """``format("process_pool_stream")``: options ``spool_dir``, ``cmds``
+    (JSON list of argv lists; empty to tail logs another writer owns) and
+    ``batch_size``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "process_pool_stream"
+
+    def schema(self) -> str:
+        return "worker int, line_no long, value string"
+
+    def streamReader(self, schema) -> _ProcessPoolStreamReader:
+        return _ProcessPoolStreamReader(
+            self.options["spool_dir"],
+            self.options.get("cmds", ""),
+            int(self.options.get("batch_size", "1000")),
+        )
+
+
+def from_process_pool(
+    spark: SparkSession,
+    cmds: list[list[str]],
+    spool_dir: str,
+    batch_size: int = 1000,
+) -> DataFrame:
+    """Streaming DataFrame over N worker subprocesses, one durable log
+    and one *read partition* per worker: columns ``(worker int, line_no
+    long, value string)``. The partitioned counterpart of
+    ``from_process_stream`` — use it when the parse/transform after
+    ingest should fan out across the cluster."""
+    spark.dataSource.register(ProcessPoolDataSource)
+    return (
+        spark.readStream.format("process_pool_stream")
+        .option("spool_dir", spool_dir)
+        .option("cmds", json.dumps([list(c) for c in cmds]))
         .option("batch_size", str(batch_size))
         .load()
     )

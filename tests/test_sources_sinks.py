@@ -256,6 +256,53 @@ def test_from_process_stream_real_source(spark, tmp_path):
     assert got == [f"line-{i}" for i in range(30)]
 
 
+def test_from_process_pool_partitioned(spark, tmp_path):
+    """from_process_pool: 3 worker commands -> 3 durable logs -> one read
+    partition each (executor-side decode). Offsets are per-worker line
+    counts; a second drain of the same pool (no cmds — tail mode) replays
+    the exact committed slices, proving per-partition offset replay."""
+    import time
+
+    from pandas_streaming_spark.sources import from_process_pool
+    from pandas_streaming_spark.streaming.replay import run_stream_to_df
+
+    d = str(tmp_path / "pool")
+    cmds = [
+        ["python", "-c", f"[print(f'w{w}-l{{i}}') for i in range(12)]"]
+        for w in range(3)
+    ]
+    s = from_process_pool(spark, cmds, d, batch_size=5)
+    assert s.isStreaming
+    assert [f.name for f in s.schema.fields] == ["worker", "line_no", "value"]
+
+    deadline = time.time() + 30
+    rows = run_stream_to_df(spark, s, "append", trigger="drain").collect()
+    while len(rows) < 36 and time.time() < deadline:
+        time.sleep(0.5)
+        rows = run_stream_to_df(
+            spark, from_process_pool(spark, [], d, batch_size=5),
+            "append", trigger="drain",
+        ).collect()
+    assert len(rows) == 36
+    by_worker = {}
+    for r in rows:
+        by_worker.setdefault(r["worker"], []).append(r)
+    assert set(by_worker) == {0, 1, 2}
+    for w, rs in by_worker.items():
+        assert sorted(r["line_no"] for r in rs) == list(range(12))
+        assert sorted(r["value"] for r in rs) == sorted(
+            f"w{w}-l{i}" for i in range(12)
+        )
+
+    # replay: a fresh tail-mode read of the same pool returns the exact
+    # same records (durable log + per-partition offsets = exactly-once)
+    again = run_stream_to_df(
+        spark, from_process_pool(spark, [], d, batch_size=50),
+        "append", trigger="drain",
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
 def test_from_http_server_real_source(spark, tmp_path):
     """from_http_server: POSTed lines land in the spool and stream out
     with stable line offsets."""
