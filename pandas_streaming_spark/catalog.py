@@ -62,19 +62,30 @@ def _events_via_arrow(spark: SparkSession, path: str) -> DataFrame:
             for f in table.schema
         ]
     )
-    return spark.createDataFrame(table.cast(schema, safe=False).to_pandas())
+    return _normalize_event_ts(
+        spark.createDataFrame(table.cast(schema, safe=False).to_pandas())
+    )
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos.
-    Floor-divide to µs (integer div — the value exceeds double precision)
-    and rebuild the timestamp, matching duckdb's ns→µs truncation."""
+    """Normalize events.ts to µs TIMESTAMP (instant/LTZ) whatever form the
+    parquet delivers:
+
+    - TIMESTAMP(NANOS) + ``spark.sql.legacy.parquet.nanosAsLong`` → long
+      nanos: floor-divide to µs (integer div — the value exceeds double
+      precision) and rebuild, matching duckdb's ns→µs truncation.
+    - naive timestamp[us] (isAdjustedToUTC=false → TIMESTAMP_NTZ): cast to
+      TIMESTAMP — a pure type adjustment under the pinned UTC session
+      timezone, and what streaming needs (withWatermark/session_window
+      reject NTZ event-time columns).
+    """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

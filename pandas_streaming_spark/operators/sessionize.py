@@ -32,7 +32,11 @@ def sessionize(
     event row."""
     w = Window.partitionBy(key_col).orderBy(ts_col, ord_col)
     prev = F.lag(ts_col).over(w)
-    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    # unix_micros rejects TIMESTAMP_NTZ; the session timezone is pinned
+    # to UTC (session.py), so the cast is a pure type adjustment.
+    gap_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
     flag = F.when(
         prev.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1
     ).otherwise(0)
