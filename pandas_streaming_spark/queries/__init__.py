@@ -157,6 +157,7 @@ _EXTRAS = [
     "q105_sessionize",
     "q106_column_profile",
     "q107_kafka_roundtrip",
+    "q108_ann_recall",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

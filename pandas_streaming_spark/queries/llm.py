@@ -26,6 +26,7 @@ from pandas_streaming_spark.operators.dedup import (
 from pandas_streaming_spark.operators.multimodal import decode_images, documents_as_media
 from pandas_streaming_spark.operators.similarity import (
     ann_bucketed_topk,
+    ann_recall,
     assign_to_centroids,
     cosine_topk,
     ivf_topk,
@@ -547,6 +548,20 @@ def q79_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q108_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit (VERDICT r3 item 7): recall@10 of the
+    2-bit sign-bucket ANN vs exact brute force over 20 spread query ids.
+    2 bits (not q57's 8) so buckets hold a meaningful candidate pool at
+    the 500-row grading corpus; the recall floor is pinned by
+    tests/test_operators.py::test_ann_recall_thresholds."""
+    return ann_recall(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(0, 100, 5)),
+        k=10,
+        n_bits=2,
+    )
+
+
 def q59_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity_join(_t(spark, sf_dir, "embeddings"), threshold=0.35, block_col="label")
     return pairs.agg(
@@ -592,6 +607,7 @@ QUERIES = {
     "q58_multimodal_decode": q58_multimodal_decode,
     "q79_frame_sample": q79_frame_sample,
     "q59_embedding_neardup": q59_embedding_neardup,
+    "q108_ann_recall": q108_ann_recall,
 }
 
 
@@ -666,6 +682,10 @@ _PRED = """CASE
 
 _BUCKET = " || ".join(
     f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
+)
+
+_BUCKET2 = " || ".join(
+    f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 3)
 )
 
 _HEXPOS = "STRPOS('0123456789abcdef', SUBSTR(MD5(text), {p}, 1)) - 1"
@@ -1048,6 +1068,44 @@ FROM b, q
 WHERE b.bucket = q.qb
 ORDER BY sim_e4 DESC, vec_id
 LIMIT 10
+""",
+    "q108_ann_recall": f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET2} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+  FROM b WHERE vec_id % 5 = 0 AND vec_id < 100
+),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         CAST(ROUND(10000.0 * {_cos('b.embedding', 'q.qe')}, 0) AS BIGINT) AS sim_e4,
+         (b.bucket = q.qb) AS in_bucket
+  FROM b CROSS JOIN q
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim_e4 DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= 10
+),
+ann AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim_e4 DESC, vec_id) AS rn
+    FROM scored WHERE in_bucket) WHERE rn <= 10
+),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN ann a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(ROUND(10000.0 * COALESCE(h.n_hits, 0) / 10, 0) AS BIGINT) AS recall_e4
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+ORDER BY q.query_id
 """,
     "q58_multimodal_decode": f"""
 SELECT doc_id,
