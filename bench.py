@@ -153,6 +153,67 @@ def main() -> None:
         except Exception as e:  # the headline numbers must never be lost
             result["scaled"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # 100x growth evidence (VERDICT r3 item 6): replicate the bench SF
+    # 100x (sf0.1 -> sf10-equivalent, ~60M lineitem rows), time ONE pass
+    # per query under a wall budget, and check the plan invariants that
+    # must survive any scale-up (AQE may legitimately flip join
+    # strategies; pushed filters / no-cartesian / funnel-single-shuffle
+    # must not change). The replica is content-cached under .scratch, so
+    # only the first round pays the synthesis cost.
+    factor100 = int(os.environ.get("SPARK_GRAFT_SCALE100_FACTOR", "100"))
+    budget100 = float(os.environ.get("SPARK_GRAFT_SCALE100_BUDGET", "600"))
+    if factor100 > 1:
+        try:
+            from pandas_streaming_spark.datagen import scale_dataset
+            from pandas_streaming_spark.plans import has_pushed_filter, physical_plan
+            from pandas_streaming_spark.streaming.replay import SCRATCH
+
+            dir100 = os.path.join(
+                SCRATCH, f"scaled-{os.path.basename(sf_dir.rstrip('/'))}-x{factor100}"
+            )
+            t_synth = time.perf_counter()
+            scale_dataset(spark, sf_dir, dir100, factor100)
+            synth_sec = round(time.perf_counter() - t_synth, 1)
+            t_section = time.perf_counter()  # budget covers the query loop only
+            times100: dict[str, float] = {}
+            skipped: list[str] = []
+            for name in HEADLINE:
+                if time.perf_counter() - t_section > budget100:
+                    skipped.append(name)  # no silent caps: record the cut
+                    continue
+                t0 = time.perf_counter()
+                QUERIES[name](spark, dir100).collect()
+                times100[name] = round(time.perf_counter() - t0, 4)
+            inv = {
+                "no_cartesian": all(
+                    "CartesianProduct" not in physical_plan(QUERIES[n](spark, dir100))
+                    for n in HEADLINE
+                ),
+                "q01_pushed_filter": has_pushed_filter(
+                    QUERIES["q01_pricing_summary"](spark, dir100), "l_shipdate"
+                ),
+                "q94_single_user_shuffle": physical_plan(
+                    QUERIES["q94_funnel"](spark, dir100)
+                ).count("hashpartitioning(user_id")
+                == 1,
+            }
+            result["scaled100"] = {
+                "factor": factor100,
+                "synthesis_sec": synth_sec,  # 0.x when the cached replica hits
+                "queries": times100,
+                "skipped_on_budget": skipped,
+                "value": round(sum(times100.values()), 4),
+                "growth_vs_1x": {
+                    n: round(times100[n] / times[n], 2)
+                    for n in times100
+                    if times.get(n)
+                },
+                "invariants": inv,
+                "protocol": "single-run (cold per query; see spread fields at 1x)",
+            }
+        except Exception as e:  # the headline numbers must never be lost
+            result["scaled100"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     result["load_avg"]["end"] = round(os.getloadavg()[0], 2)
 
     # Cross-round per-query history: one JSONL line per invocation, so a

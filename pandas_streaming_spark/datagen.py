@@ -71,7 +71,16 @@ def scale_dataset(
         )
         for key in FACT_KEYS[name]:
             rep = rep.withColumn(key, F.col(key) + F.col("__rep") * KEY_OFFSET)
-        rep.drop("__rep").select(*df.columns).write.mode("overwrite").parquet(dest)
+        # a small source parquet is one input split, so without an explicit
+        # repartition ONE task expands and writes the whole factor-x table
+        # (measured: ~10 min for 100x sf0.1); spread by replica id so the
+        # write is factor-way parallel (capped at 2x cores)
+        import os as _os
+
+        n_out = min(factor, 2 * int(_os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        rep.repartition(n_out, "__rep").drop("__rep").select(*df.columns).write.mode(
+            "overwrite"
+        ).parquet(dest)
     with open(marker, "w") as f:
         f.write(stamp)
     return dest_dir
