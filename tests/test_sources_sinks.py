@@ -20,6 +20,44 @@ def _tmp(tag: str) -> str:
     return d
 
 
+def test_events_ts_normalized_for_any_parquet_physical_type(spark, tmp_path):
+    """The driver owns /root/testdata and has shipped events.ts as
+    TIMESTAMP(NANOS) (rounds 1-3) and as naive timestamp[us] (round 4).
+    load_table must deliver instant µs TIMESTAMP for every arrival form —
+    streaming (withWatermark) rejects NTZ event-time columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    base = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000, 1_700_000_060_000_000],
+                           pa.timestamp("us")),
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array([None, None], pa.string()),
+        }
+    )
+    variants = {
+        "naive_us": base,
+        "instant_us": base.set_column(
+            1, "ts", base["ts"].cast(pa.timestamp("us", tz="UTC"))
+        ),
+        "nanos": base.set_column(1, "ts", base["ts"].cast(pa.timestamp("ns"))),
+    }
+    for name, tbl in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), (
+            name, df.schema["ts"].dataType)
+        got = sorted(r["ts"].isoformat() for r in df.select("ts").collect())
+        assert got == ["2023-11-14T22:13:20", "2023-11-14T22:14:20"], (name, got)
+
+
 def test_csv_roundtrip(spark, sf_dir):
     path = _tmp("csv")
     orders = load_table(spark, sf_dir, "orders").select(
