@@ -97,3 +97,41 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL-flavored queries)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Write ``df`` as a bucketed (optionally sort-within-bucket) managed
+    table and return the re-read frame.
+
+    This is the 100 TB answer to the fact-fact shuffle: two tables
+    bucketed by the same key into the same bucket count join with NO
+    Exchange (and with ``sort_cols`` = join key, no Sort either) — the
+    scaled100 bench shows the lineitem⋈orders SMJ sort is exactly what
+    dominates a single machine at 60M rows, and on a cluster it is the
+    shuffle you pay on every repeated join. Bucket once, join many.
+    Verified by tests/test_plans.py::test_bucketed_fact_join_is_exchange_free.
+    """
+    # the default in-memory catalog forgets managed tables between
+    # sessions while their spark-warehouse dirs persist; clear both so
+    # overwrite cannot hit LOCATION_ALREADY_EXISTS on a leftover dir
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table_name.lower()}", ignore_errors=True)
+
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+    return spark.table(table_name)

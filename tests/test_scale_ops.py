@@ -82,27 +82,20 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
     plans/scale_notes.md prescribes for repeated fact-fact joins)."""
     from pandas_streaming_spark.plans import physical_plan
 
+    from pandas_streaming_spark.catalog import write_bucketed
+
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    (
-        orders.write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("b_orders")
+    b_orders = write_bucketed(
+        spark, orders, "b_orders", ["o_orderkey"], 8, ["o_orderkey"]
     )
-    (
-        li.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("b_lineitem")
+    b_li = write_bucketed(
+        spark, li, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"]
     )
     try:
         joined = (
-            spark.table("b_orders")
-            .join(
-                spark.table("b_lineitem"),
-                F.col("o_orderkey") == F.col("l_orderkey"),
-            )
+            b_orders
+            .join(b_li, F.col("o_orderkey") == F.col("l_orderkey"))
             .select("o_orderkey", "l_quantity")
         )
         # disable broadcast so the join must pick SMJ over the buckets
