@@ -238,6 +238,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_audit(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Candidate-quality audit for the LSH dedup path: precision and
+    recall of :func:`lsh_candidate_pairs` against the exact
+    :func:`ngram_jaccard_pairs` ground truth at ``threshold`` — the
+    dedup-side twin of similarity.ann_recall (a determinism-graded LSH
+    can silently lose recall to a banding/capping bug; this measures it
+    inside the engine, deterministically).
+
+    One row: ``n_candidates``, ``n_truth``, ``n_hits`` (candidate ∩
+    truth), ``precision_e4`` (hits/candidates), ``recall_e4``
+    (hits/truth) in basis points; NULL ratio when the denominator is 0.
+
+    Both sides shingle with the same ``k``, so the minhash bands
+    approximate Jaccard over exactly the truth's shingle space. Cost is
+    one LSH pass plus one inverted-index join — audit-scale work; at
+    corpus scale run it on a deterministic sample (sampling.deterministic_sample)
+    rather than the full corpus.
+    """
+    cand = lsh_candidate_pairs(
+        df, id_col, text_col, n_hashes, bands, k, max_bucket
+    ).select("id_a", "id_b")
+    truth = ngram_jaccard_pairs(df, id_col, text_col, k, threshold).select(
+        "id_a", "id_b"
+    )
+    hits = cand.join(truth, ["id_a", "id_b"]).select("id_a")
+    bps = lambda num, den: F.when(  # noqa: E731 - inline ratio helper
+        F.col(den) > 0, F.round(F.lit(10000.0) * F.col(num) / F.col(den), 0)
+    ).cast("long")
+    return (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hits",
+            bps("n_hits", "n_candidates").alias("precision_e4"),
+            bps("n_hits", "n_truth").alias("recall_e4"),
+        )
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,

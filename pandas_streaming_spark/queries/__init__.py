@@ -158,6 +158,7 @@ _EXTRAS = [
     "q106_column_profile",
     "q107_kafka_roundtrip",
     "q108_ann_recall",
+    "q109_lsh_audit",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pandas_streaming_spark.catalog import load_table
 from pandas_streaming_spark.operators.dedup import (
     connected_components,
+    lsh_audit,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -562,6 +563,16 @@ def q108_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q109_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-side quality audit (twin of q108): precision/recall of the
+    q50 LSH candidate pairs vs exact 3-shingle Jaccard >= 0.5 ground
+    truth. Floors pinned by tests/test_operators.py::test_lsh_audit."""
+    return lsh_audit(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5, n_hashes=8, bands=4, k=3, max_bucket=64,
+    )
+
+
 def q59_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity_join(_t(spark, sf_dir, "embeddings"), threshold=0.35, block_col="label")
     return pairs.agg(
@@ -608,6 +619,7 @@ QUERIES = {
     "q79_frame_sample": q79_frame_sample,
     "q59_embedding_neardup": q59_embedding_neardup,
     "q108_ann_recall": q108_ann_recall,
+    "q109_lsh_audit": q109_lsh_audit,
 }
 
 
@@ -1068,6 +1080,47 @@ FROM b, q
 WHERE b.bucket = q.qb
 ORDER BY sim_e4 DESC, vec_id
 LIMIT 10
+""",
+    "q109_lsh_audit": f"""
+WITH bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM ({_MINHASH_SIG})
+  GROUP BY doc_id, s // 2
+),
+ok AS (  -- mirror max_bucket=64
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sh2 AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+truth AS (
+  SELECT j.id_a, j.id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) j
+  JOIN sizes na ON na.doc_id = j.id_a
+  JOIN sizes nb ON nb.doc_id = j.id_b
+  WHERE 1.0 * j.c / (na.n + nb.n - j.c) >= 0.5
+),
+h AS (SELECT COUNT(*) AS n_hits
+      FROM cand JOIN truth ON cand.id_a = truth.id_a AND cand.id_b = truth.id_b),
+c AS (SELECT COUNT(*) AS n_candidates FROM cand),
+t AS (SELECT COUNT(*) AS n_truth FROM truth)
+SELECT c.n_candidates, t.n_truth, h.n_hits,
+       CASE WHEN c.n_candidates > 0
+            THEN CAST(ROUND(10000.0 * h.n_hits / c.n_candidates, 0) AS BIGINT)
+       END AS precision_e4,
+       CASE WHEN t.n_truth > 0
+            THEN CAST(ROUND(10000.0 * h.n_hits / t.n_truth, 0) AS BIGINT)
+       END AS recall_e4
+FROM c, t, h
 """,
     "q108_ann_recall": f"""
 WITH b AS (
