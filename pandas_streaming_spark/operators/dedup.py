@@ -182,12 +182,27 @@ def simhash_fingerprints(
     :func:`minhash_signatures` vs the interpreted array-fold form
     (functions.simhash_bits).
     """
+    # one md5 per token covers 32 bits (one hex char per bit); wider
+    # fingerprints hash again with a block seed — without this, substring
+    # past the 32-char digest is empty and bits 33+ silently freeze at -1
+    # (every doc identical in the tail — found by the r4 simhash audit).
+    n_blocks = (n_bits + 31) // 32
     hashed = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__t")
-    ).select(F.col(id_col), F.md5("__t").alias("__h"))
+    ).select(
+        F.col(id_col),
+        *[
+            F.md5(
+                F.col("__t") if blk == 0 else F.concat_ws("|", "__t", F.lit(str(blk)))
+            ).alias(f"__h{blk}")
+            for blk in range(n_blocks)
+        ],
+    )
     bit_aggs = [
         F.sum(
-            F.when(F.substring("__h", j + 1, 1).rlike("[89a-f]"), 1).otherwise(-1)
+            F.when(
+                F.substring(f"__h{j // 32}", j % 32 + 1, 1).rlike("[89a-f]"), 1
+            ).otherwise(-1)
         ).alias(f"__b{j}")
         for j in range(n_bits)
     ]
@@ -271,6 +286,11 @@ def lsh_audit(
     truth = ngram_jaccard_pairs(df, id_col, text_col, k, threshold).select(
         "id_a", "id_b"
     )
+    return _precision_recall(cand, truth)
+
+
+def _precision_recall(cand: DataFrame, truth: DataFrame) -> DataFrame:
+    """One-row precision/recall report over two (id_a, id_b) pair sets."""
     hits = cand.join(truth, ["id_a", "id_b"]).select("id_a")
     bps = lambda num, den: F.when(  # noqa: E731 - inline ratio helper
         F.col(den) > 0, F.round(F.lit(10000.0) * F.col(num) / F.col(den), 0)
@@ -287,6 +307,48 @@ def lsh_audit(
             bps("n_hits", "n_truth").alias("recall_e4"),
         )
     )
+
+
+def simhash_audit(
+    df: DataFrame,
+    threshold: float = 0.5,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """SimHash-side quality audit completing the dedup-audit family
+    (MinHash-LSH: :func:`lsh_audit`; embeddings: similarity.ann_recall):
+    precision/recall of pairs within Hamming distance ``max_hamming`` on
+    the :func:`simhash_fingerprints` bitstrings, against the exact
+    Jaccard-at-``threshold`` ground truth.
+
+    The candidate scan here is the audit-scale all-pairs comparison
+    (broadcast-nested-loop on the fingerprint table — fingerprints are
+    tiny). At corpus scale generate candidates with bit-prefix blocks
+    (pigeonhole: distance ≤ d pairs share at least one of d+1 prefix
+    blocks) and audit on a deterministic sample instead.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col, n_bits)
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
+    hamming = sum(
+        F.when(
+            F.substring("__sa", j + 1, 1) != F.substring("__sb", j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(n_bits)
+    )
+    cand = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("__ham"))
+        .filter(F.col("__ham") <= max_hamming)
+        .select("id_a", "id_b")
+    )
+    truth = ngram_jaccard_pairs(df, id_col, text_col, k, threshold).select(
+        "id_a", "id_b"
+    )
+    return _precision_recall(cand, truth)
 
 
 def connected_components(

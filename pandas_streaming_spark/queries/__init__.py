@@ -159,6 +159,7 @@ _EXTRAS = [
     "q107_kafka_roundtrip",
     "q108_ann_recall",
     "q109_lsh_audit",
+    "q110_simhash_audit",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -22,6 +22,7 @@ from pandas_streaming_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_audit,
     simhash_fingerprints,
 )
 from pandas_streaming_spark.operators.multimodal import decode_images, documents_as_media
@@ -573,6 +574,18 @@ def q109_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q110_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-side quality audit (third of the family with q108/q109):
+    precision/recall of Hamming<=6 pairs on 64-bit block-seeded
+    fingerprints vs exact Jaccard>=0.5 truth. The 64-bit form also
+    regression-pins the block-seeding fix (bits 33+ froze constant
+    before r4 — every doc identical in the tail)."""
+    return simhash_audit(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5, max_hamming=6, n_bits=64, k=3,
+    )
+
+
 def q59_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity_join(_t(spark, sf_dir, "embeddings"), threshold=0.35, block_col="label")
     return pairs.agg(
@@ -620,6 +633,7 @@ QUERIES = {
     "q59_embedding_neardup": q59_embedding_neardup,
     "q108_ann_recall": q108_ann_recall,
     "q109_lsh_audit": q109_lsh_audit,
+    "q110_simhash_audit": q110_simhash_audit,
 }
 
 
@@ -675,6 +689,22 @@ _SIMHASH_BITS = ",\n       ".join(
     "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
     "THEN '1' ELSE '0' END AS b{j}".format(p=j + 1, j=j)
     for j in range(16)
+)
+
+# 64-bit block-seeded variant (q110): bit j reads char j%32+1 of the
+# block j//32 digest — h0 = MD5(tok), h1 = MD5(tok || '|1'), mirroring
+# simhash_fingerprints' concat_ws seed
+_SIMHASH64_BITS = ",\n       ".join(
+    "CASE WHEN SUM(CASE WHEN SUBSTR(h{b}, {p}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+    "THEN '1' ELSE '0' END AS b{j}".format(b=j // 32, p=j % 32 + 1, j=j)
+    for j in range(64)
+)
+_SIMHASH64_CONCAT = " || ".join(f"b{j}" for j in range(64))
+_HAMMING64 = " + ".join(
+    f"CASE WHEN SUBSTR(a.sh, {j + 1}, 1) <> SUBSTR(b.sh, {j + 1}, 1) "
+    "THEN 1 ELSE 0 END"
+    for j in range(64)
 )
 
 _MARKER_SQL = {
@@ -1096,6 +1126,48 @@ cand AS (
   JOIN ok ON ok.band = a.band AND ok.bh = a.bh
   JOIN bands b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sh2 AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+truth AS (
+  SELECT j.id_a, j.id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) j
+  JOIN sizes na ON na.doc_id = j.id_a
+  JOIN sizes nb ON nb.doc_id = j.id_b
+  WHERE 1.0 * j.c / (na.n + nb.n - j.c) >= 0.5
+),
+h AS (SELECT COUNT(*) AS n_hits
+      FROM cand JOIN truth ON cand.id_a = truth.id_a AND cand.id_b = truth.id_b),
+c AS (SELECT COUNT(*) AS n_candidates FROM cand),
+t AS (SELECT COUNT(*) AS n_truth FROM truth)
+SELECT c.n_candidates, t.n_truth, h.n_hits,
+       CASE WHEN c.n_candidates > 0
+            THEN CAST(ROUND(10000.0 * h.n_hits / c.n_candidates, 0) AS BIGINT)
+       END AS precision_e4,
+       CASE WHEN t.n_truth > 0
+            THEN CAST(ROUND(10000.0 * h.n_hits / t.n_truth, 0) AS BIGINT)
+       END AS recall_e4
+FROM c, t, h
+""",
+    "q110_simhash_audit": f"""
+WITH tok AS (
+  SELECT doc_id, MD5(t) AS h0, MD5(t || '|1') AS h1
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+),
+fp AS (
+  SELECT doc_id, {_SIMHASH64_CONCAT} AS sh FROM (
+    SELECT doc_id,
+       {_SIMHASH64_BITS}
+    FROM tok GROUP BY doc_id
+  )
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE ({_HAMMING64}) <= 6
 ),
 sh2 AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),

@@ -292,6 +292,30 @@ def test_lsh_audit(spark):
     assert e["precision_e4"] is None and e["recall_e4"] is None
 
 
+def test_simhash_audit_and_wide_fingerprints(spark):
+    """Third dedup-quality audit + the r4 block-seeding fix: with one
+    md5 per token, bits 33+ of a wide fingerprint froze constant for
+    every doc (substring past the 32-char digest is empty). Floors from
+    the r4 sf0.01 measurement (precision 0.0435, recall 0.96 at 64
+    bits / Hamming<=6)."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.dedup import (
+        simhash_audit,
+        simhash_fingerprints,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    tails = {
+        r["simhash"][32:]
+        for r in simhash_fingerprints(docs.limit(8), n_bits=64).collect()
+    }
+    assert len(tails) > 1, "bits 33-64 must vary across docs"
+
+    (r,) = simhash_audit(docs, threshold=0.5, max_hamming=6, n_bits=64).collect()
+    assert r["recall_e4"] >= 8500, r.asDict()
+    assert r["precision_e4"] >= 200, r.asDict()
+
+
 def _make_bmp(rows, top_down=False):
     """Assemble an uncompressed 24-bit BMP from rows[y][x] = (r, g, b)."""
     import struct
