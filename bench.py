@@ -1,9 +1,18 @@
 #!/usr/bin/env python
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE COMPACT JSON line as the
+final stdout line:
 
     {"metric": "suite_seconds", "value": N, "unit": "sec",
-     "queries": {...}, "sf": ...}
+     "queries": {...1x medians...}, "sf": ..., "detail": "BENCH_FULL_rN.json"}
+
+The driver captures only a bounded stdout tail, so the final line is kept
+well under ~1500 chars (round 4 lost its official bench record because
+the one-line JSON with spread/scaled/scaled100 sections outgrew the
+capture window — VERDICT r4 item 1). The FULL result — per-run spread,
+streaming throughput, 10x and 100x scaling sections, plan invariants,
+bucketed-layout comparison — goes to ``BENCH_FULL_r{N}.json`` in the repo
+root plus a line in ``BENCH_HISTORY.jsonl``.
 
 Per-query protocol: one untimed warm-up of the whole suite amortizes the
 JVM/session start (BASELINE.md: session start ~5 s dominates at small SF),
@@ -215,6 +224,81 @@ def main() -> None:
                 "invariants": inv,
                 "protocol": "single-run (cold per query; see spread fields at 1x)",
             }
+
+            # Bucketed-layout comparison (VERDICT r4 item 2): the plain
+            # q04 at 100x pays a 60Mx15M fact-fact SMJ sort that spills a
+            # single JVM; catalog.write_bucketed co-locates the join keys
+            # so the same join runs exchange-free over the buckets. Put
+            # BOTH numbers in the graded record, with the plan invariant
+            # asserted, so the 100 TB-safe layout is driver-visible and
+            # regressions in it show up per-round.
+            if "q04_star_join_revenue" in times100 and os.environ.get(
+                "SPARK_GRAFT_BUCKETED_Q04", "1"
+            ) != "0":
+                try:
+                    from pyspark.sql import functions as F
+
+                    from pandas_streaming_spark.catalog import (
+                        load_table, write_bucketed,
+                    )
+
+                    t_b = time.perf_counter()
+                    b_o = write_bucketed(
+                        spark, load_table(spark, dir100, "orders"),
+                        "bench_b_orders", ["o_orderkey"], 32, ["o_orderkey"],
+                    )
+                    b_li = write_bucketed(
+                        spark, load_table(spark, dir100, "lineitem"),
+                        "bench_b_lineitem", ["l_orderkey"], 32, ["l_orderkey"],
+                    )
+                    bucket_write_sec = round(time.perf_counter() - t_b, 1)
+
+                    def q04_bucketed():
+                        # same star join + agg as q04, but the fact-fact
+                        # edge rides the bucketed layout (orders first so
+                        # the SMJ sees the bucketed scans directly; dims
+                        # broadcast onto the result)
+                        c = F.broadcast(load_table(spark, dir100, "customer"))
+                        n = F.broadcast(load_table(spark, dir100, "nation"))
+                        r = F.broadcast(load_table(spark, dir100, "region"))
+                        return (
+                            b_o.join(b_li, b_o.o_orderkey == b_li.l_orderkey)
+                            .join(c, F.col("o_custkey") == c.c_custkey)
+                            .join(n, c.c_nationkey == n.n_nationkey)
+                            .join(r, n.n_regionkey == r.r_regionkey)
+                            .filter(F.col("r_name") == "ASIA")
+                            .groupBy("n_name")
+                            .agg(F.round(F.sum(
+                                F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2,
+                            ).alias("revenue"))
+                            .orderBy(F.col("revenue").desc(), "n_name")
+                        )
+
+                    plan = physical_plan(q04_bucketed())
+                    # the 100 TB invariant: no shuffle on the fact-fact key
+                    exchange_free = (
+                        "Exchange hashpartitioning(o_orderkey" not in plan
+                        and "Exchange hashpartitioning(l_orderkey" not in plan
+                    )
+                    q04_bucketed().collect()  # warm bucketed file listings
+                    t0 = time.perf_counter()
+                    rows = q04_bucketed().collect()
+                    result["scaled100"]["bucketed"] = {
+                        "q04_plain_sec": times100["q04_star_join_revenue"],
+                        "q04_bucketed_sec": round(time.perf_counter() - t0, 4),
+                        "bucket_write_sec": bucket_write_sec,
+                        "n_buckets": 32,
+                        "fact_join_exchange_free": exchange_free,
+                        "rows": len(rows),
+                    }
+                except Exception as e:
+                    result["scaled100"]["bucketed"] = {
+                        "error": f"{type(e).__name__}: {e}"[:200]
+                    }
+                finally:
+                    spark.sql("DROP TABLE IF EXISTS bench_b_orders")
+                    spark.sql("DROP TABLE IF EXISTS bench_b_lineitem")
         except Exception as e:  # the headline numbers must never be lost
             result["scaled100"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
@@ -231,6 +315,9 @@ def main() -> None:
             "protocol": result["protocol"],
             "queries": times,
             "spread": spread,
+            # streaming throughput history (VERDICT r4 item 5): make
+            # replay-rate regressions visible across rounds
+            "events_per_sec": result.get("streaming", {}).get("events_per_sec"),
         }
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -241,7 +328,45 @@ def main() -> None:
     except OSError:
         pass  # history is best-effort; the stdout contract is the record
 
-    print(json.dumps(result))
+    # Full detail to a round-stamped file (round N = max driver-recorded
+    # BENCH_r{K}.json + 1; the driver writes r{K} AFTER round K, so during
+    # round 5 the max on disk is 4).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import re
+
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 0
+        detail_name = f"BENCH_FULL_r{rnd:02d}.json"
+        with open(os.path.join(repo, detail_name), "w", encoding="utf-8") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        detail_name = None
+
+    # Compact final line: the driver's official record. Keep it far under
+    # the ~2000-char stdout tail capture — medians + headline scalars only.
+    s100 = result.get("scaled100", {})
+    compact = {
+        "metric": "suite_seconds",
+        "value": result["value"],
+        "unit": "sec",
+        "queries": times,
+        "sf": result["sf"],
+        "protocol": result["protocol"],
+        "events_per_sec": result.get("streaming", {}).get("events_per_sec"),
+        "scaled100_value": s100.get("value"),
+        "q04_bucketed_sec": s100.get("bucketed", {}).get("q04_bucketed_sec"),
+        "detail": detail_name,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # belt-and-braces: medians alone always fit
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

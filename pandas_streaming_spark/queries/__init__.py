@@ -160,6 +160,7 @@ _EXTRAS = [
     "q108_ann_recall",
     "q109_lsh_audit",
     "q110_simhash_audit",
+    "q111_stateful_tws",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

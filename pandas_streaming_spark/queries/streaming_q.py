@@ -339,7 +339,7 @@ def q107_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from pandas_streaming_spark.sources import kafka
-    from pandas_streaming_spark.sources.kafka_spool import produce
+    from pandas_streaming_spark.sources.kafka_spool import produce_distributed
     from pandas_streaming_spark.streaming.replay import SCRATCH
 
     ev = load_table(spark, sf_dir, "events")
@@ -349,20 +349,21 @@ def q107_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     spool = os.path.join(SCRATCH, f"kspool-{key}")
     marker = os.path.join(spool, "_OK")
     if not os.path.exists(marker):
-        # fixture producer (driver-side, event-id order -> deterministic
-        # per-partition offsets); the distributed task-side producer is
-        # exercised by to_kafka_spool tests
-        rows = ev.select("event_id", "user_id", "event_type", "ts").orderBy("event_id").collect()
-        produce(
+        # task-side fixture producer: explicit partition routing
+        # (user_id % 4), event-id order within each partition ->
+        # deterministic offsets; nothing but the 4-row write summary
+        # ever reaches the driver
+        produce_distributed(
+            ev.select(
+                F.col("user_id").cast("string").alias("key"),
+                F.col("event_type").alias("value"),
+                F.unix_millis("ts").alias("ts_ms"),
+                (F.col("user_id") % 4).cast("int").alias("partition"),
+                F.col("event_id").alias("__ord"),
+            ),
             spool,
             "events",
-            [
-                (str(r["user_id"]).encode(), r["event_type"].encode(),
-                 int(r["ts"].timestamp() * 1000))
-                for r in rows
-            ],
-            n_partitions=4,
-            partition_of=lambda k, v: int(k) % 4,
+            order_col="__ord",
         )
         with open(marker, "w") as f:
             f.write("ok")
@@ -381,6 +382,22 @@ def q107_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q111_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q48's per-user running (count, max(value)) on the
+    ``transformWithStateInPandas`` API (operators/stateful.py
+    ``running_user_stats_tws``: typed state handles, RocksDB column
+    families — Spark 4's successor arbitrary-state operator and the
+    preferred form at 100× state scale). Graded against the q48 batch
+    GROUP BY oracle VERBATIM, the same streaming-vs-batch equivalence
+    pin q98 uses against q94 (VERDICT r4 item 3)."""
+    from pandas_streaming_spark.operators.stateful import running_user_stats_tws
+
+    out = _final(
+        spark, sf_dir, running_user_stats_tws, "update", key_cols=["user_id"]
+    )
+    return out.select("user_id", "n_events", "max_value").orderBy("user_id")
+
+
 QUERIES = {
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
@@ -394,6 +411,7 @@ QUERIES = {
     "q98_stream_funnel": q98_stream_funnel,
     "q101_stream_trending": q101_stream_trending,
     "q107_kafka_roundtrip": q107_kafka_roundtrip,
+    "q111_stateful_tws": q111_stateful_tws,
 }
 
 ORACLES = {
@@ -529,6 +547,10 @@ ORDER BY partition
 from pandas_streaming_spark.queries import analytic as _analytic  # noqa: E402
 
 ORACLES["q98_stream_funnel"] = _analytic.ORACLES["q94_funnel"]
+
+# transformWithStateInPandas grades against the SAME batch oracle as the
+# applyInPandasWithState form — API successor, identical contract
+ORACLES["q111_stateful_tws"] = ORACLES["q48_stateful_accumulate"]
 
 ORACLES["q101_stream_trending"] = """
 WITH c AS (
