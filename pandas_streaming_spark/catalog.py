@@ -120,13 +120,27 @@ def write_bucketed(
     """
     # the default in-memory catalog forgets managed tables between
     # sessions while their spark-warehouse dirs persist; clear both so
-    # overwrite cannot hit LOCATION_ALREADY_EXISTS on a leftover dir
+    # overwrite cannot hit LOCATION_ALREADY_EXISTS on a leftover dir.
+    # The {warehouse}/{name} path derivation below only holds for an
+    # UNQUALIFIED default-database name on a local warehouse (a db.tbl
+    # name lives under {wh}/{db}.db/, a remote warehouse isn't an OS
+    # path) — assert rather than silently miss the stale dir (ADVICE r4).
+    if "." in table_name:
+        raise ValueError(
+            "write_bucketed supports unqualified default-database table "
+            f"names only (got {table_name!r}); qualified names would "
+            "defeat the stale-warehouse-dir cleanup"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     import shutil
     from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{table_name.lower()}", ignore_errors=True)
+    wh_uri = spark.conf.get("spark.sql.warehouse.dir")
+    parsed = urlparse(wh_uri)
+    if parsed.scheme in ("", "file"):
+        shutil.rmtree(f"{parsed.path}/{table_name.lower()}", ignore_errors=True)
+    # non-local warehouse: DROP TABLE above is authoritative; there is no
+    # orphan-dir failure mode because the catalog is durable there
 
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, *bucket_cols

@@ -73,12 +73,18 @@ def scale_dataset(
             rep = rep.withColumn(key, F.col(key) + F.col("__rep") * KEY_OFFSET)
         # a small source parquet is one input split, so without an explicit
         # repartition ONE task expands and writes the whole factor-x table
-        # (measured: ~10 min for 100x sf0.1); spread by replica id so the
-        # write is factor-way parallel (capped at 2x cores)
+        # (measured: ~10 min for 100x sf0.1). Round-robin repartition (no
+        # column): hash-partitioning on __rep can collide several replicas
+        # into one partition and leave others empty (ADVICE r4), while
+        # round-robin spreads rows evenly regardless of replica count.
         import os as _os
 
-        n_out = min(factor, 2 * int(_os.environ.get("SPARK_GRAFT_CPUS", "32")))
-        rep.repartition(n_out, "__rep").drop("__rep").select(*df.columns).write.mode(
+        try:
+            cpus = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        except ValueError:
+            cpus = 32
+        n_out = min(factor, 2 * cpus)
+        rep.repartition(n_out).drop("__rep").select(*df.columns).write.mode(
             "overwrite"
         ).parquet(dest)
     with open(marker, "w") as f:

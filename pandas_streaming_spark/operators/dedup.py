@@ -317,6 +317,7 @@ def simhash_audit(
     text_col: str = "text",
     n_bits: int = 16,
     k: int = 3,
+    max_rows: int = 50_000,
 ) -> DataFrame:
     """SimHash-side quality audit completing the dedup-audit family
     (MinHash-LSH: :func:`lsh_audit`; embeddings: similarity.ann_recall):
@@ -328,8 +329,18 @@ def simhash_audit(
     (broadcast-nested-loop on the fingerprint table — fingerprints are
     tiny). At corpus scale generate candidates with bit-prefix blocks
     (pigeonhole: distance ≤ d pairs share at least one of d+1 prefix
-    blocks) and audit on a deterministic sample instead.
+    blocks) and audit on a deterministic sample instead. ``max_rows``
+    makes an accidental corpus-scale call fail fast instead of running
+    the O(n²) join (ADVICE r4) — sample first (operators.sampling
+    ``deterministic_sample``) and raise the cap deliberately.
     """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"simhash_audit is an all-pairs audit: {n} rows > max_rows="
+            f"{max_rows}. Audit a deterministic sample, or raise max_rows "
+            "knowingly."
+        )
     fp = simhash_fingerprints(df, id_col, text_col, n_bits)
     a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
     b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))

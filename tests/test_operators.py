@@ -253,7 +253,11 @@ def test_ann_recall_thresholds(spark):
     rows = ann_recall(emb, qids, k=10, n_bits=2).collect()
     assert [r["query_id"] for r in rows] == qids
     mean_e4 = sum(r["recall_e4"] for r in rows) / len(rows)
-    assert mean_e4 >= 3500, mean_e4
+    assert mean_e4 >= 3500, (
+        f"mean recall {mean_e4}; floors are pinned to measurements on "
+        "/root/testdata — if this fails right after a driver testdata "
+        "regen, re-measure and re-pin before suspecting a code bug"
+    )
 
     # single-bucket identity: with 0 sign bits the "ANN" candidate set is
     # the whole corpus, so recall must be exactly 1 for every query
@@ -268,7 +272,10 @@ def test_ann_recall_thresholds(spark):
             r["vec_id"] for r in ivf_topk(emb, qid, k=10, n_probe=2).collect()
         }
         hits += len(exact & approx)
-    assert hits / 100 >= 0.35, hits
+    assert hits / 100 >= 0.35, (
+        f"{hits} hits; data-dependent floor — after a testdata regen, "
+        "re-measure and re-pin before suspecting a code bug"
+    )
 
 
 def test_lsh_audit(spark):
@@ -282,8 +289,8 @@ def test_lsh_audit(spark):
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     (r,) = lsh_audit(docs, threshold=0.5, n_hashes=8, bands=4, k=3).collect()
     assert r["n_truth"] > 0 and r["n_candidates"] > 0, r
-    assert r["recall_e4"] >= 8500, r.asDict()
-    assert r["precision_e4"] >= 500, r.asDict()
+    assert r["recall_e4"] >= 8500, (r.asDict(), "data-dependent floor: re-pin after testdata regen")
+    assert r["precision_e4"] >= 500, (r.asDict(), "data-dependent floor: re-pin after testdata regen")
 
     # degenerate guard: an empty corpus yields 0 counts and NULL ratios
     empty = spark.createDataFrame([], "doc_id long, text string")
@@ -312,8 +319,8 @@ def test_simhash_audit_and_wide_fingerprints(spark):
     assert len(tails) > 1, "bits 33-64 must vary across docs"
 
     (r,) = simhash_audit(docs, threshold=0.5, max_hamming=6, n_bits=64).collect()
-    assert r["recall_e4"] >= 8500, r.asDict()
-    assert r["precision_e4"] >= 200, r.asDict()
+    assert r["recall_e4"] >= 8500, (r.asDict(), "data-dependent floor: re-pin after testdata regen")
+    assert r["precision_e4"] >= 200, (r.asDict(), "data-dependent floor: re-pin after testdata regen")
 
 
 def _make_bmp(rows, top_down=False):
