@@ -12,6 +12,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Wire the vendored protobuf runtime onto PYTHONPATH at IMPORT time:
+# transformWithStateInPandas (q111) spawns JVM-launched Python workers
+# that inherit the environment the JVM snapshotted at launch, so this
+# must happen before the driver builds its SparkSession. Idempotent,
+# no-op when a real protobuf install exists.
+from pandas_streaming_spark.compat import ensure_protobuf as _ensure_protobuf
+
+_ensure_protobuf()
+
 
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply the session confs the engine needs on a driver-provided

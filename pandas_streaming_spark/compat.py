@@ -37,6 +37,10 @@ PROTOBUF_FALLBACKS = [
 
 _checked: bool | None = None
 
+#: set when protobuf rides a vendored fallback dir (None on a real
+#: install); TWS uses it to verify the JVM env carries the path
+fallback_dir: str | None = None
+
 
 def _importable() -> bool:
     try:
@@ -75,6 +79,8 @@ def ensure_protobuf() -> bool:
             # gencode may be slightly newer than the vendored runtime;
             # protobuf's own opt-out for wire-compatible skew
             os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+            global fallback_dir
+            fallback_dir = cand
             _checked = True
             return True
         sys.path.remove(cand)

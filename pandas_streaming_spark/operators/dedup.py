@@ -362,6 +362,64 @@ def simhash_audit(
     return _precision_recall(cand, truth)
 
 
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: flag each NEW document whose exact k-shingle
+    Jaccard against ANY corpus document reaches ``threshold`` — the
+    "dedup the incoming shard against everything already ingested" step
+    every growing training corpus runs, where re-deduping the whole
+    corpus per shard (O(corpus²)) is unaffordable but shard×corpus via
+    an inverted index is one join.
+
+    Plan: distinct shingles of both sides → inverted-index join on the
+    shingle (shard side is the small stream; corpus shingle lists are
+    what you'd persist between shards) → per-(new, corpus) common counts
+    → Jaccard against persisted sizes → any-match flag via semi-join.
+    No cross product at any point; at 100 TB feed MinHash-LSH candidate
+    pairs in as a pre-filter on the join exactly like
+    :func:`ngram_jaccard_pairs` documents.
+
+    Returns ``new_df`` plus ``is_dup`` (boolean).
+    """
+    sh_new = (
+        _exploded_shingles(new_df, id_col, text_col, k)
+        .select(F.col(id_col).alias("new_id"), F.col("__sh").alias("sh"))
+        .distinct()
+    )
+    sh_corp = (
+        _exploded_shingles(corpus_df, id_col, text_col, k)
+        .select(F.col(id_col).alias("corp_id"), F.col("__sh").alias("sh"))
+        .distinct()
+    )
+    n_new = sh_new.groupBy("new_id").agg(F.count("*").alias("na"))
+    n_corp = sh_corp.groupBy("corp_id").agg(F.count("*").alias("nb"))
+    common = (
+        sh_new.join(sh_corp, "sh")
+        .groupBy("new_id", "corp_id")
+        .agg(F.count("*").alias("common"))
+    )
+    dup_ids = (
+        common.join(n_new, "new_id")
+        .join(n_corp, "corp_id")
+        .filter(
+            F.col("common")
+            / (F.col("na") + F.col("nb") - F.col("common"))
+            >= threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(
+        dup_ids.withColumn("is_dup", F.lit(True)), id_col, "left"
+    ).withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -97,6 +97,34 @@ def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
     if not ok:
         raise RuntimeError(reason)
 
+    # TWS's JVM-spawned Python workers inherit the env snapshotted at JVM
+    # launch. When protobuf rides the vendored-path fallback (no real
+    # install — compat.fallback_dir is set), that path must have been on
+    # PYTHONPATH BEFORE the session was built (importing __spark_entry__
+    # first does it); detect the late case here and raise something
+    # actionable instead of a deep
+    # STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.
+    from pandas_streaming_spark import compat as _compat
+
+    if _compat.fallback_dir is not None:
+        import os as _os
+
+        _jvm_pp = (
+            events_stream.sparkSession.sparkContext._jvm.java.lang.System.getenv(
+                "PYTHONPATH"
+            )
+            or ""
+        )
+        if _compat.fallback_dir not in _jvm_pp.split(_os.pathsep):
+            raise RuntimeError(
+                "transformWithStateInPandas workers won't find "
+                "google.protobuf: the JVM was launched before "
+                f"{_compat.fallback_dir!r} reached PYTHONPATH. Import "
+                "__spark_entry__ (or call compat.ensure_protobuf) before "
+                "building the SparkSession. applyInPandasWithState covers "
+                "the same semantics without protobuf."
+            )
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

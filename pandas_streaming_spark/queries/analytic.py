@@ -415,6 +415,47 @@ def q105_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q112_percentile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-percentile binning WITHOUT a global sort
+    (operators/quantiles.py): exact quartile boundaries in one
+    aggregate pass, broadcast, narrow per-row bin assignment — the
+    scale-safe form of ``ntile`` for "keep the middle N% by length"
+    curation cuts. Quarter probabilities keep every boundary exact in
+    binary, so Spark and duckdb agree bit-for-bit."""
+    from pandas_streaming_spark.operators.quantiles import percentile_bins
+
+    d = percentile_bins(
+        _t(spark, sf_dir, "documents"), "n_chars", [0.25, 0.5, 0.75]
+    )
+    return (
+        d.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bin")
+    )
+
+
+def q116_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact interpolated quartiles of document length
+    (operators/quantiles.py group_quantiles): ONE hash-agg shuffle on
+    the group key, quantile summaries combined map-side — never a
+    per-group sort or collect. Quarter probs → exact binary boundaries
+    (same determinism argument as q112)."""
+    from pandas_streaming_spark.operators.quantiles import group_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    q = group_quantiles(docs, "lang", "n_chars", [0.25, 0.5, 0.75])
+    return (
+        counts.join(q, "lang")
+        .select("lang", "n_docs", "p25", "p50", "p75")
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,

@@ -29,6 +29,16 @@ from pandas_streaming_spark.streaming.replay import (
 
 K_BATCHES = 5
 
+#: state-store partition count for the replay queries. Their state is
+#: small (≲ thousands of keys at any tested SF) and EVERY trigger commits
+#: EVERY state partition, so matching the session's 32 shuffle partitions
+#: paid 32 near-empty store commits per micro-batch — the dominant term
+#: in the replay's wall time (scripts/profile_streaming.py: per-trigger
+#: cost 1.02 s at 32 partitions; 32→4 took the k=5 tumbling replay from
+#: 6.2 s to 2.7 s for identical results). At real scale size this to
+#: state volume, not a constant.
+STATE_PARTITIONS = 4
+
 
 def _final(
     spark: SparkSession,
@@ -42,7 +52,10 @@ def _final(
     # streaming queries at this sf/k)
     replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES, dup_every=dup_every)
     stream = replay_events(spark, sf_dir, replay_dir)
-    return run_stream_to_df(spark, transform(stream), output_mode, key_cols)
+    return run_stream_to_df(
+        spark, transform(stream), output_mode, key_cols,
+        state_partitions=STATE_PARTITIONS,
+    )
 
 
 def q43_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,7 +195,9 @@ def q60_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.event_id").alias("purchase_id"),
         F.col("r.event_id").alias("click_id"),
     )
-    out = run_stream_to_df(spark, joined, "append")
+    out = run_stream_to_df(
+        spark, joined, "append", state_partitions=STATE_PARTITIONS
+    )
     return (
         out.groupBy("user_id")
         .agg(
@@ -224,7 +239,9 @@ def q71_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.event_id").alias("purchase_id"),
         F.col("r.event_id").alias("click_id"),
     )
-    out = run_stream_to_df(spark, joined, "append")
+    out = run_stream_to_df(
+        spark, joined, "append", state_partitions=STATE_PARTITIONS
+    )
     return (
         out.filter(F.col("user_id") != SENTINEL_USER)
         .groupBy("user_id")
@@ -368,7 +385,9 @@ def q107_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as f:
             f.write("ok")
     stream = kafka(spark, "events", "spool://" + spool)
-    out = run_stream_to_df(spark, stream, "append")
+    out = run_stream_to_df(
+        spark, stream, "append", state_partitions=STATE_PARTITIONS
+    )
     return (
         out.groupBy("topic", "partition")
         .agg(

@@ -188,6 +188,7 @@ def run_stream_to_df(
     output_mode: str = "complete",
     key_cols: list[str] | None = None,
     trigger: str = "available_now",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) and return
     the final state as a *batch* DataFrame.
@@ -203,12 +204,25 @@ def run_stream_to_df(
       stamped with the batch id; final = last update per key (resolved
       with one window pass — the idempotent-KV-sink read view).
 
+    ``state_partitions``: temporarily sets the shuffle-partition count
+    while the stream runs, which fixes the query's STATE STORE partition
+    count. Size it to the state, not the data: every trigger commits
+    every state partition, so a small-keyspace aggregation over 32
+    partitions pays 32 near-empty store commits per micro-batch —
+    measured at sf0.1 k=5: 6.2 s at 32 partitions vs 2.7 s at 4 (2.3×)
+    for identical results (state here is ~100 window×type groups). At
+    real scale pick ~(state size / ~100 MB) partitions; the conf is
+    restored after the run either way.
+
     The result is local-checkpointed so the spill dir can be deleted.
     """
     chkpt = _fresh_dir("chkpt")
     spill = _fresh_dir("spill")
     if output_mode == "update" and not key_cols:
         raise ValueError("update mode requires key_cols")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if output_mode == "complete":
@@ -225,19 +239,23 @@ def run_stream_to_df(
         .foreachBatch(sink)
         .option("checkpointLocation", chkpt)
     )
-    if trigger == "available_now":
-        q = w.trigger(availableNow=True).start()
-        q.awaitTermination()
-    elif trigger == "drain":
-        # for sources whose availableNow snapshot sees only the first
-        # prefetched batch (e.g. Python SimpleDataSourceStreamReader):
-        # run continuously until no more data is available, then stop
-        q = w.start()
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
-    else:
-        raise ValueError(f"unknown trigger {trigger!r}")
+    try:
+        if trigger == "available_now":
+            q = w.trigger(availableNow=True).start()
+            q.awaitTermination()
+        elif trigger == "drain":
+            # for sources whose availableNow snapshot sees only the first
+            # prefetched batch (e.g. Python SimpleDataSourceStreamReader):
+            # run continuously until no more data is available, then stop
+            q = w.start()
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+        else:
+            raise ValueError(f"unknown trigger {trigger!r}")
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(chkpt, ignore_errors=True)
 
     if not glob.glob(os.path.join(spill, "*.parquet")):

@@ -28,6 +28,10 @@ def main() -> int:
 
     if small:
         os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+        # before the JVM: TWS workers inherit the launch-time env
+        from pandas_streaming_spark.compat import ensure_protobuf
+
+        ensure_protobuf()
         from pyspark.sql import SparkSession
 
         spark = (
