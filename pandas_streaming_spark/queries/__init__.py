@@ -161,6 +161,12 @@ _EXTRAS = [
     "q109_lsh_audit",
     "q110_simhash_audit",
     "q111_stateful_tws",
+    "q112_percentile_bins",
+    "q113_incremental_dedup",
+    "q114_source_reputation",
+    "q115_kafka_json_pipeline",
+    "q116_group_quantiles",
+    "q117_stream_rolling",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

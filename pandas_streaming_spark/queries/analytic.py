@@ -482,6 +482,8 @@ QUERIES = {
     "q88_salted_hot_key": q88_salted_hot_key,
     "q94_funnel": q94_funnel,
     "q105_sessionize": q105_sessionize,
+    "q112_percentile_bins": q112_percentile_bins,
+    "q116_group_quantiles": q116_group_quantiles,
 }
 
 ORACLES = {
@@ -720,5 +722,35 @@ SELECT event_id, user_id,
                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
 FROM f
 ORDER BY event_id
+""",
+    # QUANTILE_CONT shares Spark percentile()'s (n-1)p linear
+    # interpolation; quarter probs over integer n_chars keep every
+    # boundary exact in binary, so bin edges and quantile values agree
+    # bit-for-bit across engines
+    "q112_percentile_bins": """
+WITH b AS (
+  SELECT QUANTILE_CONT(n_chars, 0.25) AS p25,
+         QUANTILE_CONT(n_chars, 0.50) AS p50,
+         QUANTILE_CONT(n_chars, 0.75) AS p75
+  FROM documents
+)
+SELECT (CASE WHEN n_chars > p25 THEN 1 ELSE 0 END
+      + CASE WHEN n_chars > p50 THEN 1 ELSE 0 END
+      + CASE WHEN n_chars > p75 THEN 1 ELSE 0 END) AS bin,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents, b
+GROUP BY 1
+ORDER BY bin
+""",
+    "q116_group_quantiles": """
+SELECT lang, COUNT(*) AS n_docs,
+       QUANTILE_CONT(n_chars, 0.25) AS p25,
+       QUANTILE_CONT(n_chars, 0.50) AS p50,
+       QUANTILE_CONT(n_chars, 0.75) AS p75
+FROM documents
+GROUP BY lang
+ORDER BY lang
 """,
 }

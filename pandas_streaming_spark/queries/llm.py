@@ -12,7 +12,7 @@ rounding divergence documented in analytic.q24.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandas_streaming_spark.catalog import load_table
@@ -144,6 +144,75 @@ def q51_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_fingerprints(_t(spark, sf_dir, "documents"), n_bits=16)
         .orderBy("doc_id")
         .limit(100)
+    )
+
+
+def q113_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental shard-vs-corpus dedup (operators/dedup.py
+    ``dedup_against_corpus``): the "new shard" (doc_id % 5 == 0) is
+    exact-Jaccard-deduped against the already-ingested corpus (the other
+    80%) through one inverted-index join — the O(shard × matches) plan a
+    growing corpus runs per ingest instead of re-deduping itself
+    (O(corpus²)). Graded on per-source kept/dup counts."""
+    from pandas_streaming_spark.operators.dedup import dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    flagged = dedup_against_corpus(shard, corpus, k=3, threshold=0.5)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+            F.sum(F.when(F.col("is_dup"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def q114_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: doc count, exact-text dup count
+    (md5 identity), dominant language + its share in basis points, mean
+    length. One grouped aggregate over the corpus plus one tiny
+    (source, lang) count table — integer/bp outputs keep it
+    hash-gradable (the q39 basis-points policy)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_dup_texts"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_lang")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_lang").desc(), F.col("lang")
+    )
+    top = (
+        lang_counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "n_lang")
+    )
+    return (
+        base.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_texts",
+            "avg_chars",
+            "top_lang",
+            F.round(F.lit(10000.0) * F.col("n_lang") / F.col("n_docs"), 0)
+            .cast("long")
+            .alias("top_lang_bp"),
+        )
+        .orderBy("source")
     )
 
 
@@ -634,6 +703,8 @@ QUERIES = {
     "q108_ann_recall": q108_ann_recall,
     "q109_lsh_audit": q109_lsh_audit,
     "q110_simhash_audit": q110_simhash_audit,
+    "q113_incremental_dedup": q113_incremental_dedup,
+    "q114_source_reputation": q114_source_reputation,
 }
 
 
@@ -1526,5 +1597,52 @@ SELECT * FROM (
   FROM orders
 )
 ORDER BY "column"
+""",
+    # shard = doc_id % 5 == 0 vs corpus = the rest; same distinct-shingle
+    # inverted-index Jaccard as q52 (float >= threshold: IEEE division is
+    # deterministic and identical in both engines)
+    "q113_incremental_dedup": f"""
+WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corp_id, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT DISTINCT p.new_id
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.new_id
+  JOIN sizes sb ON sb.doc_id = p.corp_id
+  WHERE p.common * 1.0 / (sa.n + sb.n - p.common) >= 0.5
+)
+SELECT d.source,
+       COUNT(*) AS n_new,
+       CAST(SUM(CASE WHEN dups.new_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN dups.new_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN dups ON d.doc_id = dups.new_id
+WHERE d.doc_id % 5 = 0
+GROUP BY d.source
+ORDER BY d.source
+""",
+    "q114_source_reputation": """
+WITH base AS (
+  SELECT source, COUNT(*) AS n_docs,
+         COUNT(*) - COUNT(DISTINCT MD5(text)) AS n_dup_texts,
+         ROUND(AVG(n_chars), 2) AS avg_chars
+  FROM documents GROUP BY source
+),
+lc AS (
+  SELECT source, lang, COUNT(*) AS n_lang,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY COUNT(*) DESC, lang) AS rn
+  FROM documents GROUP BY source, lang
+)
+SELECT b.source, b.n_docs, b.n_dup_texts, b.avg_chars,
+       lc.lang AS top_lang,
+       CAST(ROUND(10000.0 * lc.n_lang / b.n_docs, 0) AS BIGINT) AS top_lang_bp
+FROM base b JOIN lc ON b.source = lc.source AND lc.rn = 1
+ORDER BY b.source
 """,
 }

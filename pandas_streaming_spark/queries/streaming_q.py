@@ -401,6 +401,116 @@ def q107_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q115_kafka_json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end kafka-shaped ingestion pipeline (§2.1 × §2.5
+    composition): events are produced into a 4-partition spool topic
+    with JSON payloads (task-side producer), streamed back through the
+    partitioned kafka source, JSON-decoded (``from_json`` — JVM-side,
+    no Python boundary), and aggregated into event-time tumbling
+    windows keyed on the KAFKA record timestamp. Grades against the
+    same batch oracle as q43, pinning that a value's trip through
+    producer framing → partition logs → connector schema → JSON decode
+    → ms-precision timestamps is lossless.
+
+    maxOffsetsPerTrigger splits the replay into real micro-batches so
+    the window state is built incrementally, not in one gulp."""
+    import hashlib
+    import os
+
+    from pandas_streaming_spark.sources import kafka
+    from pandas_streaming_spark.sources.kafka_spool import produce_distributed
+    from pandas_streaming_spark.streaming.replay import SCRATCH
+
+    ev = load_table(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|json4".encode()
+    ).hexdigest()[:12]
+    spool = os.path.join(SCRATCH, f"kspool-{key}")
+    marker = os.path.join(spool, "_OK")
+    if not os.path.exists(marker):
+        produce_distributed(
+            ev.select(
+                F.col("user_id").cast("string").alias("key"),
+                F.to_json(F.struct("event_type", "value")).alias("value"),
+                F.unix_millis("ts").alias("ts_ms"),
+                (F.col("user_id") % 4).cast("int").alias("partition"),
+                F.col("event_id").alias("__ord"),
+            ),
+            spool,
+            "events_json",
+            order_col="__ord",
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(src).num_rows
+    stream = kafka(
+        spark,
+        "events_json",
+        "spool://" + spool,
+        maxOffsetsPerTrigger=str(max(n // K_BATCHES, 1)),
+    )
+    parsed = stream.select(
+        F.col("timestamp").alias("ts"),
+        F.from_json(
+            F.col("value").cast("string"), "event_type string, value double"
+        ).alias("j"),
+    ).select("ts", "j.event_type", "j.value")
+    agg = (
+        parsed.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("w_start"),
+            "event_type",
+            "n",
+            "sv",
+        )
+    )
+    # drain trigger: with maxOffsetsPerTrigger the availableNow snapshot
+    # would stop at the first capped slice; drain keeps triggering until
+    # the spool reports no new offsets (real micro-batches, full replay)
+    out = run_stream_to_df(
+        spark, agg, "complete", state_partitions=STATE_PARTITIONS,
+        trigger="drain",
+    )
+    return (
+        out.select(
+            "w_start", "event_type", "n", F.round("sv", 2).alias("sum_value")
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+def q117_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key trailing-5-row window aggregates over the stream
+    (operators/stateful.py rolling_window_stream — the reference's
+    ``sdf.window(n=K)`` with retraction), graded against the batch
+    ``ROWS BETWEEN 4 PRECEDING AND CURRENT ROW`` frame. Values are
+    pre-rounded to integer cents so every window sum is a sum of
+    integer-valued doubles — exact in ANY accumulation order, which is
+    what makes a float window hash-gradable across engines."""
+    from pandas_streaming_spark.operators.stateful import rolling_window_stream
+
+    def transform(stream: DataFrame) -> DataFrame:
+        cents = stream.withColumn("value", F.round(F.col("value") * 100, 0))
+        return rolling_window_stream(cents, n=5)
+
+    out = _final(spark, sf_dir, transform, "append", key_cols=["user_id"])
+    return (
+        out.select(
+            "user_id",
+            "event_id",
+            F.col("win_sum").cast("long").alias("win_sum_cents"),
+            F.col("win_count").cast("long").alias("win_count"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def q111_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q48's per-user running (count, max(value)) on the
     ``transformWithStateInPandas`` API (operators/stateful.py
@@ -431,6 +541,8 @@ QUERIES = {
     "q101_stream_trending": q101_stream_trending,
     "q107_kafka_roundtrip": q107_kafka_roundtrip,
     "q111_stateful_tws": q111_stateful_tws,
+    "q115_kafka_json_pipeline": q115_kafka_json_pipeline,
+    "q117_stream_rolling": q117_stream_rolling,
 }
 
 ORACLES = {
@@ -570,6 +682,22 @@ ORACLES["q98_stream_funnel"] = _analytic.ORACLES["q94_funnel"]
 # transformWithStateInPandas grades against the SAME batch oracle as the
 # applyInPandasWithState form — API successor, identical contract
 ORACLES["q111_stateful_tws"] = ORACLES["q48_stateful_accumulate"]
+
+# the kafka JSON pipeline must converge to the same batch tumbling-window
+# table as the file replay — lossless transport, shared oracle
+ORACLES["q115_kafka_json_pipeline"] = ORACLES["q43_stream_tumbling"]
+
+ORACLES["q117_stream_rolling"] = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS win_sum_cents,
+       CAST(LEAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id),
+                  5) AS BIGINT) AS win_count
+FROM events
+ORDER BY user_id, event_id
+"""
 
 ORACLES["q101_stream_trending"] = """
 WITH c AS (

@@ -1,0 +1,129 @@
+"""Round-5 operator tests: quantile binning, incremental dedup,
+explicit-partition spool production (the units behind q112–q116)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.catalog import load_table
+
+
+def test_percentile_bins_exact_quarters(spark):
+    """100 distinct values, quartile probs → four bins of exactly 25
+    (boundaries fall ON values; boundary rows go to the lower bin)."""
+    from pandas_streaming_spark.operators.quantiles import percentile_bins
+
+    df = spark.range(100).select(F.col("id").alias("v"))
+    out = (
+        percentile_bins(df, "v", [0.25, 0.5, 0.75])
+        .groupBy("bin")
+        .count()
+        .orderBy("bin")
+        .collect()
+    )
+    assert [(r["bin"], r["count"]) for r in out] == [
+        (0, 25),
+        (1, 25),
+        (2, 25),
+        (3, 25),
+    ]
+
+
+def test_percentile_bins_no_global_sort(spark, sf_dir):
+    """The binning plan must not contain a global single-partition sort
+    or window — boundaries broadcast, assignment stays narrow."""
+    from pandas_streaming_spark.operators.quantiles import percentile_bins
+    from pandas_streaming_spark.plans import physical_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = physical_plan(percentile_bins(docs, "n_chars", [0.25, 0.5, 0.75]))
+    # the binding check: no Window (ntile's shape) and no full-frame Sort
+    assert "Window" not in plan
+    assert "Sort " not in plan
+    assert "BroadcastExchange" in plan  # the boundary row rides a broadcast
+
+
+def test_group_quantiles_matches_pandas(spark, sf_dir):
+    from pandas_streaming_spark.operators.quantiles import group_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = (
+        group_quantiles(docs, "lang", "n_chars", [0.25, 0.5, 0.75])
+        .orderBy("lang")
+        .toPandas()
+    )
+    pdf = docs.select("lang", "n_chars").toPandas()
+    for _, row in got.iterrows():
+        grp = pdf[pdf["lang"] == row["lang"]]["n_chars"]
+        for p, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]:
+            assert row[col] == pytest.approx(grp.quantile(p), abs=1e-9)
+
+
+def test_dedup_against_corpus_flags(spark):
+    """Exact dup and high-overlap docs are flagged; disjoint text is
+    kept. Shingle k=2 keeps the fixture tiny."""
+    from pandas_streaming_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "entirely different corpus text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact
+            (11, "completely unrelated words nothing shared here"),
+            (12, "the quick brown fox jumps over the lazy cat"),  # near
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["is_dup"]
+        for r in dedup_against_corpus(new, corpus, k=2, threshold=0.5).collect()
+    }
+    assert got == {10: True, 11: False, 12: True}
+
+
+def test_dedup_against_corpus_empty_shard(spark):
+    from pandas_streaming_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_against_corpus(empty, corpus).count() == 0
+
+
+def test_produce_distributed_explicit_routing(spark, tmp_path):
+    """Records land in the partition the caller dictates, in order_col
+    order, with contiguous offsets — and the driver never materializes
+    the payload (only the per-partition summary)."""
+    from pandas_streaming_spark.sources.kafka_spool import (
+        _complete_lines,
+        _decode,
+        produce_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i % 3}", f"v{i:03d}", 1000 + i, i % 3, i) for i in range(30)],
+        "key string, value string, ts_ms long, partition int, ord long",
+    )
+    spool = str(tmp_path / "spool")
+    produce_distributed(df, spool, "t", order_col="ord")
+    logs = sorted(os.listdir(os.path.join(spool, "t")))
+    assert logs == ["p00000.log", "p00001.log", "p00002.log"]
+    for pid, log in enumerate(logs):
+        lines = _complete_lines(os.path.join(spool, "t", log))
+        rows = [_decode(l, "t", pid, off) for off, l in enumerate(lines)]
+        # all rows routed here carry partition == pid and ascend in ord
+        vals = [r[1].decode() for r in rows]
+        assert vals == sorted(vals)
+        assert all(int(v[1:]) % 3 == pid for v in vals)
+        assert [r[4] for r in rows] == list(range(len(rows)))  # offsets
