@@ -71,6 +71,46 @@ def percentile_bins(
     )
 
 
+def approx_quantile_audit(
+    df: DataFrame, value_col: str, prob: float = 0.5, accuracy: int = 1000
+) -> DataFrame:
+    """In-engine audit of ``percentile_approx``'s rank-error guarantee —
+    the q108/q109/q110 pattern applied to sketches: the SKETCH VALUE is
+    not partition-stable (merge order moves it), so it can't be
+    hash-graded, but the Greenwald–Khanna CONTRACT (rank error
+    ≤ n/accuracy) must hold for every partitioning, and the exact
+    quantile is deterministic. Output: ``n``, ``exact`` (interpolated
+    percentile), ``rank_err_ok`` — a pruning/merge bug in the approx
+    path flips the boolean instead of silently grading green.
+
+    This is also the 100 TB guidance encoded as a check: exact
+    ``percentile`` buffers values per group and is for oracle/audit
+    scale; production quantiles at corpus scale use the sketch, and
+    this audit is how you trust it.
+    """
+    approx = df.agg(
+        F.percentile_approx(F.col(value_col), F.lit(prob), F.lit(accuracy)).alias(
+            "__a"
+        )
+    )
+    stats = df.crossJoin(F.broadcast(approx)).agg(
+        F.count("*").alias("n"),
+        F.percentile(F.col(value_col), F.lit(prob)).alias("exact"),
+        F.sum(F.when(F.col(value_col) <= F.col("__a"), 1).otherwise(0)).alias(
+            "__rank"
+        ),
+    )
+    # GK guarantee: a value whose rank is within eps*n of ceil(p*n);
+    # +1 slack for the <=-vs-< rank convention at exact ties
+    bound = F.ceil(F.col("n") / F.lit(accuracy)) + 1
+    target = F.ceil(F.lit(prob) * F.col("n"))
+    return stats.select(
+        "n",
+        "exact",
+        (F.abs(F.col("__rank") - target) <= bound).alias("rank_err_ok"),
+    )
+
+
 def group_quantiles(
     df: DataFrame, group_col: str, value_col: str, probs: list[float]
 ) -> DataFrame:

@@ -167,6 +167,7 @@ _EXTRAS = [
     "q115_kafka_json_pipeline",
     "q116_group_quantiles",
     "q117_stream_rolling",
+    "q118_approx_quantile_audit",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

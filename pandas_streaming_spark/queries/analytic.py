@@ -456,6 +456,24 @@ def q116_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx rank-error audit (operators/quantiles.py
+    approx_quantile_audit) over two value domains: integer doc lengths
+    and double order totals. The sketch VALUE is partition-order
+    dependent (ungradable); the GK rank-error contract and the exact
+    quantile are not — grading the guarantee keeps the approx path
+    honest under every partitioning the sweep throws at it."""
+    from pandas_streaming_spark.operators.quantiles import approx_quantile_audit
+
+    docs = approx_quantile_audit(
+        _t(spark, sf_dir, "documents"), "n_chars", 0.5, 1000
+    ).select(F.lit("documents.n_chars").alias("col"), "n", "exact", "rank_err_ok")
+    orders = approx_quantile_audit(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 0.5, 1000
+    ).select(F.lit("orders.o_totalprice").alias("col"), "n", "exact", "rank_err_ok")
+    return docs.unionByName(orders).orderBy("col")
+
+
 QUERIES = {
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,
@@ -484,6 +502,7 @@ QUERIES = {
     "q105_sessionize": q105_sessionize,
     "q112_percentile_bins": q112_percentile_bins,
     "q116_group_quantiles": q116_group_quantiles,
+    "q118_approx_quantile_audit": q118_approx_quantile_audit,
 }
 
 ORACLES = {
@@ -752,5 +771,18 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM documents
 GROUP BY lang
 ORDER BY lang
+""",
+    # the sketch value is partition-dependent, so the oracle asserts the
+    # deterministic parts: row count, exact quantile, and that the GK
+    # rank-error guarantee held (TRUE by contract)
+    "q118_approx_quantile_audit": """
+SELECT 'documents.n_chars' AS col, COUNT(*) AS n,
+       QUANTILE_CONT(n_chars, 0.5) AS exact, TRUE AS rank_err_ok
+FROM documents
+UNION ALL
+SELECT 'orders.o_totalprice' AS col, COUNT(*) AS n,
+       QUANTILE_CONT(o_totalprice, 0.5) AS exact, TRUE AS rank_err_ok
+FROM orders
+ORDER BY col
 """,
 }

@@ -64,6 +64,22 @@ def test_group_quantiles_matches_pandas(spark, sf_dir):
             assert row[col] == pytest.approx(grp.quantile(p), abs=1e-9)
 
 
+def test_approx_quantile_audit_partition_invariant(spark, sf_dir):
+    """The audit's deterministic outputs (n, exact) and the guarantee
+    boolean must hold for wildly different partitionings, even though
+    the underlying sketch value may move."""
+    from pandas_streaming_spark.operators.quantiles import approx_quantile_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    results = [
+        approx_quantile_audit(d, "n_chars", 0.5, 1000).collect()[0]
+        for d in (docs.repartition(1), docs.repartition(13))
+    ]
+    assert results[0]["n"] == results[1]["n"]
+    assert results[0]["exact"] == results[1]["exact"]
+    assert all(r["rank_err_ok"] for r in results), results
+
+
 def test_dedup_against_corpus_flags(spark):
     """Exact dup and high-overlap docs are flagged; disjoint text is
     kept. Shingle k=2 keeps the fixture tiny."""
