@@ -85,3 +85,21 @@ def explode_tokens_batched(df: DataFrame, id_col: str, text_col: str) -> DataFra
             yield out[[id_col, "token"]]
 
     return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, token string")
+
+
+# -- Python UDTF (Spark 3.5+/4 user-defined TABLE function) --------------
+@F.udtf(returnType="pos: int, term: string")
+class PositionedTokensUDTF:
+    """Row→rows as a first-class SQL table function: invoked with
+    ``LATERAL positioned_tokens(t.text)`` so the optimizer sees a real
+    generator, composable in FROM clauses — the declarative counterpart
+    of :func:`explode_tokens_batched`. Built-in
+    ``posexplode(split(...))`` stays the hot-path choice (JVM-side);
+    the UDTF earns its keep when per-row Python logic genuinely can't be
+    an expression, and this one exists to grade the plumbing (q120).
+    """
+
+    def eval(self, text: str):
+        if text:
+            for i, term in enumerate(text.split(" ")):
+                yield i + 1, term

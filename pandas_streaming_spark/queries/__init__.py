@@ -168,6 +168,8 @@ _EXTRAS = [
     "q116_group_quantiles",
     "q117_stream_rolling",
     "q118_approx_quantile_audit",
+    "q119_dedup_within_watermark",
+    "q120_python_udtf",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

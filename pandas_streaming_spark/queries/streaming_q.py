@@ -133,6 +133,29 @@ def q46_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``dropDuplicatesWithinWatermark`` on the q46 replay
+    (every-37th row re-injected into the NEXT micro-batch): unlike plain
+    ``dropDuplicates``, state for a key is dropped once the watermark
+    passes it — the production form when duplicates are known to arrive
+    within a bounded delay, because state stays bounded by the watermark
+    horizon instead of growing with distinct keys forever. The injected
+    dups land one batch (≪ 1 h of event time) later, inside the
+    watermark window, so the final state must equal q46's batch-distinct
+    oracle exactly."""
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+    out = _final(spark, sf_dir, transform, "append", dup_every=37)
+    return out.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )
+
+
 def q47_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     dim = (
@@ -543,6 +566,7 @@ QUERIES = {
     "q111_stateful_tws": q111_stateful_tws,
     "q115_kafka_json_pipeline": q115_kafka_json_pipeline,
     "q117_stream_rolling": q117_stream_rolling,
+    "q119_dedup_within_watermark": q119_dedup_within_watermark,
 }
 
 ORACLES = {
@@ -682,6 +706,10 @@ ORACLES["q98_stream_funnel"] = _analytic.ORACLES["q94_funnel"]
 # transformWithStateInPandas grades against the SAME batch oracle as the
 # applyInPandasWithState form — API successor, identical contract
 ORACLES["q111_stateful_tws"] = ORACLES["q48_stateful_accumulate"]
+
+# dropDuplicatesWithinWatermark must converge to the same batch-distinct
+# counts as plain dropDuplicates when dups arrive inside the watermark
+ORACLES["q119_dedup_within_watermark"] = ORACLES["q46_stream_dedup"]
 
 # the kafka JSON pipeline must converge to the same batch tumbling-window
 # table as the file replay — lossless transport, shared oracle

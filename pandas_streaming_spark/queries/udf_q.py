@@ -66,11 +66,34 @@ def q64_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (§2.9, Spark 4 table function): tokens with 1-based
+    positions emitted by ``LATERAL positioned_tokens(t.text)`` — the
+    row→rows flavor as a REAL SQL table function rather than a
+    mapInPandas wrapper. Oracle re-derives positions with duckdb
+    GENERATE_SERIES subscripting."""
+    from pandas_streaming_spark.functions.udfs import PositionedTokensUDTF
+
+    spark.udtf.register("positioned_tokens", PositionedTokensUDTF)
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT t.doc_id, f.pos, f.term
+        FROM __docs_for_udtf t, LATERAL positioned_tokens(t.text) f
+        ORDER BY t.doc_id, f.pos
+        LIMIT 500
+        """
+    )
+
+
 QUERIES = {
     "q61_udaf_geomean": q61_udaf_geomean,
     "q62_grouped_map_zscore": q62_grouped_map_zscore,
     "q63_vectorized_sigmoid": q63_vectorized_sigmoid,
     "q64_approx_aggregates": q64_approx_aggregates,
+    "q120_python_udtf": q120_python_udtf,
 }
 
 ORACLES = {
@@ -101,4 +124,16 @@ ORDER BY event_id
 LIMIT 200
 """,
     "q64_approx_aggregates": None,  # approximate by design -> rows-only
+    "q120_python_udtf": """
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+  FROM documents WHERE doc_id < 40
+)
+SELECT doc_id, CAST(i AS INT) AS pos, toks[i] AS term
+FROM t CROSS JOIN LATERAL (
+  SELECT UNNEST(GENERATE_SERIES(1, LEN(toks))) AS i
+) u
+ORDER BY doc_id, pos
+LIMIT 500
+""",
 }
