@@ -76,6 +76,36 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def _check_tws_jvm_env(events_stream: DataFrame) -> None:
+    """TWS's JVM-spawned Python workers inherit the env snapshotted at
+    JVM launch. When protobuf rides the vendored-path fallback (no real
+    install — compat.fallback_dir is set), that path must have been on
+    PYTHONPATH BEFORE the session was built (importing __spark_entry__
+    first does it); detect the late case and raise something actionable
+    instead of a deep STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE."""
+    from pandas_streaming_spark import compat as _compat
+
+    if _compat.fallback_dir is None:
+        return
+    import os as _os
+
+    _jvm_pp = (
+        events_stream.sparkSession.sparkContext._jvm.java.lang.System.getenv(
+            "PYTHONPATH"
+        )
+        or ""
+    )
+    if _compat.fallback_dir not in _jvm_pp.split(_os.pathsep):
+        raise RuntimeError(
+            "transformWithStateInPandas workers won't find "
+            "google.protobuf: the JVM was launched before "
+            f"{_compat.fallback_dir!r} reached PYTHONPATH. Import "
+            "__spark_entry__ (or call compat.ensure_protobuf) before "
+            "building the SparkSession. applyInPandasWithState covers "
+            "the same semantics without protobuf."
+        )
+
+
 def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
     """``running_user_stats`` on the transformWithStateInPandas API —
     the successor arbitrary-state operator (typed per-key state handles,
@@ -97,33 +127,7 @@ def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
     if not ok:
         raise RuntimeError(reason)
 
-    # TWS's JVM-spawned Python workers inherit the env snapshotted at JVM
-    # launch. When protobuf rides the vendored-path fallback (no real
-    # install — compat.fallback_dir is set), that path must have been on
-    # PYTHONPATH BEFORE the session was built (importing __spark_entry__
-    # first does it); detect the late case here and raise something
-    # actionable instead of a deep
-    # STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.
-    from pandas_streaming_spark import compat as _compat
-
-    if _compat.fallback_dir is not None:
-        import os as _os
-
-        _jvm_pp = (
-            events_stream.sparkSession.sparkContext._jvm.java.lang.System.getenv(
-                "PYTHONPATH"
-            )
-            or ""
-        )
-        if _compat.fallback_dir not in _jvm_pp.split(_os.pathsep):
-            raise RuntimeError(
-                "transformWithStateInPandas workers won't find "
-                "google.protobuf: the JVM was launched before "
-                f"{_compat.fallback_dir!r} reached PYTHONPATH. Import "
-                "__spark_entry__ (or call compat.ensure_protobuf) before "
-                "building the SparkSession. applyInPandasWithState covers "
-                "the same semantics without protobuf."
-            )
+    _check_tws_jvm_env(events_stream)
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -159,6 +163,116 @@ def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
         outputStructType=RUNNING_STATS_OUT,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+SESSION_FLUSH_OUT = StructType(
+    [StructField("user_id", LongType()), StructField("n_events", LongType())]
+)
+SESSION_FLUSH_STATE = StructType(
+    [StructField("last_ms", LongType()), StructField("n", LongType())]
+)
+
+
+def session_flush_tws(
+    events_stream: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based sessionization on ``transformWithStateInPandas`` with
+    EVENT-TIME TIMERS — the TWS capability q111's running stats doesn't
+    touch: a per-key timer registered at ``last_event + gap`` finalizes
+    the TRAILING session when the watermark passes it, which no
+    input-row-driven operator can do (there is no later row to react
+    to). Mid-stream sessions flush inline when a row lands more than
+    ``gap`` after its predecessor (strictly-greater boundary — touching
+    events merge, matching ``session_window`` and the q45 oracle,
+    pinned by tests/test_session_property.py's convention).
+
+    Emits one ``(user_id, n_events)`` row per CLOSED session, append
+    mode. Requires in-event-time-order arrival per key within the
+    watermark delay (the replay harness guarantees it; out-of-order
+    data inside the delay still works for inline flushes because rows
+    are sorted per micro-batch, but a session spanning a batch boundary
+    out of order would need bookkeeping this exemplar deliberately
+    omits). A far-future flush row (replay ``sentinel=True``) advances
+    the watermark so every trailing timer fires before the stream
+    drains — the same finite-backfill drain trick q71 uses.
+
+    Correct timer bookkeeping under re-registration: timers are keyed
+    by expiry time, so each new event deletes the previous timer and
+    registers the new one; handleExpiredTimer double-checks the expiry
+    against current state and ignores stale firings.
+    """
+    from pandas_streaming_spark.compat import tws_ready
+
+    ok, reason = tws_ready()
+    if not ok:
+        raise RuntimeError(reason)
+    _check_tws_jvm_env(events_stream)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark = events_stream.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    gap_ms = gap_minutes * 60 * 1000
+
+    class _SessionFlush(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("sess", SESSION_FLUSH_STATE)
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            last, n = (
+                self._state.get() if self._state.exists() else (None, 0)
+            )
+            closed: list[tuple[int, int]] = []
+            ts_all = []
+            for pdf in rows:
+                ts_all.extend(int(t) for t in pdf["ts_ms"])
+            for ts in sorted(ts_all):
+                if last is not None and ts - last > gap_ms:
+                    closed.append((key[0], n))  # inline flush
+                    n = 0
+                n += 1
+                if last is not None:
+                    self._handle.deleteTimer(last + gap_ms)
+                last = ts
+                self._handle.registerTimer(last + gap_ms)
+            self._state.update((last, n))
+            if closed:
+                yield pd.DataFrame(closed, columns=["user_id", "n_events"])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._state.exists():
+                return
+            last, n = self._state.get()
+            # stale timer (a later event re-registered): ignore
+            if last is None or expiredTimerInfo.getExpiryTimeInMs() != last + gap_ms:
+                return
+            if n > 0:
+                yield pd.DataFrame(
+                    [(key[0], n)], columns=["user_id", "n_events"]
+                )
+            self._state.update((None, 0))
+
+        def close(self) -> None:
+            pass
+
+    prepared = (
+        events_stream.withWatermark("ts", watermark)
+        .withColumn("ts_ms", F.unix_millis("ts"))
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        _SessionFlush(),
+        outputStructType=SESSION_FLUSH_OUT,
+        outputMode="Append",
+        timeMode="EventTime",
     )
 
 

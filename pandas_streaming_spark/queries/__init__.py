@@ -170,6 +170,7 @@ _EXTRAS = [
     "q118_approx_quantile_audit",
     "q119_dedup_within_watermark",
     "q120_python_udtf",
+    "q121_tws_session_timers",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

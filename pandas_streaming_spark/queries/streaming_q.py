@@ -534,6 +534,37 @@ def q117_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q121_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME TIMERS on transformWithStateInPandas
+    (operators/stateful.py session_flush_tws): gap-sessionization where
+    mid-stream sessions flush inline and the TRAILING session per user
+    is finalized by a per-key timer when the watermark passes
+    ``last_event + gap`` — the capability only timers provide (no later
+    row exists to react to). The sentinel replay batch advances the
+    watermark past every timer so a finite backfill drains completely.
+    Grades against the q45 session_window oracle verbatim: same 30-min
+    gap, same touching-merge boundary."""
+    from pandas_streaming_spark.operators.stateful import session_flush_tws
+    from pandas_streaming_spark.streaming.replay import SENTINEL_USER
+
+    replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES, sentinel=True)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    sessions = session_flush_tws(stream, gap_minutes=30, watermark="1 hour")
+    out = run_stream_to_df(
+        spark, sessions, "append", state_partitions=STATE_PARTITIONS
+    )
+    return (
+        out.filter(F.col("user_id") != SENTINEL_USER)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q111_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q48's per-user running (count, max(value)) on the
     ``transformWithStateInPandas`` API (operators/stateful.py
@@ -567,6 +598,7 @@ QUERIES = {
     "q115_kafka_json_pipeline": q115_kafka_json_pipeline,
     "q117_stream_rolling": q117_stream_rolling,
     "q119_dedup_within_watermark": q119_dedup_within_watermark,
+    "q121_tws_session_timers": q121_tws_session_timers,
 }
 
 ORACLES = {
@@ -710,6 +742,10 @@ ORACLES["q111_stateful_tws"] = ORACLES["q48_stateful_accumulate"]
 # dropDuplicatesWithinWatermark must converge to the same batch-distinct
 # counts as plain dropDuplicates when dups arrive inside the watermark
 ORACLES["q119_dedup_within_watermark"] = ORACLES["q46_stream_dedup"]
+
+# timer-finalized sessionization must produce the same per-user session
+# table as session_window — the q45 oracle verbatim
+ORACLES["q121_tws_session_timers"] = ORACLES["q45_stream_session"]
 
 # the kafka JSON pipeline must converge to the same batch tumbling-window
 # table as the file replay — lossless transport, shared oracle

@@ -117,6 +117,50 @@ def test_dedup_against_corpus_empty_shard(spark):
     assert dedup_against_corpus(empty, corpus).count() == 0
 
 
+def test_session_flush_tws_split_invariance(spark, sf_dir):
+    """Timer-finalized sessionization must converge to the same
+    per-user session table for any micro-batch split AND match the
+    batch session_window computation (q45 contract)."""
+    from pandas_streaming_spark.compat import tws_ready
+    from pandas_streaming_spark.operators.stateful import session_flush_tws
+    from pandas_streaming_spark.streaming.replay import (
+        SENTINEL_USER,
+        replay_events,
+        run_stream_to_df,
+        write_replay_batches,
+    )
+
+    if not tws_ready()[0]:
+        pytest.skip("no protobuf runtime")
+
+    def sessions_for(k: int):
+        d = write_replay_batches(spark, sf_dir, k, sentinel=True)
+        out = run_stream_to_df(
+            spark,
+            session_flush_tws(
+                replay_events(spark, sf_dir, d), gap_minutes=30
+            ),
+            "append",
+            state_partitions=3,
+        )
+        return sorted(
+            (r["user_id"], r["n_events"])
+            for r in out.filter(F.col("user_id") != SENTINEL_USER).collect()
+        )
+
+    batch = load_table(spark, sf_dir, "events")
+    expected = sorted(
+        (r["user_id"], r["n"])
+        for r in batch.groupBy(
+            F.session_window("ts", "30 minutes"), "user_id"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sessions_for(1) == expected
+    assert sessions_for(5) == expected
+
+
 def test_produce_distributed_explicit_routing(spark, tmp_path):
     """Records land in the partition the caller dictates, in order_col
     order, with contiguous offsets — and the driver never materializes
