@@ -171,6 +171,7 @@ _EXTRAS = [
     "q119_dedup_within_watermark",
     "q120_python_udtf",
     "q121_tws_session_timers",
+    "q122_iterable_source",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -107,6 +107,23 @@ def test_dedup_against_corpus_flags(spark):
     assert got == {10: True, 11: False, 12: True}
 
 
+def test_dedup_against_corpus_plan_no_cross_product(spark, sf_dir):
+    """The shard×corpus meeting point must be the shingle inverted-index
+    join — never a cartesian/broadcast-nested-loop pair scan."""
+    from pandas_streaming_spark.operators.dedup import dedup_against_corpus
+    from pandas_streaming_spark.plans import physical_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = physical_plan(
+        dedup_against_corpus(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dedup_against_corpus_empty_shard(spark):
     from pandas_streaming_spark.operators.dedup import dedup_against_corpus
 
