@@ -172,6 +172,7 @@ _EXTRAS = [
     "q120_python_udtf",
     "q121_tws_session_timers",
     "q122_iterable_source",
+    "q123_resample_ffill",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

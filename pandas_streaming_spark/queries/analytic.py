@@ -474,6 +474,37 @@ def q118_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(orders).orderBy("col")
 
 
+def q123_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of purchase revenue onto the FULL calendar spine
+    with forward-fill across the 40+ purchase-free hours
+    (operators/resample.py — pandas ``resample``/``asfreq`` lineage).
+    The fill window runs over the aggregated spine (time-bound
+    cardinality), never the raw events; per-hour values are rounded
+    BEFORE filling so copied values are bit-identical across engines."""
+    from pandas_streaming_spark.operators.resample import resample_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_ffill(
+        ev,
+        ev.filter(F.col("event_type") == "purchase"),
+        "ts",
+        {
+            "n": F.count("*").cast("long"),
+            "rev": F.round(F.sum("value"), 2),
+        },
+        "1 hour",
+    )
+    return (
+        out.select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("w_start"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("rev"), F.lit(0.0)).alias("rev"),
+            "filled",
+        )
+        .orderBy("w_start")
+    )
+
+
 QUERIES = {
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,
@@ -503,6 +534,7 @@ QUERIES = {
     "q112_percentile_bins": q112_percentile_bins,
     "q116_group_quantiles": q116_group_quantiles,
     "q118_approx_quantile_audit": q118_approx_quantile_audit,
+    "q123_resample_ffill": q123_resample_ffill,
 }
 
 ORACLES = {
@@ -784,5 +816,32 @@ SELECT 'orders.o_totalprice' AS col, COUNT(*) AS n,
        QUANTILE_CONT(o_totalprice, 0.5) AS exact, TRUE AS rank_err_ok
 FROM orders
 ORDER BY col
+""",
+    "q123_resample_ffill": """
+WITH bounds AS (
+  SELECT DATE_TRUNC('hour', MIN(ts)) AS h0, DATE_TRUNC('hour', MAX(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS bucket FROM bounds
+),
+hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS bucket, COUNT(*) AS n, ROUND(SUM(value), 2) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+filledt AS (
+  SELECT s.bucket,
+         h.bucket IS NULL AS filled,
+         LAST_VALUE(h.n IGNORE NULLS) OVER w AS n,
+         LAST_VALUE(h.rev IGNORE NULLS) OVER w AS rev
+  FROM spine s LEFT JOIN hourly h ON s.bucket = h.bucket
+  WINDOW w AS (ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT STRFTIME(bucket, '%Y-%m-%d %H:%M') AS w_start,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       COALESCE(rev, 0.0) AS rev,
+       filled
+FROM filledt
+ORDER BY w_start
 """,
 }

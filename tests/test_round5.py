@@ -134,6 +134,35 @@ def test_dedup_against_corpus_empty_shard(spark):
     assert dedup_against_corpus(empty, corpus).count() == 0
 
 
+def test_resample_ffill_gap_semantics(spark):
+    """Gaps carry the last observed value with filled=True; buckets
+    before the first observation stay NULL (caller zero-fills)."""
+    from pandas_streaming_spark.operators.resample import resample_ffill
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 02:15:00", 10.0),
+            ("2024-01-01 05:40:00", 20.0),
+        ],
+        "ts_s string, v double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    bounds = spark.createDataFrame(
+        [("2024-01-01 00:30:00",), ("2024-01-01 06:30:00",)], "ts_s string"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {
+        r["bucket"].hour: (r["n"], r["filled"])
+        for r in resample_ffill(
+            bounds, df, "ts", {"n": F.count("*").cast("long")}, "1 hour"
+        ).collect()
+    }
+    assert len(out) == 7  # 00..06 spine from bounds, not data
+    assert out[0] == (None, True) and out[1] == (None, True)  # leading gap
+    assert out[2] == (1, False)
+    assert out[3] == (1, True) and out[4] == (1, True)  # carried forward
+    assert out[5] == (1, False)
+    assert out[6] == (1, True)
+
+
 def test_session_flush_tws_split_invariance(spark, sf_dir):
     """Timer-finalized sessionization must converge to the same
     per-user session table for any micro-batch split AND match the
