@@ -173,6 +173,8 @@ _EXTRAS = [
     "q121_tws_session_timers",
     "q122_iterable_source",
     "q123_resample_ffill",
+    "q124_rolling_time_range",
+    "q125_time_weighted_avg",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -505,6 +505,66 @@ def q123_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q124_rolling_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame — the reference's ``rolling('2h')``
+    (SURVEY §2.5), distinct from q24's row-count frame: at every event,
+    aggregates over all of the SAME USER's events in the trailing two
+    hours of EVENT TIME, however many rows that is.
+    ``rangeBetween`` needs a numeric order key, so the frame rides
+    ``unix_micros(ts)`` with a -2h µs bound — exactly duckdb's
+    ``RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW`` over the
+    µs timestamps. Sums are integer cents (exact in any accumulation
+    order — engines disagree on frame-sum order otherwise)."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-2 * 3600 * 1_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_2h"),
+            F.sum(cents).over(w).cast("long").alias("sum_cents_2h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q125_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each observation is
+    weighted by how long it remained current (µs until the user's next
+    event; the final observation carries no weight — the standard
+    left-closed convention). All arithmetic is exact int64 —
+    cents × µs-duration products summed (≤2^63 at any per-user span
+    the fixture reaches; at corpus scale switch the product to
+    decimal(38,0) — noted, not needed here) — then ONE division rounded
+    to e4, so both engines divide bit-identical operands."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    dur = (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).cast("long")
+    weighted = e.select(
+        "user_id", cents.alias("cents"), dur.alias("dur_us")
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dur_us")).alias("num"),
+            F.sum("dur_us").alias("den"),
+        )
+        .select(
+            "user_id",
+            F.round(F.lit(1e4) * F.col("num") / F.col("den"), 0)
+            .cast("long")
+            .alias("twap_e4_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,
@@ -535,6 +595,8 @@ QUERIES = {
     "q116_group_quantiles": q116_group_quantiles,
     "q118_approx_quantile_audit": q118_approx_quantile_audit,
     "q123_resample_ffill": q123_resample_ffill,
+    "q124_rolling_time_range": q124_rolling_time_range,
+    "q125_time_weighted_avg": q125_time_weighted_avg,
 }
 
 ORACLES = {
@@ -843,5 +905,31 @@ SELECT STRFTIME(bucket, '%Y-%m-%d %H:%M') AS w_start,
        filled
 FROM filledt
 ORDER BY w_start
+""",
+    "q124_rolling_time_range": """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_2h,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_cents_2h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+    "q125_time_weighted_avg": """
+WITH d AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         CAST(EPOCH_US(LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+              - EPOCH_US(ts) AS BIGINT) AS dur_us
+  FROM events
+)
+SELECT user_id,
+       CAST(ROUND(1e4 * SUM(cents * dur_us) / SUM(dur_us), 0) AS BIGINT)
+         AS twap_e4_cents
+FROM d
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
 """,
 }
