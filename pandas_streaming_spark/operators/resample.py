@@ -59,3 +59,55 @@ def resample_ffill(
             name, F.last(F.col(name), ignorenulls=True).over(w)
         )
     return joined
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    out_col: str = "interp_e4",
+) -> DataFrame:
+    """Per-key linear interpolation of NULL observations (pandas
+    ``interpolate(method='time')``): a missing value between two
+    observations gets ``prev + (next - prev) * (t - t_prev) /
+    (t_next - t_prev)`` on the µs time axis; leading/trailing NULLs stay
+    NULL (no extrapolation).
+
+    Determinism: numerator terms are exact int64 (integer-unit values ×
+    µs gaps), so the single IEEE division is performed on bit-identical
+    operands in any engine; output is rounded e4 micro-units.
+
+    Two window passes per direction (value and its timestamp), all on
+    one hash-partition of the key — no self-joins, no data-sized global
+    sort."""
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t = F.unix_micros(F.col(ts_col))
+    v = F.col(value_col)
+    obs_t = F.when(v.isNotNull(), t)
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_t = F.last(obs_t, ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_t = F.first(obs_t, ignorenulls=True).over(w_next)
+    interp = F.when(v.isNotNull(), v.cast("double") * F.lit(1e4)).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            (
+                prev_v.cast("double") * F.lit(1e4)
+                + (next_v - prev_v).cast("double")
+                * F.lit(1e4)
+                * (t - prev_t).cast("double")
+                / (next_t - prev_t).cast("double")
+            ),
+        )
+    )
+    return df.withColumn(out_col, F.round(interp, 0).cast("long"))

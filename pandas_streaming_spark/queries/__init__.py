@@ -164,6 +164,7 @@ _EXTRAS = [
     "q112_percentile_bins",
     "q113_incremental_dedup",
     "q114_source_reputation",
+    "q127_fuzzy_pairs",
     "q115_kafka_json_pipeline",
     "q116_group_quantiles",
     "q117_stream_rolling",
@@ -175,6 +176,7 @@ _EXTRAS = [
     "q123_resample_ffill",
     "q124_rolling_time_range",
     "q125_time_weighted_avg",
+    "q126_interpolate",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -565,6 +565,28 @@ def q125_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q126_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear (time-weighted) interpolation of missing
+    observations (operators/resample.py interpolate_linear — pandas
+    ``interpolate(method='time')``): every third event keeps its value,
+    the rest are NULLed and reconstructed from the neighboring
+    observations on the µs time axis. The oracle mirrors the EXACT
+    expression tree (left-assoc products, one division) so IEEE
+    evaluation is bit-identical; output in rounded e4 units."""
+    from pandas_streaming_spark.operators.resample import interpolate_linear
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("v"),
+    )
+    out = interpolate_linear(e, "user_id", "ts", "v")
+    return out.select("user_id", "event_id", "interp_e4").orderBy(
+        "user_id", "event_id"
+    )
+
+
 QUERIES = {
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,
@@ -597,6 +619,7 @@ QUERIES = {
     "q123_resample_ffill": q123_resample_ffill,
     "q124_rolling_time_range": q124_rolling_time_range,
     "q125_time_weighted_avg": q125_time_weighted_avg,
+    "q126_interpolate": q126_interpolate,
 }
 
 ORACLES = {
@@ -931,5 +954,36 @@ FROM d
 WHERE dur_us IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id
+""",
+    # mirrors interpolate_linear's expression tree exactly: prev*1e4 +
+    # ((next-prev)*1e4*(t-tp))/(tn-tp), all left-assoc, one division
+    "q126_interpolate": """
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 3 = 0 THEN value END AS v,
+         EPOCH_US(ts) AS t
+  FROM events
+),
+nb AS (
+  SELECT user_id, event_id, v, t,
+         LAST_VALUE(v IGNORE NULLS) OVER wp AS prev_v,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS prev_t,
+         FIRST_VALUE(v IGNORE NULLS) OVER wn AS next_v,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS next_t
+  FROM base
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id,
+       CAST(ROUND(
+         CASE WHEN v IS NOT NULL THEN v * 1e4
+              WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+              THEN prev_v * 1e4
+                   + (next_v - prev_v) * 1e4 * (t - prev_t) / (next_t - prev_t)
+         END, 0) AS BIGINT) AS interp_e4
+FROM nb
+ORDER BY user_id, event_id
 """,
 }

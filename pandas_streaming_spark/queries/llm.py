@@ -216,6 +216,44 @@ def q114_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q127_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (the short-string counterpart of the
+    shingle dedup family): near-identical part names within Levenshtein
+    distance 4, blocked on the first token. The load-bearing scale move
+    is DISTINCT-FIRST — edit distance runs on the distinct-value table
+    (data-independent cardinality: the name vocabulary), never the row
+    table; row-level impact is recovered by multiplying the duplicate
+    counts. Levenshtein is exact and engine-identical, so the output is
+    integer-deterministic with no rounding policy needed."""
+    p = _t(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("cnt"))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("cnt_a"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("cnt_b"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
+        .filter(F.col("dist") <= 4)
+        .select(
+            "name_a",
+            "name_b",
+            "dist",
+            (F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("row_pairs"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
 def q52_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.0)
     jac_e4 = F.round(
@@ -705,6 +743,7 @@ QUERIES = {
     "q110_simhash_audit": q110_simhash_audit,
     "q113_incremental_dedup": q113_incremental_dedup,
     "q114_source_reputation": q114_source_reputation,
+    "q127_fuzzy_pairs": q127_fuzzy_pairs,
 }
 
 
@@ -1644,5 +1683,17 @@ SELECT b.source, b.n_docs, b.n_dup_texts, b.avg_chars,
        CAST(ROUND(10000.0 * lc.n_lang / b.n_docs, 0) AS BIGINT) AS top_lang_bp
 FROM base b JOIN lc ON b.source = lc.source AND lc.rn = 1
 ORDER BY b.source
+""",
+    "q127_fuzzy_pairs": """
+WITH names AS (
+  SELECT p_name, COUNT(*) AS cnt, SPLIT_PART(p_name, ' ', 1) AS blk
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INT) AS dist,
+       CAST(a.cnt * b.cnt AS BIGINT) AS row_pairs
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 4
+ORDER BY name_a, name_b
 """,
 }
