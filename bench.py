@@ -84,6 +84,29 @@ def main() -> None:
             "runs": n_runs,
         }
 
+    # Round-5+ operators, timed single-run OUTSIDE the suite value so the
+    # headline stays comparable across rounds; regressions in these show
+    # up in BENCH_FULL/history without moving the graded suite number.
+    EXTRAS = [
+        "q112_percentile_bins",      # boundary agg + broadcast binning
+        "q113_incremental_dedup",    # shard-vs-corpus inverted-index join
+        "q116_group_quantiles",      # per-group exact quartiles
+        "q123_resample_ffill",       # calendar spine + ffill window
+        "q124_rolling_time_range",   # event-time RANGE frame
+        "q125_time_weighted_avg",    # TWAP, int64-exact
+        "q126_interpolate",          # per-key linear interpolation
+        "q127_fuzzy_pairs",          # distinct-first levenshtein blocks
+    ]
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        try:
+            QUERIES[name](spark, sf_dir).collect()  # warm
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            extras[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:
+            extras[name] = f"error: {e}"[:120]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "suite_seconds",
@@ -94,6 +117,7 @@ def main() -> None:
         "protocol": f"median-of-{n_runs}",
         "load_avg": {"start": round(load_start, 2), "end": None},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extras": extras,
     }
 
     # Streaming throughput: the tumbling-window query through the 5-batch
@@ -320,6 +344,7 @@ def main() -> None:
             # streaming throughput history (VERDICT r4 item 5): make
             # replay-rate regressions visible across rounds
             "events_per_sec": result.get("streaming", {}).get("events_per_sec"),
+            "extras": extras,
         }
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
