@@ -173,6 +173,7 @@ _EXTRAS = [
     "q120_python_udtf",
     "q121_tws_session_timers",
     "q122_iterable_source",
+    "q128_kafka_sink_roundtrip",
     "q123_resample_ffill",
     "q124_rolling_time_range",
     "q125_time_weighted_avg",

@@ -600,6 +600,57 @@ def q121_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q128_kafka_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH kafka sink under the gate (§2.1 ``to_kafka``): events
+    are produced through the ``to_kafka_spool`` DataSourceWriter — every
+    Spark partition's task writes its own log, published only by the
+    driver's atomic commit rename — then streamed back through the
+    partitioned source and graded on TOTALS (record count, payload
+    bytes, distinct keys, ts range). Totals are partition-layout
+    independent, which is exactly what the sink guarantees: the log↔
+    partition assignment is an implementation detail, the committed
+    record SET is not. A torn write, lost partition, or double-commit
+    moves the totals."""
+    import hashlib
+    import os
+
+    from pandas_streaming_spark.sources import kafka
+    from pandas_streaming_spark.sources.kafka_spool import to_kafka_spool
+    from pandas_streaming_spark.streaming.replay import SCRATCH
+
+    ev = load_table(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|sink".encode()
+    ).hexdigest()[:12]
+    spool = os.path.join(SCRATCH, f"kspool-{key}")
+    marker = os.path.join(spool, "_OK")
+    if not os.path.exists(marker):
+        to_kafka_spool(
+            ev.select(
+                F.col("user_id").cast("string").alias("key"),
+                F.col("event_type").alias("value"),
+                F.unix_millis("ts").alias("ts_ms"),
+            ).repartition(4),
+            "events_sink",
+            spool,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    stream = kafka(spark, "events_sink", "spool://" + spool)
+    out = run_stream_to_df(
+        spark, stream, "append", state_partitions=STATE_PARTITIONS
+    )
+    return out.agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum(F.octet_length("value")).cast("long").alias("value_bytes"),
+        F.countDistinct("key").cast("long").alias("n_keys"),
+        F.min(F.unix_millis("timestamp")).cast("long").alias("min_ts_ms"),
+        F.max(F.unix_millis("timestamp")).cast("long").alias("max_ts_ms"),
+    )
+
+
 def q111_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q48's per-user running (count, max(value)) on the
     ``transformWithStateInPandas`` API (operators/stateful.py
@@ -635,6 +686,7 @@ QUERIES = {
     "q119_dedup_within_watermark": q119_dedup_within_watermark,
     "q121_tws_session_timers": q121_tws_session_timers,
     "q122_iterable_source": q122_iterable_source,
+    "q128_kafka_sink_roundtrip": q128_kafka_sink_roundtrip,
 }
 
 ORACLES = {
@@ -778,6 +830,15 @@ ORACLES["q111_stateful_tws"] = ORACLES["q48_stateful_accumulate"]
 # dropDuplicatesWithinWatermark must converge to the same batch-distinct
 # counts as plain dropDuplicates when dups arrive inside the watermark
 ORACLES["q119_dedup_within_watermark"] = ORACLES["q46_stream_dedup"]
+
+ORACLES["q128_kafka_sink_roundtrip"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(STRLEN(event_type)) AS BIGINT) AS value_bytes,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+       CAST(FLOOR(EPOCH_US(MIN(ts)) / 1000) AS BIGINT) AS min_ts_ms,
+       CAST(FLOOR(EPOCH_US(MAX(ts)) / 1000) AS BIGINT) AS max_ts_ms
+FROM events
+"""
 
 # timer-finalized sessionization must produce the same per-user session
 # table as session_window — the q45 oracle verbatim
