@@ -239,6 +239,42 @@ class StreamingFrame:
         )
         return _AGGS[how](F.col(col)).over(w)
 
+    def resample(
+        self,
+        ts_col: str,
+        agg_cols: dict,
+        interval: str = "1 hour",
+        bounds: "StreamingFrame | None" = None,
+    ) -> "StreamingFrame":
+        """pandas ``resample(...).agg(...).ffill()``: fixed-interval
+        buckets re-indexed onto the full calendar spine with gaps
+        forward-filled (operators.resample.resample_ffill)."""
+        from pandas_streaming_spark.operators.resample import resample_ffill
+
+        b = bounds.df if bounds is not None else self.df
+        return StreamingFrame(
+            resample_ffill(b, self.df, ts_col, agg_cols, interval)
+        )
+
+    def interpolate(
+        self, key_col: str, ts_col: str, value_col: str
+    ) -> "StreamingFrame":
+        """pandas ``interpolate(method='time')`` per key — NULLs filled
+        linearly on the µs time axis (operators.resample)."""
+        from pandas_streaming_spark.operators.resample import interpolate_linear
+
+        return StreamingFrame(
+            interpolate_linear(self.df, key_col, ts_col, value_col)
+        )
+
+    def quantile(self, col: str, probs: list[float]) -> "StreamingFrame":
+        """pandas ``quantile``: exact interpolated percentiles in one
+        aggregate pass (operators.quantiles.exact_percentiles; at corpus
+        scale use percentile_approx — see the q118 audit)."""
+        from pandas_streaming_spark.operators.quantiles import exact_percentiles
+
+        return StreamingFrame(exact_percentiles(self.df, col, probs))
+
     def time_window(
         self, ts_col: str, duration: str, slide: str | None = None
     ) -> "GroupedFrame":

@@ -134,6 +134,25 @@ def test_dedup_against_corpus_empty_shard(spark):
     assert dedup_against_corpus(empty, corpus).count() == 0
 
 
+def test_api_facade_round5_methods(spark, sf_dir):
+    """The StreamingFrame facade exposes the round-5 ops (reference-API
+    parity: resample / interpolate / quantile delegate to operators)."""
+    from pandas_streaming_spark.api import StreamingFrame
+
+    ev = StreamingFrame(load_table(spark, sf_dir, "events"))
+    q = ev.quantile("value", [0.25, 0.5, 0.75]).collect()[0]
+    assert q["p25"] <= q["p50"] <= q["p75"]
+
+    rs = ev.resample("ts", {"n": F.count("*").cast("long")}).collect()
+    assert all(r["n"] is not None and r["n"] >= 1 for r in rs)
+
+    docs = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.when(F.col("event_id") % 2 == 0, F.col("value")).alias("v")
+    )
+    interp = StreamingFrame(docs).interpolate("user_id", "ts", "v").df
+    assert "interp_e4" in interp.columns
+
+
 def test_resample_ffill_gap_semantics(spark):
     """Gaps carry the last observed value with filled=True; buckets
     before the first observation stay NULL (caller zero-fills)."""
