@@ -178,6 +178,7 @@ _EXTRAS = [
     "q124_rolling_time_range",
     "q125_time_weighted_avg",
     "q126_interpolate",
+    "q129_resample_per_key",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

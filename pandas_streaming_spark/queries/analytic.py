@@ -587,6 +587,32 @@ def q126_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q129_resample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity resampling (resample_ffill ``key_col`` mode): every
+    user gets their OWN hourly spine ([their first, their last] event
+    hour), per-(user, hour) counts forward-fill across that user's
+    quiet hours, and the fill window partitions by the user — the
+    per-device/per-user gap-fill shape. Because each spine starts at
+    the key's first observation, no leading NULLs exist by
+    construction."""
+    from pandas_streaming_spark.operators.resample import resample_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_ffill(
+        ev, ev, "ts", {"n": F.count("*").cast("long")}, "1 hour",
+        key_col="user_id",
+    )
+    return (
+        out.select(
+            "user_id",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("w_start"),
+            F.col("n").cast("long").alias("n"),
+            "filled",
+        )
+        .orderBy("user_id", "w_start")
+    )
+
+
 QUERIES = {
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,
@@ -620,6 +646,7 @@ QUERIES = {
     "q124_rolling_time_range": q124_rolling_time_range,
     "q125_time_weighted_avg": q125_time_weighted_avg,
     "q126_interpolate": q126_interpolate,
+    "q129_resample_per_key": q129_resample_per_key,
 }
 
 ORACLES = {
@@ -985,5 +1012,29 @@ SELECT user_id, event_id,
          END, 0) AS BIGINT) AS interp_e4
 FROM nb
 ORDER BY user_id, event_id
+""",
+    "q129_resample_per_key": """
+WITH b AS (
+  SELECT user_id, DATE_TRUNC('hour', MIN(ts)) AS h0,
+         DATE_TRUNC('hour', MAX(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS bucket
+  FROM b
+),
+hourly AS (
+  SELECT user_id, DATE_TRUNC('hour', ts) AS bucket, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.user_id, STRFTIME(s.bucket, '%Y-%m-%d %H:%M') AS w_start,
+       CAST(LAST_VALUE(h.n IGNORE NULLS)
+            OVER (PARTITION BY s.user_id ORDER BY s.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n,
+       h.bucket IS NULL AS filled
+FROM spine s LEFT JOIN hourly h
+  ON s.user_id = h.user_id AND s.bucket = h.bucket
+ORDER BY s.user_id, w_start
 """,
 }
