@@ -96,6 +96,7 @@ def main() -> None:
         "q125_time_weighted_avg",    # TWAP, int64-exact
         "q126_interpolate",          # per-key linear interpolation
         "q127_fuzzy_pairs",          # distinct-first levenshtein blocks
+        "q129_resample_per_key",     # per-entity spine + partitioned fill
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

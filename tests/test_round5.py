@@ -182,6 +182,68 @@ def test_resample_ffill_gap_semantics(spark):
     assert out[6] == (1, True)
 
 
+def test_interpolate_tied_timestamps_no_div_zero(spark):
+    """Neighboring observations at the SAME timestamp must not abort the
+    job under ANSI mode (zero gap carries the previous observation) —
+    regression for the 10x-replica probe finding."""
+    import datetime as dt
+
+    from pandas_streaming_spark.operators.resample import interpolate_linear
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 1, 1)
+    rows = [
+        (0, t0, 10.0),
+        (0, t0, 20.0),   # tied with the first observation
+        (0, t1, None),   # trailing NULL: stays NULL (no next)
+        (1, t0, 5.0),
+        (1, t0, None),   # tied gap between two observations at t0
+        (1, t0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = interpolate_linear(df, "k", "ts", "v").collect()
+    by_k = {}
+    for r in got:
+        by_k.setdefault(r["k"], []).append(r["interp_e4"])
+    assert sorted(x for x in by_k[0] if x is not None) == [100000, 200000]
+    assert None in by_k[0]  # the trailing NULL
+    # observed rows keep their values; the tied NULL row either carries a
+    # neighboring observation or stays NULL if it sorted first among the
+    # ties (row-frame order within exact ties is arbitrary) — the pinned
+    # property is NO CRASH and no invented values
+    assert len(by_k[1]) == 3
+    assert all(x in (None, 50000, 70000) for x in by_k[1]), by_k[1]
+    assert 50000 in by_k[1] and 70000 in by_k[1]
+
+
+def test_twap_matches_reference(spark, sf_dir):
+    """q125's TWAP == a direct pandas computation of
+    sum(cents*dur)/sum(dur) per user on the real fixture."""
+    from pandas_streaming_spark.queries import QUERIES
+
+    got = {
+        r["user_id"]: r["twap_e4_cents"]
+        for r in QUERIES["q125_time_weighted_avg"](spark, sf_dir).collect()
+    }
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+    )
+    import math
+
+    for uid, grp in pdf.groupby("user_id"):
+        cents = (grp["value"] * 100).round().astype("int64").tolist()
+        ts_us = (grp["ts"].astype("int64") // 1000).tolist()
+        num = sum(
+            c * (ts_us[i + 1] - ts_us[i]) for i, c in enumerate(cents[:-1])
+        )
+        den = ts_us[-1] - ts_us[0]
+        expected = math.floor(1e4 * num / den + 0.5)
+        assert got[uid] == expected, (uid, got[uid], expected)
+
+
 def test_session_flush_tws_split_invariance(spark, sf_dir):
     """Timer-finalized sessionization must converge to the same
     per-user session table for any micro-batch split AND match the
