@@ -375,8 +375,15 @@ def main() -> None:
     except OSError:
         detail_name = None
 
-    # Compact final line: the driver's official record. Keep it far under
-    # the ~2000-char stdout tail capture — medians + headline scalars only.
+    print(compact_line(result, times, detail_name))
+
+
+def compact_line(result: dict, times: dict, detail_name: str | None) -> str:
+    """The driver's official record: ONE JSON line, guaranteed under the
+    ~2000-char stdout tail capture (round 4's record was lost to an
+    oversized line — VERDICT r4 item 1; tests/test_round5.py pins the
+    bound). Medians + headline scalars only; everything else lives in
+    the detail file."""
     s100 = result.get("scaled100", {})
     compact = {
         "metric": "suite_seconds",
@@ -394,7 +401,7 @@ def main() -> None:
     if len(line) > 1500:  # belt-and-braces: medians alone always fit
         compact.pop("queries")
         line = json.dumps(compact)
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

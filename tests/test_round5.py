@@ -288,6 +288,35 @@ def test_session_flush_tws_split_invariance(spark, sf_dir):
     assert sessions_for(5) == expected
 
 
+def test_bench_compact_line_bounded():
+    """The driver captures only a ~2000-char stdout tail; round 4's
+    official bench record was lost to an oversized final line. Pin the
+    contract: the compact line stays under 1500 chars even with a
+    maximally fat result (all sections present, all 14 medians)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import HEADLINE, compact_line
+
+    fat = {
+        "value": 9999.9999,
+        "sf": 0.1,
+        "protocol": "median-of-5",
+        "streaming": {"events_per_sec": 123456789},
+        "scaled100": {
+            "value": 99999.9999,
+            "bucketed": {"q04_bucketed_sec": 12345.6789},
+        },
+    }
+    times = {name: 12345.6789 for name in HEADLINE}
+    line = compact_line(fat, times, "BENCH_FULL_r99.json")
+    assert len(line) < 1500, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "suite_seconds"
+    assert len(parsed["queries"]) == len(HEADLINE)
+
+
 def test_produce_distributed_explicit_routing(spark, tmp_path):
     """Records land in the partition the caller dictates, in order_col
     order, with contiguous offsets — and the driver never materializes
