@@ -29,6 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pandas_streaming_spark.queries import (
+    advanced,
     analytic,
     curation,
     llm,
@@ -42,7 +43,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _ALL_QUERIES: dict[str, QueryFn] = {}
 _ALL_ORACLES: dict[str, str] = {}
-for mod in (tpch, analytic, scalarfn, llm, streaming_q, udf_q, curation):
+for mod in (tpch, analytic, scalarfn, llm, streaming_q, udf_q, curation, advanced):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLES.update({k: v for k, v in mod.ORACLES.items() if v is not None})
 
@@ -179,6 +180,17 @@ _EXTRAS = [
     "q125_time_weighted_avg",
     "q126_interpolate",
     "q129_resample_per_key",
+    "q130_regression_stats",
+    "q131_mode_bitagg",
+    "q132_sorted_collect",
+    "q133_autocorr",
+    "q134_bloom_prune",
+    "q135_cms_heavy_hitters",
+    "q136_zipf_slope",
+    "q137_triangle_count",
+    "q138_pagerank_nations",
+    "q139_token_entropy",
+    "q140_upsert_sink",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -667,6 +667,49 @@ def q111_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n_events", "max_value").orderBy("user_id")
 
 
+def q140_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed MERGE sink (streaming/upsert.KeyedUpsertSink):
+    the events replay upserts each user's latest row into a bucketed
+    manifest-committed parquet table — the Delta/Iceberg MERGE shape
+    with per-batch cost O(batch + dirty buckets), idempotent across
+    batch re-delivery via the _HEAD batch-id fence. The oracle is the
+    batch "latest row per key" query: final table ≡ last-writer-wins
+    over the whole stream, regardless of the batch split (split
+    invariance pinned in tests at k∈{1,5,20})."""
+    import shutil as _sh
+
+    from pandas_streaming_spark.streaming.replay import _fresh_dir
+    from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
+
+    replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    sink = KeyedUpsertSink(
+        _fresh_dir("upsert"), ["user_id"], ["ts", "event_id"], num_buckets=8
+    )
+    chkpt = _fresh_dir("chkpt")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chkpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    snap = sink.read(spark).localCheckpoint(eager=True)
+    sink.close()
+    _sh.rmtree(chkpt, ignore_errors=True)
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    ).orderBy("user_id")
+
+
 QUERIES = {
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
@@ -687,6 +730,7 @@ QUERIES = {
     "q121_tws_session_timers": q121_tws_session_timers,
     "q122_iterable_source": q122_iterable_source,
     "q128_kafka_sink_roundtrip": q128_kafka_sink_roundtrip,
+    "q140_upsert_sink": q140_upsert_sink,
 }
 
 ORACLES = {
@@ -884,4 +928,16 @@ r AS (
 SELECT w_start, event_type, n, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 2
 ORDER BY w_start, rnk
+"""
+
+ORACLES["q140_upsert_sink"] = """
+SELECT user_id, event_type AS last_event_type, ROUND(value, 2) AS last_value
+FROM (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
 """

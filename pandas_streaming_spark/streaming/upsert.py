@@ -1,0 +1,146 @@
+"""Keyed upsert (MERGE) sink for foreachBatch: the production "stream
+into a mutable keyed table" shape (Delta/Iceberg MERGE, reference
+sink-to-KV semantics) built on plain parquet + an atomic manifest.
+
+Design — a miniature LSM/Iceberg commit protocol, because the naive
+foreachBatch upsert (read whole table, union, rewrite whole table) is
+O(table) per micro-batch and dies at scale:
+
+* State lives in ``num_buckets`` hash buckets of the key; each bucket is
+  an immutable parquet directory.
+* A version is a tiny JSON **manifest** mapping bucket → directory; the
+  current version is a ``_HEAD`` pointer file, replaced atomically
+  (``os.replace``) after the batch's files are fully written.
+* A micro-batch touches only its **dirty buckets**: merge cost is
+  O(batch + touched buckets), not O(table). The only driver-side
+  materialization is the dirty-bucket id list (≤ num_buckets ints).
+* **Idempotent re-delivery**: ``_HEAD`` records the last applied batch
+  id; foreachBatch re-runs after a failure re-deliver the same batch id,
+  which the sink skips — the exactly-once upsert contract Structured
+  Streaming documents for idempotent sinks.
+* Losers of a key collision are resolved by ``seq_cols`` descending
+  (e.g. event time + id): last writer wins deterministically, so the
+  final table equals the batch "latest row per key" query — which is
+  exactly what q140's oracle checks.
+
+At 100 TB: buckets shard across executors (each bucket merge is an
+independent task set), num_buckets sizes to ~state/128MB, and the
+manifest/HEAD would live in an object store with conditional-put — the
+same commit dance Iceberg does; nothing here depends on a local fs
+except os.replace atomicity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class KeyedUpsertSink:
+    """foreachBatch callable maintaining a keyed parquet table with
+    last-writer-wins MERGE semantics. Use :meth:`read` for the current
+    snapshot and :meth:`close` to delete the state."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        key_cols: list[str],
+        seq_cols: list[str],
+        num_buckets: int = 16,
+    ) -> None:
+        if not key_cols or not seq_cols:
+            raise ValueError("key_cols and seq_cols must be non-empty")
+        self.base_dir = base_dir
+        self.key_cols = list(key_cols)
+        self.seq_cols = list(seq_cols)
+        self.num_buckets = num_buckets
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- commit protocol ---------------------------------------------------
+
+    @property
+    def _head_path(self) -> str:
+        return os.path.join(self.base_dir, "_HEAD")
+
+    def _read_head(self) -> dict:
+        try:
+            with open(self._head_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": 0, "batch_id": -1, "manifest": {}}
+
+    def _commit_head(self, head: dict) -> None:
+        tmp = self._head_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(head, f)
+        os.replace(tmp, self._head_path)  # atomic on POSIX
+
+    # -- merge -------------------------------------------------------------
+
+    def _bucket(self) -> Column:
+        key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in self.key_cols])
+        return F.pmod(F.xxhash64(key), F.lit(self.num_buckets)).cast("int")
+
+    def _latest_per_key(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            *[F.col(c).desc() for c in self.seq_cols]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        head = self._read_head()
+        if batch_id <= head["batch_id"]:
+            return  # re-delivered batch: already committed, skip
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn("__bucket", self._bucket())
+        # localCheckpoint: the batch feeds (a) the dirty-id collect and
+        # (b) the merge — without it the streaming source re-plans twice.
+        batch = batch.localCheckpoint(eager=True)
+        dirty = [
+            r["__bucket"]
+            for r in batch.select("__bucket").distinct().collect()
+        ]
+        if not dirty:
+            self._commit_head({**head, "batch_id": batch_id})
+            return
+        manifest = dict(head["manifest"])
+        existing = [manifest[str(b)] for b in dirty if str(b) in manifest]
+        merged = batch
+        if existing:
+            old = spark.read.parquet(*existing).withColumn(
+                "__bucket", self._bucket()
+            )
+            merged = batch.unionByName(old)
+        merged = self._latest_per_key(merged)
+        version = head["version"] + 1
+        out_dir = os.path.join(self.base_dir, f"v{version:06d}-{uuid.uuid4().hex[:8]}")
+        # one directory per dirty bucket (executor-side writes); clean
+        # buckets keep their old immutable directories.
+        merged.write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
+        for b in dirty:
+            manifest[str(b)] = os.path.join(out_dir, f"__bucket={b}")
+        self._commit_head(
+            {"version": version, "batch_id": batch_id, "manifest": manifest}
+        )
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Current snapshot (latest committed manifest)."""
+        manifest = self._read_head()["manifest"]
+        paths = sorted(set(manifest.values()))
+        if not paths:
+            raise ValueError("upsert table is empty (no committed batches)")
+        return spark.read.parquet(*paths)
+
+    def close(self) -> None:
+        shutil.rmtree(self.base_dir, ignore_errors=True)

@@ -1,0 +1,118 @@
+"""KeyedUpsertSink (streaming/upsert.py): MERGE semantics, split
+invariance, idempotent re-delivery, and the dirty-bucket-only rewrite
+property that makes per-batch cost O(batch), not O(table)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.streaming.replay import (
+    _fresh_dir,
+    replay_events,
+    write_replay_batches,
+)
+from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
+
+
+def _run_replay_upsert(spark, sf_dir: str, k: int) -> list[tuple]:
+    replay_dir = write_replay_batches(spark, sf_dir, k)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    sink = KeyedUpsertSink(
+        _fresh_dir("upsert-test"), ["user_id"], ["ts", "event_id"], num_buckets=4
+    )
+    chkpt = _fresh_dir("chkpt-upsert")
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chkpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["user_id"], r["event_id"])
+        for r in sink.read(spark).select("user_id", "event_id").collect()
+    )
+    sink.close()
+    return rows
+
+
+@pytest.mark.parametrize("k", [1, 20])
+def test_upsert_split_invariance(spark, sf_dir, k):
+    """Final table == batch latest-per-key for any micro-batch split
+    (q140 covers k=5 vs the duckdb oracle)."""
+    from pandas_streaming_spark.catalog import load_table
+    from pyspark.sql import Window
+
+    got = _run_replay_upsert(spark, sf_dir, k)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = sorted(
+        (r["user_id"], r["event_id"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id")
+        .collect()
+    )
+    assert got == want
+
+
+def test_upsert_idempotent_redelivery(spark):
+    """Re-delivering an already-committed batch id is a no-op (the
+    foreachBatch retry contract)."""
+    sink = KeyedUpsertSink(_fresh_dir("upsert-idem"), ["k"], ["seq"], num_buckets=2)
+    b0 = spark.createDataFrame([(1, 10, "a"), (2, 10, "b")], "k long, seq long, v string")
+    b1 = spark.createDataFrame([(1, 20, "c")], "k long, seq long, v string")
+    sink(b0, 0)
+    sink(b1, 1)
+    v_after = sink._read_head()["version"]
+    sink(b1, 1)  # re-delivery
+    sink(b0, 0)  # very late re-delivery
+    head = sink._read_head()
+    assert head["version"] == v_after  # no new versions written
+    got = {r["k"]: (r["seq"], r["v"]) for r in sink.read(spark).collect()}
+    assert got == {1: (20, "c"), 2: (10, "b")}
+    sink.close()
+
+
+def test_upsert_out_of_order_seq_keeps_latest(spark):
+    """A later batch carrying an OLDER sequence number must lose to the
+    committed newer row (last-writer-wins is by seq, not arrival)."""
+    sink = KeyedUpsertSink(_fresh_dir("upsert-ooo"), ["k"], ["seq"], num_buckets=2)
+    sink(spark.createDataFrame([(1, 100, "new")], "k long, seq long, v string"), 0)
+    sink(spark.createDataFrame([(1, 50, "stale")], "k long, seq long, v string"), 1)
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got == {1: "new"}
+    sink.close()
+
+
+def test_upsert_rewrites_only_dirty_buckets(spark):
+    """A batch touching one key leaves every clean bucket's directory
+    untouched in the manifest — the O(batch) per-batch cost claim."""
+    sink = KeyedUpsertSink(_fresh_dir("upsert-dirty"), ["k"], ["seq"], num_buckets=8)
+    big = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("x").alias("v"),
+    )
+    sink(big, 0)
+    m0 = dict(sink._read_head()["manifest"])
+    assert len(m0) == 8  # all buckets populated
+    one = spark.createDataFrame([(5, 2, "y")], "k long, seq long, v string")
+    sink(one, 1)
+    m1 = dict(sink._read_head()["manifest"])
+    changed = [b for b in m0 if m0[b] != m1[b]]
+    assert len(changed) == 1  # exactly the touched key's bucket
+    # untouched directories still exist and are byte-identical paths
+    for b in m0:
+        if b not in changed:
+            assert os.path.isdir(m1[b]) and m1[b] == m0[b]
+    # and the merged value won
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got[5] == "y" and got[6] == "x" and len(got) == 200
+    sink.close()
