@@ -97,6 +97,14 @@ def main() -> None:
         "q126_interpolate",          # per-key linear interpolation
         "q127_fuzzy_pairs",          # distinct-first levenshtein blocks
         "q129_resample_per_key",     # per-entity spine + partitioned fill
+        "q134_bloom_prune",          # runtime Bloom filter + pruned join
+        "q135_cms_heavy_hitters",    # Count-Min grid + top-20 estimate
+        "q137_triangle_count",       # degree-oriented wedge counting
+        "q138_pagerank_nations",     # 3-iteration collect-free PageRank
+        "q140_upsert_sink",          # foreachBatch MERGE (manifest commits)
+        "q141_hll_distinct",         # mergeable HLL registers + estimate
+        "q143_rollup_reuse",         # hourly partials -> daily answers
+        "q144_weighted_sample",      # A-Res weighted top-k sampling
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -48,7 +48,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     consistent DAG. Every triangle {a≺b≺c} is counted exactly once, as
     the wedge (a→b, a→c) closed by the oriented edge b→c.
     """
-    und = canonical_edges(edges, src, dst)
+    # The canonical edge set feeds FOUR branches (degrees, edge count,
+    # wedges via orientation, closing edges) — checkpoint it once so an
+    # expensive upstream edge-build (e.g. a co-occurrence self-join)
+    # doesn't recompute per branch. On a cluster this is the
+    # persist(DISK_ONLY)/checkpoint decision; the edge list is the
+    # small thing here, the build is the big thing.
+    und = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -71,6 +77,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .alias("e")
         )
         .select("e.s", "e.t")
+        .localCheckpoint(eager=True)  # reused by e1, e2, and closing
     )
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))

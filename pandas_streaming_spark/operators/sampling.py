@@ -108,3 +108,39 @@ def cap_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame, id_col: str, weight_col: str, k: int, partition_by: str | None = None
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res): each row gets key u^(1/w) with u a CONTENT-ADDRESSED
+    uniform from the id's md5 (not an RNG — same reasons as
+    deterministic_sample: retry-stable, layout-stable, and the duckdb
+    oracle computes the identical sample), and the k largest keys per
+    partition are the sample. P(selected) ∝ weight, exactly the
+    reservoir guarantee, but expressed as a window top-k: one shuffle,
+    no sequential reservoir state — the distributed form of weighted
+    reservoir sampling.
+
+    Adds ``__ares_rank`` (1..k). Ranking ties break on id for
+    determinism; the float keys themselves are never output, so a
+    last-ulp pow() divergence between engines could only matter if two
+    keys collide to ~1e-16 — content-hashed uniforms make that
+    probability ~n²·1e-16 per partition.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    # u in (0, 1]: (28-bit md5 prefix + 1) / 2^28
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(float(1 << 28))
+    key = F.pow(u, 1.0 / F.col(weight_col))
+    part = [partition_by] if partition_by else []
+    w = Window.partitionBy(*part).orderBy(key.desc(), F.col(id_col))
+    return (
+        df.withColumn("__ares_rank", F.row_number().over(w))
+        .where(F.col("__ares_rank") <= k)
+    )

@@ -219,3 +219,95 @@ def cms_estimate(
     return probes.withColumn("cms_est", est).drop(
         *[f"__n{r}" for r in range(depth)]
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+#: m = 64 registers: alpha_64 = 0.7213 / (1 + 1.079/64)
+HLL_M = 64
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+#: hash uses 60 md5 bits: 6 bucket bits + 54 payload bits → rho ∈ [1, 55]
+HLL_RHO_CAP = 55
+
+
+def hll_registers(df: DataFrame, item_col: str, *group_cols: str) -> DataFrame:
+    """Per-group HyperLogLog registers ``(group..., hll_bucket, hll_rho)``
+    — at most ``HLL_M`` rows per group no matter the input size, and
+    MERGEABLE: registers of a union are the per-bucket max of the parts'
+    registers, which is how a 1000-executor distinct-count actually
+    runs (map-side partial registers, tiny shuffle, merge).
+
+    Engine-exact by construction (unlike approx_count_distinct's
+    HLL++): the hash is 60 bits of md5 (the repo's oracle idiom) and
+    rho is the *least*-significant-1-bit position of the payload
+    (Flajolet–Martin form — isolating it as ``w & -w`` yields an exact
+    power of two whose log2 is float-exact, so duckdb reproduces every
+    register verbatim; leading-zero rank has no such SQL-portable form).
+    """
+    item = F.col(item_col)
+    h = F.conv(F.substring(F.md5(item.cast("string")), 1, 15), 16, 10).cast("long")
+    w = F.shiftright(h, 6)
+    lowbit = w.bitwiseAND(-w)
+    rho = F.when(w == 0, F.lit(HLL_RHO_CAP)).otherwise(
+        (F.log2(lowbit) + 1).cast("int")
+    )
+    return (
+        df.where(item.isNotNull())
+        .select(*group_cols, F.pmod(h, F.lit(HLL_M)).alias("hll_bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "hll_bucket")
+        .agg(F.max("rho").alias("hll_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, *group_cols: str) -> DataFrame:
+    """Distinct-count estimate per group from :func:`hll_registers`
+    output: the classic raw harmonic-mean estimate with the
+    small-range (linear-counting) correction. Adds ``hll_est``
+    (double). Empty buckets contribute 2^0 to the harmonic sum and
+    drive the linear-counting branch."""
+    m = F.lit(HLL_M)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("hll_rho"))).alias("__inv_sum"),
+        F.count("*").alias("__nonempty"),
+    )
+    v = (m - F.col("__nonempty")).cast("double")  # empty buckets
+    raw = F.lit(HLL_ALPHA) * m * m / (F.col("__inv_sum") + v)
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0), m.cast("double") * F.log(m.cast("double") / v)
+    ).otherwise(raw)
+    return agg.withColumn("hll_est", est).drop("__inv_sum", "__nonempty")
+
+
+def hll_sql(item_sql: str, group_sql: str) -> str:
+    """duckdb rendering of hll_registers+hll_estimate for the oracle:
+    produces (group, hll_est) per group."""
+    return f"""
+WITH h AS (
+  SELECT {group_sql} AS g,
+         CAST(CONCAT('0x', SUBSTR(MD5(CAST({item_sql} AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM __HLL_SRC__
+  WHERE {item_sql} IS NOT NULL
+),
+b AS (
+  SELECT g, hv % {HLL_M} AS bucket, hv >> 6 AS w FROM h
+),
+r AS (
+  SELECT g, bucket,
+         MAX(CASE WHEN w = 0 THEN {HLL_RHO_CAP}
+                  ELSE CAST(LOG2(w & (-w)) AS INT) + 1 END) AS rho
+  FROM b GROUP BY g, bucket
+),
+agg AS (
+  SELECT g, SUM(POWER(2.0, -rho)) AS inv_sum,
+         CAST({HLL_M} - COUNT(*) AS DOUBLE) AS v
+  FROM r GROUP BY g
+)
+SELECT g, CASE WHEN CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M} * {HLL_M} / (inv_sum + v)
+                  <= 2.5 * {HLL_M} AND v > 0
+           THEN {HLL_M} * LN({HLL_M} / v)
+           ELSE CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M} * {HLL_M} / (inv_sum + v)
+           END AS hll_est
+FROM agg
+"""

@@ -191,6 +191,10 @@ _EXTRAS = [
     "q138_pagerank_nations",
     "q139_token_entropy",
     "q140_upsert_sink",
+    "q141_hll_distinct",
+    "q142_stream_full_outer",
+    "q143_rollup_reuse",
+    "q144_weighted_sample",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

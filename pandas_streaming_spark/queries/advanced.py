@@ -183,12 +183,22 @@ def q135_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q137_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangles in the supplier co-supply graph (suppliers joined by
-    sharing a part — the co-occurrence-graph shape of dedup cluster
-    analysis). Edge build: distinct (part, supp) pairs, per-part
-    self-join with s1<s2, distinct. Counting: degree-oriented wedges
-    (operators.graph.triangle_count) — fan-out bounded O(sqrt(|E|)) per
-    node, which is what survives power-law degree at scale."""
+    """Doulion-style sparsified triangle counting on the supplier
+    co-supply graph (suppliers joined by sharing a part — the
+    co-occurrence shape of dedup cluster analysis).
+
+    The raw co-supply graph is DEGENERATE at bench scales — at sf0.1 it
+    is the complete K_1000 (499,500 edges, 166M triangles), exactly the
+    quadratic blowup co-occurrence graphs exhibit on hub objects — so
+    the operator follows the published scale remedy (Tsourakakis et
+    al.'s Doulion): keep each edge with probability p via a
+    deterministic content hash (md5 of the canonical pair, the repo's
+    sampling idiom — the oracle reproduces the identical subgraph) and
+    count exactly on the sparse graph; tri/p³ is an unbiased estimate
+    of the full count, reported alongside. Counting itself is
+    degree-oriented wedges (operators.graph.triangle_count): per-node
+    fan-out bounded O(sqrt(|E|)), three shuffles, no collect."""
+    p_pct = 5  # keep ~5% of edges
     ps = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
@@ -196,10 +206,29 @@ def q137_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ps.select(F.col("p"), F.col("s").alias("s1"))
     b = ps.select(F.col("p"), F.col("s").alias("s2"))
-    edges = (
-        a.join(b, "p").where(F.col("s1") < F.col("s2")).select("s1", "s2").distinct()
+    pair_key = F.concat_ws("-", F.col("s1"), F.col("s2"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(pair_key), 1, 7), 16, 10).cast("long"), F.lit(100)
     )
-    return triangle_count(edges, "s1", "s2")
+    # Sample BEFORE the distinct: the hash is content-based, so
+    # filter∘distinct ≡ distinct∘filter — but filtering first drops
+    # 100/p_pct of the per-part pair fan-out ahead of the dedup shuffle.
+    sparse = (
+        a.join(b, "p")
+        .where((F.col("s1") < F.col("s2")) & (bucket < p_pct))
+        .select("s1", "s2")
+        .distinct()
+    )
+    out = triangle_count(sparse, "s1", "s2")
+    return out.select(
+        "n_vertices",
+        "n_edges",
+        "n_triangles",
+        # Doulion estimator: exact count on the p-sampled graph / p^3
+        F.round(F.col("n_triangles") / F.lit((p_pct / 100.0) ** 3), 0)
+        .cast("long")
+        .alias("est_full_triangles"),
+    )
 
 
 def q138_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,6 +321,100 @@ def q139_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type, graded against
+    its own construction AND audited against the exact count in one
+    frame (the q108/q118 audit pattern). The registers
+    (operators.sketches.hll_registers) are MERGEABLE — per-bucket max —
+    which is the whole reason HLL is the 100 TB distinct-count: map-side
+    partial registers, a ≤64-row-per-group shuffle, merge. Unlike
+    approx_count_distinct (engine-internal HLL++, rows-only q64), the
+    md5/low-bit construction is engine-exact, so duckdb reproduces every
+    register and the ESTIMATE grades on values."""
+    from pandas_streaming_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", "event_type")
+    est = hll_estimate(regs, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "true_distinct",
+            F.round("hll_est", 2).alias("hll_est"),
+            F.round(
+                F.abs(F.col("hll_est") - F.col("true_distinct"))
+                / F.col("true_distinct")
+                * 10000,
+                0,
+            )
+            .cast("long")
+            .alias("err_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q143_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate reuse (operators/rollup.py): daily stats per
+    event type answered from an HOURLY partial table instead of raw
+    events — the hypertable rollup pattern. The grade is the merge
+    algebra itself: the oracle computes the daily grain straight from
+    raw events, so any error in the decomposable partials (count/sum/
+    min/max stored, avg derived at read time) hash-mismatches."""
+    from pandas_streaming_spark.operators.rollup import (
+        rollup_merge,
+        time_rollup,
+        with_derived,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        # integer cents: the partial algebra is then EXACT, so the
+        # two-level sum can't drift from the oracle's one-level sum
+        # (doubles are non-associative; int64 is)
+        "cents",
+        F.round(F.col("value") * 100, 0).cast("long"),
+    )
+    hourly = time_rollup(ev, "ts", "hour", ["event_type"], "cents")
+    daily = with_derived(rollup_merge(hourly, "day", ["event_type"]))
+    return daily.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("cnt").alias("n"),
+        (F.col("sum_v") / 100.0).alias("sum_value"),
+        # exact integer rational: cents×1e4 floor-divided by the count.
+        # ROUND of a float division is engine-divergent exactly on .xxx5
+        # boundaries (Spark rounds the shortest decimal rendering,
+        # duckdb the binary value); integer div has one answer.
+        F.expr("(sum_v * 10000) div cnt").alias("avg_cents_e4"),
+        (F.col("min_v") / 100.0).alias("min_value"),
+        (F.col("max_v") / 100.0).alias("max_value"),
+    ).orderBy("day", "event_type")
+
+
+def q144_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-Res as a window top-k,
+    operators/sampling.weighted_sample_topk): per language, 20 documents
+    drawn with probability ∝ n_chars — the corpus-mixing primitive when
+    longer/higher-quality docs should be overrepresented. Content-
+    addressed uniforms make the sample reproducible AND oracle-exact;
+    the output is ids and ranks, never the float keys."""
+    from pandas_streaming_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample_topk(docs, "doc_id", "n_chars", k=20, partition_by="lang")
+        .select("lang", F.col("__ares_rank").alias("rank"), "doc_id", "n_chars")
+        .orderBy("lang", "rank")
+    )
+
+
 QUERIES = {
     "q130_regression_stats": q130_regression_stats,
     "q131_mode_bitagg": q131_mode_bitagg,
@@ -303,7 +426,28 @@ QUERIES = {
     "q137_triangle_count": q137_triangle_count,
     "q138_pagerank_nations": q138_pagerank_nations,
     "q139_token_entropy": q139_token_entropy,
+    "q141_hll_distinct": q141_hll_distinct,
+    "q143_rollup_reuse": q143_rollup_reuse,
+    "q144_weighted_sample": q144_weighted_sample,
 }
+
+
+def _hll_oracle() -> str:
+    from pandas_streaming_spark.operators.sketches import hll_sql
+
+    inner = hll_sql("user_id", "event_type").replace("__HLL_SRC__", "events")
+    return f"""
+WITH exact AS (
+  SELECT event_type AS g, COUNT(DISTINCT user_id) AS true_distinct
+  FROM events GROUP BY event_type
+)
+SELECT exact.g AS event_type, true_distinct,
+       ROUND(hll.hll_est, 2) AS hll_est,
+       CAST(ROUND(ABS(hll.hll_est - true_distinct) / true_distinct * 10000)
+            AS BIGINT) AS err_bp
+FROM exact JOIN ({inner}) hll ON exact.g = hll.g
+ORDER BY event_type
+"""
 
 
 def _cms_oracle() -> str:
@@ -464,9 +608,13 @@ FROM ranked WHERE rank <= 100
 """,
     "q137_triangle_count": """
 WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-e AS (
+e_full AS (
   SELECT DISTINCT a.s AS u, b.s AS v
   FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+),
+e AS (
+  SELECT u, v FROM e_full
+  WHERE CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(u, '-', v)), 1, 7)) AS BIGINT) % 100 < 5
 ),
 deg AS (
   SELECT node, COUNT(*) AS deg
@@ -487,9 +635,46 @@ wedge AS (
 closing AS (SELECT s AS b, t AS c FROM o UNION ALL SELECT t AS b, s AS c FROM o)
 SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
        (SELECT COUNT(*) FROM e) AS n_edges,
-       (SELECT COUNT(*) FROM wedge JOIN closing USING (b, c)) AS n_triangles
+       (SELECT COUNT(*) FROM wedge JOIN closing USING (b, c)) AS n_triangles,
+       CAST(ROUND((SELECT COUNT(*) FROM wedge JOIN closing USING (b, c))
+                  / 0.05 / 0.05 / 0.05) AS BIGINT) AS est_full_triangles
 """,
     "q138_pagerank_nations": _pagerank_oracle(),
+    "q141_hll_distinct": _hll_oracle(),
+    # Oracle computes the DAILY grain straight from raw events — grading
+    # the hourly→daily merge algebra, not just the arithmetic.
+    "q143_rollup_reuse": """
+WITH c AS (
+  SELECT ts, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_value,
+       CAST(SUM(cents) * 10000 // COUNT(*) AS BIGINT) AS avg_cents_e4,
+       CAST(MIN(cents) AS DOUBLE) / 100.0 AS min_value,
+       CAST(MAX(cents) AS DOUBLE) / 100.0 AS max_value
+FROM c GROUP BY 1, 2 ORDER BY day, event_type
+""",
+    "q144_weighted_sample": """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         POWER(
+           (CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 7))
+                 AS BIGINT) + 1.0) / 268435456.0,
+           1.0 / n_chars) AS ares_key
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY ares_key DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT lang, rank, doc_id, n_chars
+FROM ranked WHERE rank <= 20
+ORDER BY lang, rank
+""",
     "q139_token_entropy": """
 WITH tok AS (
   SELECT doc_id, lang, t.token

@@ -710,6 +710,68 @@ def q140_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q142_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-outer event-time stream-stream join — the last §2.3 join
+    shape (q60 inner, q71 left-outer): every purchase AND every click,
+    matched where a click precedes the purchase within an hour, NULLs on
+    whichever side has no partner. Unmatched rows on BOTH sides emit
+    only when the watermark passes their horizon, so the replay appends
+    the far-future flush sentinel; the batch oracle is duckdb's FULL
+    OUTER interval join. State: per-key rows inside the 1h bound ×
+    2h watermark — evictable on both sides, independent of stream
+    length."""
+    from pandas_streaming_spark.streaming.joins import interval_join
+    from pandas_streaming_spark.streaming.replay import SENTINEL_USER
+
+    replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES, sentinel=True)
+    purchases = replay_events(spark, sf_dir, replay_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = replay_events(spark, sf_dir, replay_dir).filter(
+        F.col("event_type") == "click"
+    )
+    joined = interval_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        lookback="1 HOUR",
+        watermark="2 hours",
+        how="fullOuter",
+    ).select(
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    out = run_stream_to_df(
+        spark, joined, "append", state_partitions=STATE_PARTITIONS
+    )
+    return (
+        out.filter(F.col("user_id") != SENTINEL_USER)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("purchase_id").isNotNull()
+                    & F.col("click_id").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_both"),
+            F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchase_only"),
+            F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_click_only"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
@@ -731,6 +793,7 @@ QUERIES = {
     "q122_iterable_source": q122_iterable_source,
     "q128_kafka_sink_roundtrip": q128_kafka_sink_roundtrip,
     "q140_upsert_sink": q140_upsert_sink,
+    "q142_stream_full_outer": q142_stream_full_outer,
 }
 
 ORACLES = {
@@ -940,4 +1003,28 @@ FROM (
 )
 WHERE rn = 1
 ORDER BY user_id
+"""
+
+ORACLES["q142_stream_full_outer"] = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+         p.event_id AS purchase_id, c.event_id AS click_id
+  FROM p FULL OUTER JOIN c
+    ON p.user_id = c.user_id
+   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+)
+SELECT user_id, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN purchase_id IS NOT NULL AND click_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase_only,
+       CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click_only
+FROM j GROUP BY user_id ORDER BY user_id
 """

@@ -138,3 +138,41 @@ def test_funnel_single_user_shuffle(spark, sf_dir):
     )
     assert plan.count("hashpartitioning(user_id") == 1, plan[:1200]
     assert "Join" not in plan, plan[:1200]
+
+
+def test_bloom_probe_stays_in_scan_stage(spark, sf_dir):
+    """q134's runtime filter must be a pure filter BEFORE the join (no
+    extra shuffle, no Python eval) and the dim join must broadcast."""
+    from pandas_streaming_spark.queries.advanced import q134_bloom_prune
+
+    from pandas_streaming_spark.plans import physical_plan
+
+    df = q134_bloom_prune(spark, sf_dir)
+    plan = physical_plan(df)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "CartesianProduct" not in strategies
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_probe_is_broadcast_only(spark, sf_dir):
+    """q135's grid probes must all be broadcast joins — the items side
+    never shuffles."""
+    from pandas_streaming_spark.queries.advanced import q135_cms_heavy_hitters
+
+    strategies = join_strategies(q135_cms_heavy_hitters(spark, sf_dir))
+    assert "CartesianProduct" not in strategies
+    assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_graph_queries_avoid_cartesian(spark, sf_dir):
+    """Wedge/contribution joins must stay keyed joins; the only
+    nested-loop joins allowed are the broadcast 1-row scalar frames."""
+    from pandas_streaming_spark.queries.advanced import (
+        q137_triangle_count,
+        q138_pagerank_nations,
+    )
+
+    for df in (q137_triangle_count(spark, sf_dir), q138_pagerank_nations(spark, sf_dir)):
+        strategies = join_strategies(df)
+        assert "CartesianProduct" not in strategies, strategies

@@ -1,0 +1,146 @@
+"""Property tests for the second round-5 batch: continuous-aggregate
+merge algebra, A-Res weighted sampling, and the full-outer stream join's
+split invariance."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.operators.rollup import (
+    rollup_merge,
+    time_rollup,
+)
+from pandas_streaming_spark.operators.sampling import weighted_sample_topk
+
+
+def test_rollup_merge_equals_direct(spark, sf_dir):
+    """merge(hourly) == direct daily rollup, in-engine (q143 pins it
+    cross-engine): the decomposable-partials contract."""
+    from pandas_streaming_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    via_hourly = rollup_merge(
+        time_rollup(ev, "ts", "hour", ["event_type"], "cents"), "day", ["event_type"]
+    )
+    direct = time_rollup(ev, "ts", "day", ["event_type"], "cents")
+    cols = ["bucket_ts", "event_type", "cnt", "sum_v", "min_v", "max_v"]
+    a = sorted(map(tuple, via_hourly.select(*cols).collect()))
+    b = sorted(map(tuple, direct.select(*cols).collect()))
+    assert a == b
+
+
+def test_rollup_merge_is_grain_transitive(spark, sf_dir):
+    """hour → day → month == hour → month: merge composes."""
+    from pandas_streaming_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    hourly = time_rollup(ev, "ts", "hour", [], "cents")
+    two_step = rollup_merge(rollup_merge(hourly, "day", []), "month", [])
+    one_step = rollup_merge(hourly, "month", [])
+    cols = ["bucket_ts", "cnt", "sum_v", "min_v", "max_v"]
+    assert sorted(map(tuple, two_step.select(*cols).collect())) == sorted(
+        map(tuple, one_step.select(*cols).collect())
+    )
+
+
+def _ares_key(doc_id: int, w: int) -> float:
+    u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16) + 1.0) / (1 << 28)
+    return u ** (1.0 / w)
+
+
+def test_weighted_sample_matches_reference(spark):
+    """Selection == a pure-Python A-Res over the same content hashes."""
+    rng = random.Random(2)
+    rows = [(i, rng.randrange(1, 500)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample_topk(df, "doc_id", "w", k=25).collect()
+    )
+    want = sorted(
+        i for i, _ in sorted(rows, key=lambda r: (-_ares_key(r[0], r[1]), r[0]))[:25]
+    )
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """An item with overwhelming weight must be selected; k >= n keeps
+    everything; k <= 0 rejects."""
+    rows = [(i, 1) for i in range(199)] + [(999, 10**9)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    picked = {
+        r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", k=10).collect()
+    }
+    assert 999 in picked
+    assert weighted_sample_topk(df, "doc_id", "w", k=500).count() == 200
+    with pytest.raises(ValueError):
+        weighted_sample_topk(df, "doc_id", "w", k=0)
+
+
+@pytest.mark.parametrize("k", [1, 20])
+def test_stream_full_outer_split_invariance(spark, sf_dir, k):
+    """q142's full-outer interval join must converge to the batch FULL
+    OUTER join for any micro-batch split (q142 grades k=5 vs duckdb)."""
+    import pandas_streaming_spark.queries.streaming_q as sq
+
+    orig = sq.K_BATCHES
+    sq.K_BATCHES = k
+    try:
+        got = sorted(map(tuple, sq.q142_stream_full_outer(spark, sf_dir).collect()))
+    finally:
+        sq.K_BATCHES = orig
+    from pandas_streaming_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    j = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+        "full_outer",
+    ).select(
+        F.coalesce("pu", "cu").alias("user_id"), "purchase_id", "click_id"
+    )
+    want = sorted(
+        map(
+            tuple,
+            j.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.col("purchase_id").isNotNull()
+                        & F.col("click_id").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_both"),
+                F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_purchase_only"),
+                F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_click_only"),
+            )
+            .orderBy("user_id")
+            .collect(),
+        )
+    )
+    assert got == want
