@@ -105,6 +105,10 @@ def main() -> None:
         "q141_hll_distinct",         # mergeable HLL registers + estimate
         "q143_rollup_reuse",         # hourly partials -> daily answers
         "q144_weighted_sample",      # A-Res weighted top-k sampling
+        "q145_cohort_retention",     # per-user cohort + weekly retention
+        "q146_bm25",                 # BM25 scoring, broadcast-only probes
+        "q149_scd2_history",         # SCD2 run-collapse windows
+        "q150_path_transitions",     # Markov transition matrix
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -195,6 +195,12 @@ _EXTRAS = [
     "q142_stream_full_outer",
     "q143_rollup_reuse",
     "q144_weighted_sample",
+    "q145_cohort_retention",
+    "q146_bm25",
+    "q147_upsert_time_travel",
+    "q148_upsert_changes",
+    "q149_scd2_history",
+    "q150_path_transitions",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

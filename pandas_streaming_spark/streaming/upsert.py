@@ -72,7 +72,7 @@ class KeyedUpsertSink:
             with open(self._head_path) as f:
                 return json.load(f)
         except FileNotFoundError:
-            return {"version": 0, "batch_id": -1, "manifest": {}}
+            return {"version": 0, "batch_id": -1, "manifest": {}, "history": []}
 
     def _commit_head(self, head: dict) -> None:
         tmp = self._head_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -110,7 +110,10 @@ class KeyedUpsertSink:
             for r in batch.select("__bucket").distinct().collect()
         ]
         if not dirty:
-            self._commit_head({**head, "batch_id": batch_id})
+            # empty batch still commits a version (manifest unchanged) so
+            # version N always means "state after the first N batches" —
+            # the contract read(version=...) time travel relies on.
+            self._commit_version(head, batch_id, head["manifest"])
             return
         manifest = dict(head["manifest"])
         existing = [manifest[str(b)] for b in dirty if str(b) in manifest]
@@ -128,19 +131,78 @@ class KeyedUpsertSink:
         merged.write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
         for b in dirty:
             manifest[str(b)] = os.path.join(out_dir, f"__bucket={b}")
+        self._commit_version(head, batch_id, manifest)
+
+    def _commit_version(self, head: dict, batch_id: int, manifest: dict) -> None:
+        """Append a snapshot to the history and atomically advance HEAD.
+        Old bucket directories stay on disk (they're what time travel
+        reads); `vacuum` reclaims them."""
+        version = head["version"] + 1
+        history = list(head.get("history", []))
+        history.append({"version": version, "batch_id": batch_id, "manifest": manifest})
         self._commit_head(
-            {"version": version, "batch_id": batch_id, "manifest": manifest}
+            {
+                "version": version,
+                "batch_id": batch_id,
+                "manifest": manifest,
+                "history": history,
+            }
         )
 
     # -- reads -------------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Current snapshot (latest committed manifest)."""
-        manifest = self._read_head()["manifest"]
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot of the table: latest by default, or any committed
+        ``version`` (1-based; version N = state after the first N
+        batches) — Iceberg/Delta-style time travel, possible because
+        bucket directories are immutable and each commit's manifest is
+        retained in HEAD's history."""
+        head = self._read_head()
+        if version is None:
+            manifest = head["manifest"]
+        else:
+            match = [c for c in head.get("history", []) if c["version"] == version]
+            if not match:
+                raise ValueError(
+                    f"version {version} not found (have 1..{head['version']})"
+                )
+            manifest = match[0]["manifest"]
         paths = sorted(set(manifest.values()))
         if not paths:
             raise ValueError("upsert table is empty (no committed batches)")
         return spark.read.parquet(*paths)
+
+    def changes(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Rows whose key is NEW or whose latest row CHANGED between two
+        snapshots — incremental/CDC read over the retained manifests
+        (Iceberg's incremental scan / Delta's CDF, derived here from
+        snapshot difference: each key appears at most once per snapshot,
+        so row-level EXCEPT is exactly 'new or changed')."""
+        newer = self.read(spark, version=to_version)
+        older = self.read(spark, version=from_version)
+        return newer.exceptAll(older)
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Drop history entries and bucket directories unreferenced by
+        the ``keep_last`` most recent versions; returns the number of
+        version directories removed. The time-travel/storage tradeoff
+        Iceberg calls expire_snapshots."""
+        head = self._read_head()
+        history = head.get("history", [])
+        kept, dropped = history[-keep_last:], history[:-keep_last]
+        live = {p for c in kept for p in c["manifest"].values()}
+        # bucket paths are <base>/<version-dir>/__bucket=N: reclaim any
+        # version dir none of whose buckets are referenced anymore
+        all_vdirs = {os.path.dirname(p) for c in history for p in c["manifest"].values()}
+        live_vdirs = {os.path.dirname(p) for p in live}
+        removed = 0
+        for d in sorted(all_vdirs - live_vdirs):
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+        self._commit_head({**head, "history": kept})
+        return removed
 
     def close(self) -> None:
         shutil.rmtree(self.base_dir, ignore_errors=True)

@@ -116,3 +116,76 @@ def test_upsert_rewrites_only_dirty_buckets(spark):
     got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
     assert got[5] == "y" and got[6] == "x" and len(got) == 200
     sink.close()
+
+
+def test_upsert_time_travel_versions(spark):
+    """read(version=N) == state after the first N batches; bad versions
+    raise."""
+    sink = KeyedUpsertSink(_fresh_dir("upsert-tt-unit"), ["k"], ["seq"], num_buckets=2)
+    sink(spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k long, seq long, v string"), 0)
+    sink(spark.createDataFrame([(1, 2, "c")], "k long, seq long, v string"), 1)
+    sink(spark.createDataFrame([(3, 1, "d")], "k long, seq long, v string"), 2)
+    v1 = {r["k"]: r["v"] for r in sink.read(spark, version=1).collect()}
+    v2 = {r["k"]: r["v"] for r in sink.read(spark, version=2).collect()}
+    v3 = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert v1 == {1: "a", 2: "b"}
+    assert v2 == {1: "c", 2: "b"}
+    assert v3 == {1: "c", 2: "b", 3: "d"}
+    with pytest.raises(ValueError):
+        sink.read(spark, version=99)
+    sink.close()
+
+
+def test_upsert_empty_batch_still_versions(spark):
+    """An empty batch commits an unchanged-manifest version, so version N
+    always means 'after N batches'."""
+    sink = KeyedUpsertSink(_fresh_dir("upsert-empty"), ["k"], ["seq"], num_buckets=2)
+    sink(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"), 0)
+    sink(spark.createDataFrame([], "k long, seq long, v string"), 1)
+    sink(spark.createDataFrame([(2, 1, "b")], "k long, seq long, v string"), 2)
+    head = sink._read_head()
+    assert head["version"] == 3
+    assert {r["k"] for r in sink.read(spark, version=2).collect()} == {1}
+    sink.close()
+
+
+def test_upsert_vacuum_reclaims_old_versions(spark):
+    """vacuum(keep_last=1) removes unreferenced version dirs, keeps the
+    current snapshot readable, and drops time travel beyond the kept
+    window."""
+    import os as _os
+
+    sink = KeyedUpsertSink(_fresh_dir("upsert-vac"), ["k"], ["seq"], num_buckets=1)
+    for i in range(4):  # one bucket -> every batch rewrites it
+        sink(
+            spark.createDataFrame([(1, i, f"v{i}")], "k long, seq long, v string"), i
+        )
+    all_dirs = {
+        _os.path.dirname(p)
+        for c in sink._read_head()["history"]
+        for p in c["manifest"].values()
+    }
+    assert len(all_dirs) == 4
+    removed = sink.vacuum(keep_last=1)
+    assert removed == 3
+    assert {r["v"] for r in sink.read(spark).collect()} == {"v3"}
+    with pytest.raises(ValueError):
+        sink.read(spark, version=1)
+    sink.close()
+
+
+def test_upsert_changes_between_versions(spark):
+    """changes(from, to) == new + changed keys only (CDC semantics)."""
+    sink = KeyedUpsertSink(_fresh_dir("upsert-chg"), ["k"], ["seq"], num_buckets=2)
+    sink(spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "k long, seq long, v string"), 0)
+    sink(spark.createDataFrame(
+        [(2, 2, "b2"), (4, 1, "d")], "k long, seq long, v string"), 1)
+    got = sorted(
+        (r["k"], r["v"])
+        for r in sink.changes(spark, from_version=1).collect()
+    )
+    assert got == [(2, "b2"), (4, "d")]  # changed key 2, new key 4; 1,3 silent
+    # identical snapshots -> empty delta
+    assert sink.changes(spark, from_version=2, to_version=2).count() == 0
+    sink.close()
