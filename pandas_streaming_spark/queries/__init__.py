@@ -201,6 +201,7 @@ _EXTRAS = [
     "q148_upsert_changes",
     "q149_scd2_history",
     "q150_path_transitions",
+    "q151_streaming_rollup_view",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -772,6 +772,57 @@ def q142_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q151_streaming_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATERIALIZED VIEW maintenance — the q143 continuous
+    aggregate kept fresh by the stream: update-mode hourly partials
+    (count + integer-cent sum per event type) flow through the
+    KeyedUpsertSink, whose last-writer-wins MERGE keyed on the group
+    retains each group's newest partial. The batch id is the sequence
+    (monotone per re-emitted group), so re-deliveries and late updates
+    resolve exactly like any warehouse MV refresh. Final table ==
+    one-shot batch rollup, graded against the raw-events oracle."""
+    import shutil as _sh
+
+    from pandas_streaming_spark.streaming.replay import _fresh_dir
+    from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
+
+    replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    partials = (
+        stream.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("cents").alias("sum_cents"))
+    )
+    sink = KeyedUpsertSink(
+        _fresh_dir("mv"), ["bucket_ts", "event_type"], ["__seq"], num_buckets=8
+    )
+    chkpt = _fresh_dir("chkpt-mv")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        q = (
+            partials.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, bid: sink(df.withColumn("__seq", F.lit(bid)), bid)
+            )
+            .option("checkpointLocation", chkpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    view = sink.read(spark).localCheckpoint(eager=True)
+    sink.close()
+    _sh.rmtree(chkpt, ignore_errors=True)
+    return view.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm").alias("hour"),
+        "event_type",
+        F.col("cnt").alias("n"),
+        (F.col("sum_cents") / 100.0).alias("sum_value"),
+    ).orderBy("hour", "event_type")
+
+
 QUERIES = {
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
@@ -794,6 +845,7 @@ QUERIES = {
     "q128_kafka_sink_roundtrip": q128_kafka_sink_roundtrip,
     "q140_upsert_sink": q140_upsert_sink,
     "q142_stream_full_outer": q142_stream_full_outer,
+    "q151_streaming_rollup_view": q151_streaming_rollup_view,
 }
 
 ORACLES = {
@@ -1027,4 +1079,15 @@ SELECT user_id, COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_click_only
 FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLES["q151_streaming_rollup_view"] = """
+WITH c AS (
+  SELECT ts, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_value
+FROM c GROUP BY 1, 2 ORDER BY hour, event_type
 """

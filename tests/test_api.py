@@ -233,3 +233,59 @@ def test_sample_is_content_addressed(spark, sf_dir):
     for bad in (0.005, 0.015, 0.0, 1.5, -0.1):
         with pytest.raises(ValueError, match="granularity|multiple"):
             docs.sample(bad, "doc_id")
+
+
+def test_facade_sketch_and_sampling_methods(spark, sf_dir):
+    """Round-5 facade additions: prune_to preserves the join, HLL
+    nunique lands in its error band, heavy_hitters covers the true top,
+    weighted_sample respects k, rollup_time partials sum to the raw
+    totals."""
+    from pandas_streaming_spark.api import wrap
+    from pandas_streaming_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = wrap(load_table(spark, sf_dir, "events"))
+    docs = wrap(load_table(spark, sf_dir, "documents"))
+
+    # prune_to: pruned join == plain join
+    part = wrap(load_table(spark, sf_dir, "part").where(F.col("p_size") <= 5))
+    li = wrap(load_table(spark, sf_dir, "lineitem"))
+    plain = li.df.join(part.df, li.df["l_partkey"] == part.df["p_partkey"]).count()
+    pruned = (
+        li.prune_to(part, "l_partkey", "p_partkey")
+        .df.join(part.df, F.col("l_partkey") == F.col("p_partkey"))
+        .count()
+    )
+    assert pruned == plain
+
+    # nunique_approx within the m=64 band vs exact
+    est = ev.nunique_approx("user_id").df.collect()[0]["hll_est"]
+    exact = ev.df.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.52
+
+    # heavy_hitters: top-3 estimated tokens all have est >= their true count
+    tok = wrap(
+        docs.df.select(F.explode(F.split("text", " ")).alias("t")).where(
+            F.col("t") != ""
+        )
+    )
+    hh = tok.heavy_hitters("t", k=3).df.collect()
+    true = {
+        r["t"]: r["n"]
+        for r in tok.df.groupBy("t").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(hh) == 3 and all(r["cms_est"] >= true[r["t"]] for r in hh)
+
+    # weighted_sample: k rows per group, no helper column leaked
+    ws = docs.weighted_sample("doc_id", "n_chars", k=5, by="lang")
+    assert "__ares_rank" not in ws.df.columns
+    per = {r["lang"]: r["n"] for r in ws.df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 5 for v in per.values())
+
+    # rollup_time: partial sums reproduce the raw total
+    cents = wrap(ev.df.withColumn("c", F.round(F.col("value") * 100, 0).cast("long")))
+    partials = cents.rollup_time("ts", "hour", ["event_type"], "c")
+    assert (
+        partials.df.agg(F.sum("sum_v")).collect()[0][0]
+        == cents.df.agg(F.sum("c")).collect()[0][0]
+    )

@@ -144,3 +144,42 @@ def test_stream_full_outer_split_invariance(spark, sf_dir, k):
         )
     )
     assert got == want
+
+
+@pytest.mark.parametrize("k", [1, 20])
+def test_streaming_rollup_view_split_invariance(spark, sf_dir, k):
+    """q151's materialized view must equal the batch rollup for any
+    split (q151 grades k=5 vs duckdb)."""
+    import pandas_streaming_spark.queries.streaming_q as sq
+
+    orig = sq.K_BATCHES
+    sq.K_BATCHES = k
+    try:
+        got = sorted(
+            map(tuple, sq.q151_streaming_rollup_view(spark, sf_dir).collect())
+        )
+    finally:
+        sq.K_BATCHES = orig
+    from pandas_streaming_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    want = sorted(
+        map(
+            tuple,
+            ev.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias(
+                    "hour"
+                ),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n"),
+                (F.sum("cents") / 100.0).alias("sum_value"),
+            )
+            .orderBy("hour", "event_type")
+            .collect(),
+        )
+    )
+    assert got == want
