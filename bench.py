@@ -109,6 +109,7 @@ def main() -> None:
         "q146_bm25",                 # BM25 scoring, broadcast-only probes
         "q149_scd2_history",         # SCD2 run-collapse windows
         "q150_path_transitions",     # Markov transition matrix
+        "q152_interval_overlap",     # bucketized interval-overlap join
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

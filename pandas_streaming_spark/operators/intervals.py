@@ -1,0 +1,63 @@
+"""Interval overlap join: pairs of intervals with ``a.start <= b.end AND
+b.start <= a.end`` (the reference's range-join family generalized from
+point-in-interval to interval-vs-interval — calendar overlap, session vs
+maintenance-window, ad-flight vs browsing-session joins).
+
+Scale shape: the naive formulation is a theta join — Spark can only
+execute an inequality-only condition as BroadcastNestedLoop/cartesian,
+O(|A|·|B|). The scalable form is **temporal bucketization** (the same
+trick range-join optimizers like Databricks' range join hint apply):
+explode each interval to the fixed-width time buckets it spans, equi-join
+on (keys…, bucket) — a plain hash join — then re-verify the exact
+predicate and dedupe pairs that met in several buckets. Cost is
+O(|A|·s_A + |B|·s_B + matches), s = avg buckets spanned; pick the bucket
+width near the typical interval length so s stays small. Degenerate
+inputs (an interval spanning the whole axis) make s explode — cap-aware
+callers should split or broadcast those, same as any skew key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _spanned_buckets(start: str, end: str, bucket: str):
+    return F.explode(
+        F.sequence(
+            F.date_trunc(bucket, F.col(start)),
+            F.date_trunc(bucket, F.col(end)),
+            F.expr(f"INTERVAL 1 {bucket}"),
+        )
+    )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    on: list[str] | None = None,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Inner overlap join of two interval frames. ``on``: optional
+    equality keys joined alongside the time bucket. Column names must be
+    disjoint apart from ``on``. Closed-interval semantics:
+    [a_start, a_end] ∩ [b_start, b_end] ≠ ∅.
+
+    Three shuffles (two explode-free scans feed one hash join, then a
+    distinct on the pair), no BNLJ/cartesian — plan-pinned in tests.
+    """
+    on = on or []
+    overlap_cols = (set(a.columns) & set(b.columns)) - set(on)
+    if overlap_cols:
+        raise ValueError(f"ambiguous columns {sorted(overlap_cols)}: rename first")
+    ab = a.withColumn("__bkt", _spanned_buckets(a_start, a_end, bucket))
+    bb = b.withColumn("__bkt", _spanned_buckets(b_start, b_end, bucket))
+    joined = ab.join(bb, [*on, "__bkt"]).where(
+        (F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end))
+    )
+    # one interval pair can meet in every bucket both span — dedupe
+    return joined.drop("__bkt").distinct()

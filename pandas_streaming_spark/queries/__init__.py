@@ -202,6 +202,8 @@ _EXTRAS = [
     "q149_scd2_history",
     "q150_path_transitions",
     "q151_streaming_rollup_view",
+    "q152_interval_overlap",
+    "q153_cume_dist_share",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -669,6 +669,91 @@ def q150_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-vs-interval overlap join (operators/intervals.py): each
+    user's 30-minute-gap sessions against the corpus-wide error hours
+    (hours containing ≥1 error event) — "was the user on the site while
+    something was broken". The operator bucketizes both interval sets to
+    the hour and hash-joins on the bucket (NO BroadcastNestedLoop — the
+    naive inequality-only theta join is O(|A|·|B|)), then re-verifies
+    the exact overlap. Output: per-user session counts + affected share
+    in exact basis points."""
+    from pandas_streaming_spark.operators.intervals import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap on both engines (unix_micros / EPOCH_US): a seconds
+    # cast would truncate and split sessions differently than the oracle
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sessions = (
+        ev.withColumn(
+            "chg",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("chg").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    err_hours = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.date_trunc("hour", "ts").alias("e_start"))
+        .distinct()
+        .withColumn("e_end", F.col("e_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    hit = (
+        interval_overlap_join(
+            sessions, err_hours, "s_start", "s_end", "e_start", "e_end"
+        )
+        .select("user_id", "session_id")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_affected"))
+    )
+    totals = sessions.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
+    return (
+        totals.join(hit, "user_id", "left")
+        .select(
+            "user_id",
+            "n_sessions",
+            F.coalesce("n_affected", F.lit(0)).alias("n_affected"),
+            F.expr("(coalesce(n_affected, 0) * 10000) div n_sessions").alias(
+                "affected_bp"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q153_cume_dist_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two analytic functions the §2.6 family hadn't graded yet:
+    ``cume_dist`` (P(X ≤ x) within the partition) and ratio-to-report
+    (each customer's share of segment revenue — in exact basis points
+    over integer cents, the house float-safe ratio form). One shuffle
+    for the per-customer revenue, one window pass for both analytics."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.withColumn("cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("rev_cents"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    worder = wseg.orderBy("rev_cents", "o_custkey")
+    return rev.select(
+        "c_mktsegment",
+        F.col("o_custkey").alias("custkey"),
+        "rev_cents",
+        F.round(F.cume_dist().over(worder), 4).alias("cume_dist"),
+        F.expr(
+            "(rev_cents * 10000) div sum(rev_cents) over (partition by c_mktsegment)"
+        ).alias("share_bp"),
+    ).orderBy("c_mktsegment", "rev_cents", "custkey")
+
+
 QUERIES = {
     "q130_regression_stats": q130_regression_stats,
     "q131_mode_bitagg": q131_mode_bitagg,
@@ -689,6 +774,8 @@ QUERIES = {
     "q148_upsert_changes": q148_upsert_changes,
     "q149_scd2_history": q149_scd2_history,
     "q150_path_transitions": q150_path_transitions,
+    "q152_interval_overlap": q152_interval_overlap,
+    "q153_cume_dist_share": q153_cume_dist_share,
 }
 
 
@@ -977,6 +1064,63 @@ FROM (
   FROM prefix
 )
 WHERE rn = 1
+ORDER BY user_id
+""",
+    "q153_cume_dist_share": """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT c_mktsegment, o_custkey AS custkey, rev_cents
+  FROM rev JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, custkey, rev_cents,
+       ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                               ORDER BY rev_cents, custkey), 4) AS cume_dist,
+       CAST(rev_cents * 10000 //
+            SUM(rev_cents) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+         AS share_bp
+FROM seg
+ORDER BY c_mktsegment, rev_cents, custkey
+""",
+    "q152_interval_overlap": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM (
+    SELECT user_id, ts,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS session_id
+    FROM flagged
+  ) GROUP BY user_id, session_id
+),
+eh AS (
+  SELECT DISTINCT DATE_TRUNC('hour', ts) AS e_start,
+         DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS e_end
+  FROM events WHERE event_type = 'error'
+),
+hit AS (
+  SELECT user_id AS hit_user, COUNT(*) AS n_affected FROM (
+    SELECT DISTINCT s.user_id, s.session_id
+    FROM sess s JOIN eh ON s.s_start <= eh.e_end AND eh.e_start <= s.s_end
+  ) GROUP BY user_id
+),
+tot AS (SELECT user_id, COUNT(*) AS n_sessions FROM sess GROUP BY user_id)
+SELECT tot.user_id, n_sessions,
+       COALESCE(n_affected, 0) AS n_affected,
+       CAST(COALESCE(n_affected, 0) * 10000 // n_sessions AS BIGINT)
+         AS affected_bp
+FROM tot LEFT JOIN hit ON tot.user_id = hit.hit_user
 ORDER BY user_id
 """,
     "q148_upsert_changes": """

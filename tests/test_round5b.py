@@ -183,3 +183,85 @@ def test_streaming_rollup_view_split_invariance(spark, sf_dir, k):
         )
     )
     assert got == want
+
+
+def test_interval_overlap_matches_theta_join(spark):
+    """Bucketized overlap join == the naive theta join on random
+    intervals (including multi-bucket spans and exact boundary
+    touches), with and without equality keys."""
+    import datetime as dt
+
+    from pandas_streaming_spark.operators.intervals import interval_overlap_join
+
+    rng = random.Random(13)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n, key_space):
+        rows = []
+        for i in range(n):
+            s = base + dt.timedelta(minutes=rng.randrange(0, 5000))
+            e = s + dt.timedelta(minutes=rng.randrange(0, 200))
+            rows.append((i, rng.randrange(key_space), s, e))
+        return rows
+
+    a_rows, b_rows = mk(80, 3), mk(60, 3)
+    a = spark.createDataFrame(a_rows, "a_id long, k long, a_s timestamp, a_e timestamp")
+    b = spark.createDataFrame(
+        [(i, k, s, e) for i, k, s, e in b_rows],
+        "b_id long, k long, b_s timestamp, b_e timestamp",
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            a, b.drop("k"), "a_s", "a_e", "b_s", "b_e"
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, _, s1, e1 in a_rows
+        for j, _, s2, e2 in b_rows
+        if s1 <= e2 and s2 <= e1
+    )
+    assert got == want
+    # keyed variant
+    got_k = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", on=["k"]
+        ).collect()
+    )
+    want_k = sorted(
+        (i, j)
+        for i, k1, s1, e1 in a_rows
+        for j, k2, s2, e2 in b_rows
+        if k1 == k2 and s1 <= e2 and s2 <= e1
+    )
+    assert got_k == want_k
+
+
+def test_interval_overlap_plan_and_ambiguity(spark):
+    """The join must be a hash join on the bucket (no BNLJ/cartesian),
+    and ambiguous non-key columns are rejected."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pandas_streaming_spark.operators.intervals import interval_overlap_join
+    from pandas_streaming_spark.plans import join_strategies
+
+    base = dt.datetime(2024, 1, 1)
+    a = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(hours=2))], "a_id long, a_s timestamp, a_e timestamp"
+    )
+    b = spark.createDataFrame(
+        [(2, base, base + dt.timedelta(hours=1))], "b_id long, b_s timestamp, b_e timestamp"
+    )
+    strategies = join_strategies(
+        interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e")
+    )
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    with _pytest.raises(ValueError, match="ambiguous"):
+        interval_overlap_join(
+            a, a.withColumnRenamed("a_s", "x"), "a_s", "a_e", "x", "a_e"
+        )
