@@ -54,6 +54,10 @@ def interval_overlap_join(
     overlap_cols = (set(a.columns) & set(b.columns)) - set(on)
     if overlap_cols:
         raise ValueError(f"ambiguous columns {sorted(overlap_cols)}: rename first")
+    # empty intervals (end < start) overlap nothing; dropping them here
+    # also keeps F.sequence from throwing mid-task on a negative span
+    a = a.where(F.col(a_start) <= F.col(a_end))
+    b = b.where(F.col(b_start) <= F.col(b_end))
     ab = a.withColumn("__bkt", _spanned_buckets(a_start, a_end, bucket))
     bb = b.withColumn("__bkt", _spanned_buckets(b_start, b_end, bucket))
     joined = ab.join(bb, [*on, "__bkt"]).where(

@@ -204,6 +204,7 @@ _EXTRAS = [
     "q151_streaming_rollup_view",
     "q152_interval_overlap",
     "q153_cume_dist_share",
+    "q154_gaps_islands",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

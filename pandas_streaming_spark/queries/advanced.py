@@ -754,6 +754,35 @@ def q153_cume_dist_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment", "rev_cents", "custkey")
 
 
+def q154_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous event_id runs per user via the
+    classic ``id − row_number()`` grouping key (consecutive ids share
+    it), summarized per user — the sequence-integrity shape used to
+    detect dropped messages / missing ids in an ingest. One window
+    pass + two aggregations, all integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    islands = (
+        ev.select("user_id", "event_id")
+        .withColumn("grp", F.col("event_id") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min("event_id").alias("run_start"),
+        )
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.max("run_len").alias("longest_run"),
+            F.sum("run_len").alias("n_events"),
+            F.min("run_start").alias("first_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q130_regression_stats": q130_regression_stats,
     "q131_mode_bitagg": q131_mode_bitagg,
@@ -776,6 +805,7 @@ QUERIES = {
     "q150_path_transitions": q150_path_transitions,
     "q152_interval_overlap": q152_interval_overlap,
     "q153_cume_dist_share": q153_cume_dist_share,
+    "q154_gaps_islands": q154_gaps_islands,
 }
 
 
@@ -1065,6 +1095,24 @@ FROM (
 )
 WHERE rn = 1
 ORDER BY user_id
+""",
+    "q154_gaps_islands": """
+WITH islands AS (
+  SELECT user_id,
+         event_id - ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS grp,
+         event_id
+  FROM events
+),
+runs AS (
+  SELECT user_id, grp, COUNT(*) AS run_len, MIN(event_id) AS run_start
+  FROM islands GROUP BY user_id, grp
+)
+SELECT user_id, COUNT(*) AS n_islands,
+       CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       CAST(SUM(run_len) AS BIGINT) AS n_events,
+       CAST(MIN(run_start) AS BIGINT) AS first_id
+FROM runs GROUP BY user_id ORDER BY user_id
 """,
     "q153_cume_dist_share": """
 WITH rev AS (

@@ -265,3 +265,26 @@ def test_interval_overlap_plan_and_ambiguity(spark):
         interval_overlap_join(
             a, a.withColumnRenamed("a_s", "x"), "a_s", "a_e", "x", "a_e"
         )
+
+
+def test_interval_overlap_drops_empty_intervals(spark):
+    """end < start is an empty interval: excluded, not a task crash."""
+    import datetime as dt
+
+    from pandas_streaming_spark.operators.intervals import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+    a = spark.createDataFrame(
+        [
+            (1, base, base - dt.timedelta(hours=2)),  # reversed -> dropped
+            (2, base, base + dt.timedelta(minutes=30)),
+        ],
+        "a_id long, a_s timestamp, a_e timestamp",
+    )
+    b = spark.createDataFrame(
+        [(9, base, base + dt.timedelta(hours=1))],
+        "b_id long, b_s timestamp, b_e timestamp",
+    )
+    got = [(r["a_id"], r["b_id"]) for r in interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e").collect()]
+    assert got == [(2, 9)]
