@@ -205,6 +205,7 @@ _EXTRAS = [
     "q152_interval_overlap",
     "q153_cume_dist_share",
     "q154_gaps_islands",
+    "q155_stream_hll",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

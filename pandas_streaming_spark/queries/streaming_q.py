@@ -823,6 +823,28 @@ def q151_streaming_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour", "event_type")
 
 
+def q155_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketch: HLL registers maintained BY the
+    stream (update-mode max per (event_type, bucket) — max is the HLL
+    merge, so the state store IS the sketch: ≤64 rows per group
+    forever), estimated from the final state. Because the register
+    construction is engine-exact (q141), the streaming result grades
+    against the same duckdb register oracle — streaming ∘ sketch ≡
+    batch ∘ sketch, the composition of the two invariants."""
+    from pandas_streaming_spark.operators.sketches import hll_estimate, hll_registers
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return hll_registers(stream, "user_id", "event_type")
+
+    regs = _final(
+        spark, sf_dir, transform, "update", key_cols=["event_type", "hll_bucket"]
+    )
+    est = hll_estimate(regs, "event_type")
+    return est.select(
+        "event_type", F.round("hll_est", 2).alias("hll_est")
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
@@ -846,6 +868,7 @@ QUERIES = {
     "q140_upsert_sink": q140_upsert_sink,
     "q142_stream_full_outer": q142_stream_full_outer,
     "q151_streaming_rollup_view": q151_streaming_rollup_view,
+    "q155_stream_hll": q155_stream_hll,
 }
 
 ORACLES = {
@@ -1091,3 +1114,17 @@ SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
        CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_value
 FROM c GROUP BY 1, 2 ORDER BY hour, event_type
 """
+
+
+def _hll_stream_oracle() -> str:
+    from pandas_streaming_spark.operators.sketches import hll_sql
+
+    inner = hll_sql("user_id", "event_type").replace("__HLL_SRC__", "events")
+    return f"""
+SELECT g AS event_type, ROUND(hll_est, 2) AS hll_est
+FROM ({inner}) hll
+ORDER BY event_type
+"""
+
+
+ORACLES["q155_stream_hll"] = _hll_stream_oracle()
