@@ -114,15 +114,20 @@ def pagerank(
     driver. Fixed iteration count (not convergence-tested) keeps the
     result deterministic and oracle-checkable.
     """
+    # checkpoint the edge set once: it feeds nodes, out_deg, and every
+    # iteration's contribution join — without this an expensive upstream
+    # edge build (q138: a 5-way fact join) re-executes ~4× per iteration
     e = (
         edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .unionAll(e.select(F.col("e_dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     out_deg = e.groupBy(F.col("e_src").alias("node")).agg(
         F.count("*").alias("out_deg")

@@ -45,10 +45,16 @@ def interval_overlap_join(
     """Inner overlap join of two interval frames. ``on``: optional
     equality keys joined alongside the time bucket. Column names must be
     disjoint apart from ``on``. Closed-interval semantics:
-    [a_start, a_end] ∩ [b_start, b_end] ≠ ∅.
+    [a_start, a_end] ∩ [b_start, b_end] ≠ ∅. Bag semantics: duplicate
+    input rows produce duplicate output pairs, exactly like the theta
+    join this replaces.
 
-    Three shuffles (two explode-free scans feed one hash join, then a
-    distinct on the pair), no BNLJ/cartesian — plan-pinned in tests.
+    Two shuffles (the bucket hash join's two sides), no BNLJ/cartesian —
+    plan-pinned in tests. A pair that overlaps meets in EVERY bucket
+    both intervals span; instead of a distinct (which would also
+    collapse genuine duplicate input rows), each pair is kept only in
+    its canonical bucket — the later of the two start buckets, which
+    both intervals necessarily span when they overlap.
     """
     on = on or []
     overlap_cols = (set(a.columns) & set(b.columns)) - set(on)
@@ -60,8 +66,12 @@ def interval_overlap_join(
     b = b.where(F.col(b_start) <= F.col(b_end))
     ab = a.withColumn("__bkt", _spanned_buckets(a_start, a_end, bucket))
     bb = b.withColumn("__bkt", _spanned_buckets(b_start, b_end, bucket))
-    joined = ab.join(bb, [*on, "__bkt"]).where(
-        (F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end))
+    canonical = F.greatest(
+        F.date_trunc(bucket, F.col(a_start)), F.date_trunc(bucket, F.col(b_start))
     )
-    # one interval pair can meet in every bucket both span — dedupe
-    return joined.drop("__bkt").distinct()
+    joined = ab.join(bb, [*on, "__bkt"]).where(
+        (F.col(a_start) <= F.col(b_end))
+        & (F.col(b_start) <= F.col(a_end))
+        & (F.col("__bkt") == canonical)
+    )
+    return joined.drop("__bkt")

@@ -127,7 +127,9 @@ def weighted_sample_topk(
     determinism; the float keys themselves are never output, so a
     last-ulp pow() divergence between engines could only matter if two
     keys collide to ~1e-16 — content-hashed uniforms make that
-    probability ~n²·1e-16 per partition.
+    probability ~n²·1e-16 per partition. Rows with ``weight <= 0`` have
+    selection probability 0: their key is NULL (sorted after every
+    valid key), never an inverted u^(1/negative) ≥ 1.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -137,9 +139,15 @@ def weighted_sample_topk(
         .cast("double")
         + 1.0
     ) / F.lit(float(1 << 28))
-    key = F.pow(u, 1.0 / F.col(weight_col))
+    # weight <= 0 means P(selected) = 0 — key NULL, sorted after every
+    # valid key. Without the guard a negative weight INVERTS the key
+    # (u^(1/-w) >= 1) and would be picked FIRST; zero would hit a
+    # divide-by-zero under ANSI mode.
+    key = F.when(F.col(weight_col) > 0, F.pow(u, 1.0 / F.col(weight_col)))
     part = [partition_by] if partition_by else []
-    w = Window.partitionBy(*part).orderBy(key.desc(), F.col(id_col))
+    w = Window.partitionBy(*part).orderBy(
+        key.desc_nulls_last(), F.col(id_col)
+    )
     return (
         df.withColumn("__ares_rank", F.row_number().over(w))
         .where(F.col("__ares_rank") <= k)

@@ -72,13 +72,37 @@ class KeyedUpsertSink:
             with open(self._head_path) as f:
                 return json.load(f)
         except FileNotFoundError:
-            return {"version": 0, "batch_id": -1, "manifest": {}, "history": []}
+            return {"version": 0, "batch_id": -1}
 
     def _commit_head(self, head: dict) -> None:
         tmp = self._head_path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(head, f)
         os.replace(tmp, self._head_path)  # atomic on POSIX
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.base_dir, "manifests", f"v{version:06d}.json")
+
+    def _load_manifest(self, version: int) -> dict:
+        """bucket → directory map of a committed version, or raise."""
+        try:
+            with open(self._manifest_path(version)) as f:
+                return json.load(f)["manifest"]
+        except FileNotFoundError:
+            head = self._read_head()
+            raise ValueError(
+                f"version {version} not found (latest is {head['version']}; "
+                "older versions may have been vacuumed)"
+            ) from None
+
+    def versions(self) -> list[int]:
+        """Committed versions still readable (not vacuumed), ascending."""
+        mdir = os.path.join(self.base_dir, "manifests")
+        try:
+            names = os.listdir(mdir)
+        except FileNotFoundError:
+            return []
+        return sorted(int(n[1:-5]) for n in names if n.endswith(".json"))
 
     # -- merge -------------------------------------------------------------
 
@@ -109,13 +133,16 @@ class KeyedUpsertSink:
             r["__bucket"]
             for r in batch.select("__bucket").distinct().collect()
         ]
+        current = (
+            self._load_manifest(head["version"]) if head["version"] else {}
+        )
         if not dirty:
             # empty batch still commits a version (manifest unchanged) so
             # version N always means "state after the first N batches" —
             # the contract read(version=...) time travel relies on.
-            self._commit_version(head, batch_id, head["manifest"])
+            self._commit_version(head, batch_id, current)
             return
-        manifest = dict(head["manifest"])
+        manifest = dict(current)
         existing = [manifest[str(b)] for b in dirty if str(b) in manifest]
         merged = batch
         if existing:
@@ -134,20 +161,23 @@ class KeyedUpsertSink:
         self._commit_version(head, batch_id, manifest)
 
     def _commit_version(self, head: dict, batch_id: int, manifest: dict) -> None:
-        """Append a snapshot to the history and atomically advance HEAD.
-        Old bucket directories stay on disk (they're what time travel
-        reads); `vacuum` reclaims them."""
+        """Write one immutable per-version manifest file, then atomically
+        advance HEAD — the Iceberg commit shape. Per-commit cost is
+        O(buckets), independent of how many versions exist (an
+        in-HEAD history would make every commit O(versions × buckets)).
+        A crash between the two writes leaves an orphan manifest file
+        HEAD never points to — harmless, reclaimed by vacuum. Old bucket
+        directories stay on disk (they're what time travel reads)."""
         version = head["version"] + 1
-        history = list(head.get("history", []))
-        history.append({"version": version, "batch_id": batch_id, "manifest": manifest})
-        self._commit_head(
-            {
-                "version": version,
-                "batch_id": batch_id,
-                "manifest": manifest,
-                "history": history,
-            }
-        )
+        mpath = self._manifest_path(version)
+        os.makedirs(os.path.dirname(mpath), exist_ok=True)
+        tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": version, "batch_id": batch_id, "manifest": manifest}, f
+            )
+        os.replace(tmp, mpath)
+        self._commit_head({"version": version, "batch_id": batch_id})
 
     # -- reads -------------------------------------------------------------
 
@@ -155,18 +185,14 @@ class KeyedUpsertSink:
         """Snapshot of the table: latest by default, or any committed
         ``version`` (1-based; version N = state after the first N
         batches) — Iceberg/Delta-style time travel, possible because
-        bucket directories are immutable and each commit's manifest is
-        retained in HEAD's history."""
+        bucket directories are immutable and each commit retains its
+        per-version manifest file."""
         head = self._read_head()
         if version is None:
-            manifest = head["manifest"]
-        else:
-            match = [c for c in head.get("history", []) if c["version"] == version]
-            if not match:
-                raise ValueError(
-                    f"version {version} not found (have 1..{head['version']})"
-                )
-            manifest = match[0]["manifest"]
+            version = head["version"]
+        if version < 1:
+            raise ValueError("upsert table is empty (no committed batches)")
+        manifest = self._load_manifest(version)
         paths = sorted(set(manifest.values()))
         if not paths:
             raise ValueError("upsert table is empty (no committed batches)")
@@ -185,23 +211,29 @@ class KeyedUpsertSink:
         return newer.exceptAll(older)
 
     def vacuum(self, keep_last: int = 1) -> int:
-        """Drop history entries and bucket directories unreferenced by
-        the ``keep_last`` most recent versions; returns the number of
+        """Drop manifests and bucket directories unreferenced by the
+        ``keep_last`` most recent versions; returns the number of
         version directories removed. The time-travel/storage tradeoff
         Iceberg calls expire_snapshots."""
-        head = self._read_head()
-        history = head.get("history", [])
-        kept, dropped = history[-keep_last:], history[:-keep_last]
-        live = {p for c in kept for p in c["manifest"].values()}
+        versions = self.versions()
+        kept_v, dropped_v = versions[-keep_last:], versions[:-keep_last]
+        manifests = {v: self._load_manifest(v) for v in versions}
+        live = {p for v in kept_v for p in manifests[v].values()}
         # bucket paths are <base>/<version-dir>/__bucket=N: reclaim any
         # version dir none of whose buckets are referenced anymore
-        all_vdirs = {os.path.dirname(p) for c in history for p in c["manifest"].values()}
+        all_vdirs = {
+            os.path.dirname(p) for v in versions for p in manifests[v].values()
+        }
         live_vdirs = {os.path.dirname(p) for p in live}
         removed = 0
         for d in sorted(all_vdirs - live_vdirs):
             shutil.rmtree(d, ignore_errors=True)
             removed += 1
-        self._commit_head({**head, "history": kept})
+        for v in dropped_v:
+            try:
+                os.remove(self._manifest_path(v))
+            except FileNotFoundError:
+                pass
         return removed
 
     def close(self) -> None:

@@ -42,11 +42,18 @@ def main() -> None:
     from pandas_streaming_spark.session import get_spark
     from pandas_streaming_spark.streaming.replay import SCRATCH
 
-    names = sys.argv[1:] or DEFAULT
-    names = [
-        next(k for k in QUERIES if k == n or k.startswith(n + "_") or k.startswith(n))
-        for n in names
-    ]
+    resolved = []
+    for n in sys.argv[1:] or DEFAULT:
+        matches = [k for k in QUERIES if k == n] or [
+            k for k in QUERIES if k.startswith(n)
+        ]
+        if len(matches) != 1:
+            raise SystemExit(
+                f"{'unknown' if not matches else 'ambiguous'} query {n!r}"
+                + (f": {matches}" if matches else "")
+            )
+        resolved.append(matches[0])
+    names = resolved
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="probe10x")
     spark.sparkContext.setLogLevel("ERROR")

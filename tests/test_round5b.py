@@ -288,3 +288,20 @@ def test_interval_overlap_drops_empty_intervals(spark):
     got = [(r["a_id"], r["b_id"]) for r in interval_overlap_join(
         a, b, "a_s", "a_e", "b_s", "b_e").collect()]
     assert got == [(2, 9)]
+
+
+def test_weighted_sample_nonpositive_weights_never_selected(spark):
+    """weight <= 0 ⇒ P(selected) = 0 — not inverted-key-first (the
+    u^(1/-w) >= 1 trap) and no ANSI divide-by-zero for w = 0."""
+    rows = [(i, 10) for i in range(20)] + [(100, -5), (101, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    picked = {
+        r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", k=20).collect()
+    }
+    assert picked == set(range(20))
+    # only over-asking k brings them in, and then ranked LAST
+    allr = {
+        r["doc_id"]: r["__ares_rank"]
+        for r in weighted_sample_topk(df, "doc_id", "w", k=22).collect()
+    }
+    assert allr[100] > 20 and allr[101] > 20

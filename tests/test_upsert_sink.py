@@ -101,11 +101,11 @@ def test_upsert_rewrites_only_dirty_buckets(spark):
         F.lit("x").alias("v"),
     )
     sink(big, 0)
-    m0 = dict(sink._read_head()["manifest"])
+    m0 = sink._load_manifest(sink._read_head()["version"])
     assert len(m0) == 8  # all buckets populated
     one = spark.createDataFrame([(5, 2, "y")], "k long, seq long, v string")
     sink(one, 1)
-    m1 = dict(sink._read_head()["manifest"])
+    m1 = sink._load_manifest(sink._read_head()["version"])
     changed = [b for b in m0 if m0[b] != m1[b]]
     assert len(changed) == 1  # exactly the touched key's bucket
     # untouched directories still exist and are byte-identical paths
@@ -162,12 +162,13 @@ def test_upsert_vacuum_reclaims_old_versions(spark):
         )
     all_dirs = {
         _os.path.dirname(p)
-        for c in sink._read_head()["history"]
-        for p in c["manifest"].values()
+        for v in sink.versions()
+        for p in sink._load_manifest(v).values()
     }
     assert len(all_dirs) == 4
     removed = sink.vacuum(keep_last=1)
     assert removed == 3
+    assert sink.versions() == [4]
     assert {r["v"] for r in sink.read(spark).collect()} == {"v3"}
     with pytest.raises(ValueError):
         sink.read(spark, version=1)
