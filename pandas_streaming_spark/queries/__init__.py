@@ -206,6 +206,8 @@ _EXTRAS = [
     "q153_cume_dist_share",
     "q154_gaps_islands",
     "q155_stream_hll",
+    "q156_hll_set_ops",
+    "q157_percentile_disc",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -783,6 +783,98 @@ def q154_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q156_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA (the theta-sketch use case on HLL): distinct
+    users who click, who purchase, their union (per-bucket register
+    max — the only exact HLL set op), and the intersection via
+    inclusion-exclusion (est_a + est_b − est_union). At 100 TB this
+    answers audience-overlap questions from two 64-register sketches
+    instead of a distinct-join over both event streams. Registers are
+    engine-exact (q141), so even the derived intersection grades on
+    values; the true counts ride along as the audit."""
+    from pandas_streaming_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    buys = ev.where(F.col("event_type") == "purchase")
+    ra = hll_registers(clicks, "user_id").withColumnRenamed("hll_rho", "rho_a")
+    rb = hll_registers(buys, "user_id").withColumnRenamed("hll_rho", "rho_b")
+    # union registers = per-bucket max of the two register sets
+    ru = (
+        ra.join(rb, "hll_bucket", "full")
+        .select(
+            "hll_bucket",
+            F.greatest(
+                F.coalesce("rho_a", F.lit(0)), F.coalesce("rho_b", F.lit(0))
+            ).alias("hll_rho"),
+        )
+        .where(F.col("hll_rho") > 0)
+    )
+    est_a = hll_estimate(ra.withColumnRenamed("rho_a", "hll_rho")).select(
+        F.col("hll_est").alias("est_click")
+    )
+    est_b = hll_estimate(rb.withColumnRenamed("rho_b", "hll_rho")).select(
+        F.col("hll_est").alias("est_buy")
+    )
+    est_u = hll_estimate(ru).select(F.col("hll_est").alias("est_union"))
+    true = (
+        clicks.select("user_id")
+        .agg(F.countDistinct("user_id").alias("true_click"))
+        .crossJoin(buys.agg(F.countDistinct("user_id").alias("true_buy")))
+        .crossJoin(
+            clicks.select("user_id")
+            .intersect(buys.select("user_id"))
+            .agg(F.count("*").alias("true_both"))
+        )
+    )
+    return (
+        true.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .select(
+            "true_click",
+            "true_buy",
+            "true_both",
+            F.round("est_click", 2).alias("est_click"),
+            F.round("est_buy", 2).alias("est_buy"),
+            F.round("est_union", 2).alias("est_union"),
+            F.round(
+                F.col("est_click") + F.col("est_buy") - F.col("est_union"), 2
+            ).alias("est_both"),
+        )
+    )
+
+
+def q157_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc — the value ACTUALLY in
+    the data, vs q20's interpolated continuous form): per order status,
+    the smallest value whose cume_dist ≥ p, computed with one window
+    pass shared by all three percentiles. Exact-integer grading via
+    cents."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("cents")
+    ranked = o.select(
+        "o_orderstatus", "cents", F.cume_dist().over(w).alias("cd")
+    )
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(
+            *[
+                F.min(F.when(F.col("cd") >= p, F.col("cents"))).alias(
+                    f"p{int(p * 100):02d}_cents"
+                )
+                for p in (0.25, 0.5, 0.9)
+            ]
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "q130_regression_stats": q130_regression_stats,
     "q131_mode_bitagg": q131_mode_bitagg,
@@ -806,7 +898,46 @@ QUERIES = {
     "q152_interval_overlap": q152_interval_overlap,
     "q153_cume_dist_share": q153_cume_dist_share,
     "q154_gaps_islands": q154_gaps_islands,
+    "q156_hll_set_ops": q156_hll_set_ops,
+    "q157_percentile_disc": q157_percentile_disc,
 }
+
+
+def _hll_setops_oracle() -> str:
+    from pandas_streaming_spark.operators.sketches import hll_sql
+
+    def est(src: str) -> str:
+        inner = hll_sql("user_id", "'all'").replace(
+            "__HLL_SRC__", f"(SELECT user_id FROM events WHERE {src})"
+        )
+        return f"(SELECT hll_est FROM ({inner}) t)"
+
+    a = est("event_type = 'click'")
+    b = est("event_type = 'purchase'")
+    u = est("event_type IN ('click', 'purchase')")
+    return f"""
+WITH est AS (
+  SELECT {a} AS est_click, {b} AS est_buy, {u} AS est_union
+),
+truth AS (
+  SELECT
+    (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click')
+      AS true_click,
+    (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase')
+      AS true_buy,
+    (SELECT COUNT(*) FROM (
+       SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+     )) AS true_both
+)
+SELECT true_click, true_buy, true_both,
+       ROUND(est_click, 2) AS est_click,
+       ROUND(est_buy, 2) AS est_buy,
+       ROUND(est_union, 2) AS est_union,
+       ROUND(est_click + est_buy - est_union, 2) AS est_both
+FROM truth, est
+"""
 
 
 def _hll_oracle() -> str:
@@ -1095,6 +1226,18 @@ FROM (
 )
 WHERE rn = 1
 ORDER BY user_id
+""",
+    "q156_hll_set_ops": _hll_setops_oracle(),
+    "q157_percentile_disc": """
+WITH c AS (
+  SELECT o_orderstatus, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderstatus,
+       QUANTILE_DISC(cents, 0.25) AS p25_cents,
+       QUANTILE_DISC(cents, 0.50) AS p50_cents,
+       QUANTILE_DISC(cents, 0.90) AS p90_cents
+FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
     "q154_gaps_islands": """
 WITH islands AS (
