@@ -208,6 +208,7 @@ _EXTRAS = [
     "q155_stream_hll",
     "q156_hll_set_ops",
     "q157_percentile_disc",
+    "q158_stream_cms",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

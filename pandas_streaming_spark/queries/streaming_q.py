@@ -845,6 +845,61 @@ def q155_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q158_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS twin of q155: a Count-Min grid maintained BY the stream.
+    Count per (row, bucket) is the CMS merge (counts add), so an
+    update-mode streaming count aggregation over the cell keys IS the
+    sketch — state bounded at d×w rows forever. Final-state grid
+    estimates the per-user event counts for the 10 busiest users;
+    because the md5 grid is engine-exact (q135), the streaming estimate
+    grades against the batch-constructed duckdb grid verbatim."""
+    from pandas_streaming_spark.operators.sketches import (
+        cms_bucket,
+        cms_estimate,
+    )
+
+    DEPTH, WIDTH = 4, 128
+
+    def transform(stream: DataFrame) -> DataFrame:
+        cells = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("cms_row"),
+                        cms_bucket(F.col("user_id"), r, WIDTH).alias("cms_col"),
+                    )
+                    for r in range(DEPTH)
+                ]
+            )
+        ).alias("cell")
+        return (
+            stream.select(cells)
+            .groupBy(
+                F.col("cell.cms_row").alias("cms_row"),
+                F.col("cell.cms_col").alias("cms_col"),
+            )
+            .agg(F.count("*").alias("cms_cnt"))
+        )
+
+    grid = _final(
+        spark, sf_dir, transform, "update", key_cols=["cms_row", "cms_col"]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(top, grid, "user_id", depth=DEPTH, width=WIDTH)
+    return est.select(
+        "user_id",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
+    ).orderBy(F.col("true_cnt").desc(), "user_id")
+
+
 QUERIES = {
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
@@ -869,6 +924,7 @@ QUERIES = {
     "q142_stream_full_outer": q142_stream_full_outer,
     "q151_streaming_rollup_view": q151_streaming_rollup_view,
     "q155_stream_hll": q155_stream_hll,
+    "q158_stream_cms": q158_stream_cms,
 }
 
 ORACLES = {
@@ -1128,3 +1184,40 @@ ORDER BY event_type
 
 
 ORACLES["q155_stream_hll"] = _hll_stream_oracle()
+
+
+def _cms_stream_oracle() -> str:
+    from pandas_streaming_spark.operators.sketches import cms_bucket_sql
+
+    cells = "\n  UNION ALL ".join(
+        f"SELECT {r} AS cms_row, {cms_bucket_sql('user_id', r, 128)} AS cms_col,"
+        f" COUNT(*) AS cms_cnt FROM events GROUP BY 2"
+        for r in range(4)
+    )
+    probes = "\n  UNION ALL ".join(
+        f"SELECT user_id, true_cnt, {r} AS r,"
+        f" {cms_bucket_sql('user_id', r, 128)} AS c FROM top"
+        for r in range(4)
+    )
+    return f"""
+WITH truec AS (
+  SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, true_cnt FROM truec ORDER BY true_cnt DESC, user_id LIMIT 10
+),
+cells AS (
+  {cells}
+),
+probes AS (
+  {probes}
+)
+SELECT p.user_id, p.true_cnt, MIN(cells.cms_cnt) AS cms_est,
+       MIN(cells.cms_cnt) - p.true_cnt AS overestimate
+FROM probes p JOIN cells ON cells.cms_row = p.r AND cells.cms_col = p.c
+GROUP BY p.user_id, p.true_cnt
+ORDER BY p.true_cnt DESC, p.user_id
+"""
+
+
+ORACLES["q158_stream_cms"] = _cms_stream_oracle()
