@@ -221,6 +221,26 @@ def main() -> None:
             t_synth = time.perf_counter()
             scale_dataset(spark, sf_dir, dir100, factor100)
             synth_sec = round(time.perf_counter() - t_synth, 1)
+
+            # The 100 TB posture IS the default at this scale (VERDICT r5
+            # item 2): materialize the bucketed lakehouse layout for the
+            # two join facts once (manifest-cached across rounds, source-
+            # fingerprinted), and let catalog.load_table serve it to every
+            # query transparently — q04's fact-fact join runs exchange-
+            # free with no query change. The plain-path q04 number is
+            # recorded alongside below.
+            from pandas_streaming_spark.catalog import (
+                ensure_bucketed_layout, set_scale_layout,
+            )
+
+            t_b = time.perf_counter()
+            ensure_bucketed_layout(
+                spark, dir100, "orders", ["o_orderkey"], 32, ["o_orderkey"]
+            )
+            ensure_bucketed_layout(
+                spark, dir100, "lineitem", ["l_orderkey"], 32, ["l_orderkey"]
+            )
+            layout_write_sec = round(time.perf_counter() - t_b, 1)
             t_section = time.perf_counter()  # budget covers the query loop only
             times100: dict[str, float] = {}
             skipped: list[str] = []
@@ -263,82 +283,41 @@ def main() -> None:
                 "protocol": "single-run (cold per query; see spread fields at 1x)",
             }
 
-            # Bucketed-layout comparison (VERDICT r4 item 2): the plain
-            # q04 at 100x pays a 60Mx15M fact-fact SMJ sort that spills a
-            # single JVM; catalog.write_bucketed co-locates the join keys
-            # so the same join runs exchange-free over the buckets. Put
-            # BOTH numbers in the graded record, with the plan invariant
-            # asserted, so the 100 TB-safe layout is driver-visible and
-            # regressions in it show up per-round.
-            if (
-                "q04_star_join_revenue" in times100
-                and not skipped  # budget already blown: don't add ~2 min
-                and os.environ.get("SPARK_GRAFT_BUCKETED_Q04", "1") != "0"
-            ):
+            # Bucketed-vs-plain q04 comparison: the headline loop above
+            # already rode the layout (the DEFAULT path); re-time q04
+            # with the layout disabled for the plain-path record and
+            # assert the exchange-free invariant on the default plan.
+            if "q04_star_join_revenue" in times100 and not skipped:
                 try:
-                    from pyspark.sql import functions as F
-
-                    from pandas_streaming_spark.catalog import (
-                        load_table, write_bucketed,
-                    )
-
-                    t_b = time.perf_counter()
-                    b_o = write_bucketed(
-                        spark, load_table(spark, dir100, "orders"),
-                        "bench_b_orders", ["o_orderkey"], 32, ["o_orderkey"],
-                    )
-                    b_li = write_bucketed(
-                        spark, load_table(spark, dir100, "lineitem"),
-                        "bench_b_lineitem", ["l_orderkey"], 32, ["l_orderkey"],
-                    )
-                    bucket_write_sec = round(time.perf_counter() - t_b, 1)
-
-                    def q04_bucketed():
-                        # same star join + agg as q04, but the fact-fact
-                        # edge rides the bucketed layout (orders first so
-                        # the SMJ sees the bucketed scans directly; dims
-                        # broadcast onto the result)
-                        c = F.broadcast(load_table(spark, dir100, "customer"))
-                        n = F.broadcast(load_table(spark, dir100, "nation"))
-                        r = F.broadcast(load_table(spark, dir100, "region"))
-                        return (
-                            b_o.join(b_li, b_o.o_orderkey == b_li.l_orderkey)
-                            .join(c, F.col("o_custkey") == c.c_custkey)
-                            .join(n, c.c_nationkey == n.n_nationkey)
-                            .join(r, n.n_regionkey == r.r_regionkey)
-                            .filter(F.col("r_name") == "ASIA")
-                            .groupBy("n_name")
-                            .agg(F.round(F.sum(
-                                F.col("l_extendedprice")
-                                * (1 - F.col("l_discount"))), 2,
-                            ).alias("revenue"))
-                            .orderBy(F.col("revenue").desc(), "n_name")
-                        )
-
-                    plan = physical_plan(q04_bucketed())
-                    # the 100 TB invariant: no shuffle on the fact-fact key
+                    q04 = QUERIES["q04_star_join_revenue"]
+                    plan = physical_plan(q04(spark, dir100))
                     exchange_free = (
                         "Exchange hashpartitioning(o_orderkey" not in plan
                         and "Exchange hashpartitioning(l_orderkey" not in plan
                     )
-                    q04_bucketed().collect()  # warm bucketed file listings
-                    t0 = time.perf_counter()
-                    rows = q04_bucketed().collect()
+                    was = set_scale_layout(False)
+                    try:
+                        q04(spark, dir100).collect()  # warm plain listings
+                        t0 = time.perf_counter()
+                        rows = q04(spark, dir100).collect()
+                        plain_sec = round(time.perf_counter() - t0, 4)
+                    finally:
+                        set_scale_layout(was)
                     result["scaled100"]["bucketed"] = {
-                        "q04_plain_sec": times100["q04_star_join_revenue"],
-                        "q04_bucketed_sec": round(time.perf_counter() - t0, 4),
-                        "bucket_write_sec": bucket_write_sec,
+                        "q04_default_bucketed_sec": times100[
+                            "q04_star_join_revenue"
+                        ],
+                        "q04_plain_sec": plain_sec,
+                        "layout_write_sec": layout_write_sec,
                         "n_buckets": 32,
                         "fact_join_exchange_free": exchange_free,
+                        "default_path": "bucketed-layout (catalog-transparent)",
                         "rows": len(rows),
                     }
                 except Exception as e:
                     result["scaled100"]["bucketed"] = {
                         "error": f"{type(e).__name__}: {e}"[:200]
                     }
-                finally:
-                    spark.sql("DROP TABLE IF EXISTS bench_b_orders")
-                    spark.sql("DROP TABLE IF EXISTS bench_b_lineitem")
         except Exception as e:  # the headline numbers must never be lost
             result["scaled100"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
@@ -407,7 +386,7 @@ def compact_line(result: dict, times: dict, detail_name: str | None) -> str:
         "protocol": result["protocol"],
         "events_per_sec": result.get("streaming", {}).get("events_per_sec"),
         "scaled100_value": s100.get("value"),
-        "q04_bucketed_sec": s100.get("bucketed", {}).get("q04_bucketed_sec"),
+        "q04_bucketed_sec": s100.get("bucketed", {}).get("q04_default_bucketed_sec"),
         "detail": detail_name,
     }
     line = json.dumps(compact)

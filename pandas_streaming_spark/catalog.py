@@ -35,9 +35,171 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# --- transparent bucketed layout (VERDICT r5 item 2) ---------------------
+# ensure_bucketed_layout() writes a bucketed copy of a table once;
+# load_table() then silently prefers it, so every query riding the
+# catalog gets the exchange-free co-located join without code changes —
+# the way a lakehouse table's physical layout serves all readers. A
+# manifest (in the warehouse dir, since testdata is read-only) records
+# the source file's fingerprint; a driver-regenerated source file
+# invalidates the layout instead of silently serving stale rows.
+_LAYOUT_ENABLED = True
+
+
+def set_scale_layout(enabled: bool) -> bool:
+    """Toggle transparent bucketed-layout preference; returns the prior
+    value (so callers can restore). Env ``SPARK_GRAFT_SCALE_LAYOUT=0``
+    disables it globally."""
+    global _LAYOUT_ENABLED
+    prior = _LAYOUT_ENABLED
+    _LAYOUT_ENABLED = enabled
+    return prior
+
+
+def _layout_active() -> bool:
+    import os
+
+    return _LAYOUT_ENABLED and os.environ.get("SPARK_GRAFT_SCALE_LAYOUT", "1") != "0"
+
+
+def _layout_digest(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+
+
+def _warehouse_path(spark: SparkSession) -> str | None:
+    from urllib.parse import urlparse
+
+    parsed = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    return parsed.path if parsed.scheme in ("", "file") else None
+
+
+def _layout_manifest_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    wh = _warehouse_path(spark)
+    if wh is None:
+        return None
+    return f"{wh}/_pss_layouts/{_layout_digest(sf_dir)}_{name}.json"
+
+
+def _source_fingerprint(sf_dir: str, name: str) -> list:
+    """(size, mtime_ns) per file of the source parquet — cheap staleness
+    probe; the round driver regenerates testdata between rounds."""
+    import os
+
+    p = table_path(sf_dir, name)
+    if os.path.isdir(p):
+        files = sorted(
+            os.path.join(p, f) for f in os.listdir(p) if not f.startswith("_")
+        )
+    else:
+        files = [p]
+    return [[os.path.basename(f), os.path.getsize(f), os.stat(f).st_mtime_ns]
+            for f in files]
+
+
+def _load_bucketed(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+    """Return the bucketed copy of (sf_dir, name) if a valid one exists,
+    re-registering it in a fresh session's catalog from the manifest."""
+    import json
+    import os
+
+    mp = _layout_manifest_path(spark, sf_dir, name)
+    if mp is None or not os.path.exists(mp):
+        return None
+    try:
+        with open(mp, encoding="utf-8") as f:
+            m = json.load(f)
+        if m["fingerprint"] != _source_fingerprint(sf_dir, name):
+            os.remove(mp)  # source regenerated: layout is stale
+            return None
+        tbl = m["table_name"]
+        if not spark.catalog.tableExists(tbl):
+            if not os.path.isdir(m["location"]):
+                os.remove(mp)
+                return None
+            sort = (
+                f"SORTED BY ({', '.join(m['sort_cols'])})" if m["sort_cols"] else ""
+            )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({m['schema_ddl']}) USING PARQUET "
+                f"CLUSTERED BY ({', '.join(m['bucket_cols'])}) {sort} "
+                f"INTO {m['n_buckets']} BUCKETS LOCATION '{m['location']}'"
+            )
+        return spark.table(tbl)
+    except Exception:
+        return None  # any manifest/registration issue: fall back to plain
+
+
+def ensure_bucketed_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Create (or reuse) a bucketed physical copy of ``{sf_dir}/{name}``
+    that :func:`load_table` will transparently prefer. Idempotent: a
+    valid existing layout (matching source fingerprint) is reused across
+    sessions via its manifest. Requires a local filesystem warehouse."""
+    import json
+    import os
+
+    existing = _load_bucketed(spark, sf_dir, name)
+    if existing is not None:
+        return existing
+    wh = _warehouse_path(spark)
+    if wh is None:
+        raise ValueError("bucketed layouts require a local-filesystem warehouse")
+    tbl = f"pss_b_{_layout_digest(sf_dir)}_{name}"
+    was = set_scale_layout(False)  # read the SOURCE, not a half-built layout
+    try:
+        src = load_table(spark, sf_dir, name)
+    finally:
+        set_scale_layout(was)
+    df = write_bucketed(spark, src, tbl, bucket_cols, n_buckets, sort_cols)
+    mp = _layout_manifest_path(spark, sf_dir, name)
+    os.makedirs(os.path.dirname(mp), exist_ok=True)
+    manifest = {
+        "table_name": tbl,
+        "location": f"{wh}/{tbl.lower()}",
+        "bucket_cols": bucket_cols,
+        "n_buckets": n_buckets,
+        "sort_cols": sort_cols or [],
+        "schema_ddl": df._jdf.schema().toDDL(),
+        "fingerprint": _source_fingerprint(sf_dir, name),
+    }
+    tmp = mp + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mp)  # atomic: readers never see a partial manifest
+    return df
+
+
+def drop_bucketed_layout(spark: SparkSession, sf_dir: str, name: str) -> None:
+    import os
+    import shutil
+
+    mp = _layout_manifest_path(spark, sf_dir, name)
+    if mp and os.path.exists(mp):
+        import json
+
+        with open(mp, encoding="utf-8") as f:
+            m = json.load(f)
+        spark.sql(f"DROP TABLE IF EXISTS {m['table_name']}")
+        shutil.rmtree(m["location"], ignore_errors=True)
+        os.remove(mp)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if _layout_active():
+        bucketed = _load_bucketed(spark, sf_dir, name)
+        if bucketed is not None:
+            return bucketed  # events ts was normalized at layout-write time
     if name == "events":
         try:
             df = spark.read.parquet(table_path(sf_dir, name))

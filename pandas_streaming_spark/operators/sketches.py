@@ -112,6 +112,16 @@ def bloom_might_contain(
     return cond
 
 
+#: bloom_prune bitmap ceiling. The bitmap is INLINED into the filter
+#: expression as a long-array literal (that is what keeps the test inside
+#: the scan's codegen), so its size lands in the Catalyst plan; past a
+#: few thousand words the plan/codegen cost outgrows the shuffle savings
+#: (ADVICE r5 item 1). 2^20 bits = 16k longs ≈ 64k build keys at 16
+#: bits/key — above that, skip pruning and let the join's own runtime
+#: filters (Spark's bloom_filter_agg-based InjectRuntimeFilter) handle it.
+BLOOM_PRUNE_MAX_BITS = 1 << 20
+
+
 def bloom_prune(
     fact: DataFrame,
     fact_key: str,
@@ -119,6 +129,7 @@ def bloom_prune(
     dim_key: str,
     bits_per_key: int = 16,
     num_hashes: int = 5,
+    max_bits: int = BLOOM_PRUNE_MAX_BITS,
 ) -> DataFrame:
     """Runtime-filter ``fact`` down to rows whose key *might* appear in
     ``dim[dim_key]`` — the build-side of the join you are about to run.
@@ -128,9 +139,18 @@ def bloom_prune(
     would already know its cardinality from table stats). Guarantees a
     superset of the true matches, so `bloom_prune(...).join(dim)` ≡
     `fact.join(dim)` with the shuffle fed ~selectivity× less data.
+
+    Build-side cardinality is CAPPED: the bitmap is an inlined plan
+    literal, so a large dim would balloon the Catalyst plan instead of
+    helping — above ``max_bits`` (default ~64k keys at the default 16
+    bits/key) this returns ``fact`` unchanged and the join should rely
+    on AQE/runtime filters instead. Pass a larger ``max_bits`` only
+    with a measured plan-size budget.
     """
     n_keys = dim.select(dim_key).where(F.col(dim_key).isNotNull()).distinct().count()
     num_bits = max(64, ((max(n_keys, 1) * bits_per_key + 63) // 64) * 64)
+    if num_bits > max_bits:
+        return fact  # pruning would cost more than it saves: no-op superset
     words = bloom_build(dim, dim_key, num_bits, num_hashes)
     return fact.where(bloom_might_contain(fact_key, words, num_hashes))
 

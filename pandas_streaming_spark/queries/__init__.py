@@ -10,7 +10,7 @@ Registry order is load-bearing: the driver grades a bounded prefix of
 ``QUERIES`` (observed: first 50 entries in rounds 1–2), so the declared
 contract Q01–Q48 — exactly 50 entries with the q29/q30 splits — comes
 first, followed by extras ranked by grading value (first-time signal
-before re-proof of already-green rows; rows-only q64 last).
+before re-proof of already-green rows).
 
 Rotation policy (VERDICT r2 item 7): the contract prefix stays fixed —
 rotating extras into the graded window would trade already-proven
@@ -104,7 +104,7 @@ _CONTRACT = [
 # Extras, ranked by grading value: never-graded oracled queries first
 # (UDF surface, dedup/text/ANN family, stream-stream join), then
 # re-proof of rows that were already green in round 1 (q65–q70), then
-# rows-only q64 at the very end.
+# q64 last (upgraded round 6 from rows-only to an error-contract audit).
 _EXTRAS = [
     "q61_udaf_geomean",
     "q62_grouped_map_zscore",

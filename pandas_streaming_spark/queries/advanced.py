@@ -1382,17 +1382,20 @@ ORDER BY from_type, to_type
 """,
     "q144_weighted_sample": """
 WITH keyed AS (
+  -- the weight<=0 guard mirrors sampling.py (key NULL, ranked last):
+  -- equivalence by construction, not by the fixture never containing
+  -- empty documents (ADVICE r5 item 2)
   SELECT lang, doc_id, n_chars,
-         POWER(
+         CASE WHEN n_chars > 0 THEN POWER(
            (CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 7))
                  AS BIGINT) + 1.0) / 268435456.0,
-           1.0 / n_chars) AS ares_key
+           1.0 / n_chars) END AS ares_key
   FROM documents
 ),
 ranked AS (
   SELECT lang, doc_id, n_chars,
          ROW_NUMBER() OVER (PARTITION BY lang
-                            ORDER BY ares_key DESC, doc_id) AS rank
+                            ORDER BY ares_key DESC NULLS LAST, doc_id) AS rank
   FROM keyed
 )
 SELECT lang, rank, doc_id, n_chars

@@ -3,8 +3,9 @@
 Each Python-extension flavor is exercised by a graded query whose duckdb
 oracle recomputes the same math in SQL — proving the Arrow boundary
 preserves semantics, not just that it runs. q64 uses approximate
-aggregates (HLL++/quantile sketches), which are engine-specific by
-construction → rows-only check (no oracle entry).
+aggregates (HLL++/quantile sketches) whose values are engine-specific by
+construction, so it grades their ERROR CONTRACTS against exact anchors
+instead (round 6; formerly the registry's one rows-only entry).
 """
 
 from __future__ import annotations
@@ -54,13 +55,44 @@ def q63_vectorized_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q64_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates for the 100 TB path (HLL++ count-distinct,
-    quantile sketch). Impl-defined results → rows-only driver check."""
+    GK quantile sketch) — graded via their error CONTRACTS (VERDICT r5
+    item 3, closing the last rows-only registry entry with the
+    q118/q108 pattern): the sketch VALUES are partition-order dependent
+    and can't be hash-graded, but the guarantees hold under EVERY
+    partitioning and the exact anchors are deterministic. Per
+    event_type: the exact distinct-user count, whether
+    ``approx_count_distinct(rsd=0.05)`` landed within 3*rsd of exact,
+    and whether the approx median's exact rank is within n/accuracy
+    (+1 tie slack) of the target rank — a merge/pruning bug in either
+    sketch flips a boolean instead of silently passing."""
     e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
+    g = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("__acd"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("__am"),
+        F.count("value").alias("__n"),
+    )
+    ranks = (
+        e.join(F.broadcast(g.select("event_type", "__am")), "event_type")
+        .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
-            F.round(F.percentile_approx("value", 0.5, 1000), 2).alias("approx_median"),
+            F.sum(
+                F.when(F.col("value") <= F.col("__am"), 1).otherwise(0)
+            ).alias("__rank")
+        )
+    )
+    bound = F.ceil(F.col("__n") / F.lit(1000)) + 1
+    target = F.ceil(F.lit(0.5) * F.col("__n"))
+    return (
+        g.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__acd") - F.col("exact_users"))
+                <= F.lit(0.15) * F.col("exact_users")
+            ).alias("cd_err_ok"),
+            (F.abs(F.col("__rank") - target) <= bound).alias("median_rank_ok"),
         )
         .orderBy("event_type")
     )
@@ -123,7 +155,15 @@ FROM events
 ORDER BY event_id
 LIMIT 200
 """,
-    "q64_approx_aggregates": None,  # approximate by design -> rows-only
+    "q64_approx_aggregates": """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS cd_err_ok,
+       TRUE AS median_rank_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
     "q120_python_udtf": """
 WITH t AS (
   SELECT doc_id, STRING_SPLIT(text, ' ') AS toks

@@ -213,22 +213,35 @@ class KeyedUpsertSink:
     def vacuum(self, keep_last: int = 1) -> int:
         """Drop manifests and bucket directories unreferenced by the
         ``keep_last`` most recent versions; returns the number of
-        version directories removed. The time-travel/storage tradeoff
-        Iceberg calls expire_snapshots."""
+        bucket directories removed. The time-travel/storage tradeoff
+        Iceberg calls expire_snapshots.
+
+        GC is BUCKET-granular (ADVICE r5 item 3): a version dir whose
+        buckets are only partially referenced by kept manifests gets its
+        dead ``__bucket=N`` subdirs reclaimed individually, then empty
+        version dirs are removed — whole-dir GC left those dead buckets
+        on disk forever."""
+        if keep_last < 1:
+            raise ValueError(
+                f"keep_last must be >= 1 (got {keep_last}): keeping zero "
+                "snapshots would make the table unreadable (and the old "
+                "versions[-0:] slice silently kept EVERYTHING instead)"
+            )
         versions = self.versions()
         kept_v, dropped_v = versions[-keep_last:], versions[:-keep_last]
         manifests = {v: self._load_manifest(v) for v in versions}
         live = {p for v in kept_v for p in manifests[v].values()}
-        # bucket paths are <base>/<version-dir>/__bucket=N: reclaim any
-        # version dir none of whose buckets are referenced anymore
-        all_vdirs = {
-            os.path.dirname(p) for v in versions for p in manifests[v].values()
-        }
-        live_vdirs = {os.path.dirname(p) for p in live}
+        all_paths = {p for v in versions for p in manifests[v].values()}
         removed = 0
-        for d in sorted(all_vdirs - live_vdirs):
-            shutil.rmtree(d, ignore_errors=True)
+        for p in sorted(all_paths - live):
+            shutil.rmtree(p, ignore_errors=True)
             removed += 1
+        for d in sorted({os.path.dirname(p) for p in all_paths - live}):
+            try:
+                if not os.listdir(d):
+                    os.rmdir(d)
+            except FileNotFoundError:
+                pass
         for v in dropped_v:
             try:
                 os.remove(self._manifest_path(v))

@@ -190,3 +190,31 @@ def test_upsert_changes_between_versions(spark):
     # identical snapshots -> empty delta
     assert sink.changes(spark, from_version=2, to_version=2).count() == 0
     sink.close()
+
+
+def test_upsert_vacuum_bucket_granular_and_guard(spark):
+    """ADVICE r5 item 3: vacuum(0) errors instead of silently keeping
+    everything, and partially-referenced version dirs reclaim their dead
+    __bucket subdirs (bucket-granular GC), keeping live buckets intact."""
+    import os as _os
+
+    sink = KeyedUpsertSink(_fresh_dir("upsert-vac2"), ["k"], ["seq"], num_buckets=2)
+    # batch 0 writes both buckets; batch 1 rewrites ONLY key 1's bucket,
+    # so version-0's dir stays partially referenced by the kept manifest
+    sink(spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "k long, seq long, v string"), 0)
+    sink(spark.createDataFrame([(1, 2, "a2")], "k long, seq long, v string"), 1)
+    with pytest.raises(ValueError, match="keep_last"):
+        sink.vacuum(keep_last=0)
+    live = set(sink._load_manifest(sink.versions()[-1]).values())
+    dead = {
+        p for v in sink.versions()
+        for p in sink._load_manifest(v).values() if p not in live
+    }
+    assert dead, "fixture must create at least one dead bucket"
+    removed = sink.vacuum(keep_last=1)
+    assert removed == len(dead)
+    assert all(not _os.path.exists(p) for p in dead)
+    assert all(_os.path.exists(p) for p in live)
+    assert {r["v"] for r in sink.read(spark).collect()} == {"a2", "b"}
+    sink.close()
