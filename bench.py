@@ -197,6 +197,35 @@ def main() -> None:
                     for n in HEADLINE
                 },
             }
+
+            # Streaming throughput at 10x events (same k=5 protocol):
+            # the sf0.1 number is floor-bound by ~5 x ~250 ms of
+            # per-trigger engine latency (planning + offset/commit WAL +
+            # state commit — scripts/profile_streaming.py decomposes it),
+            # which is FIXED per trigger; 10x the events through the
+            # same five triggers shows the throughput the state machinery
+            # actually sustains once that floor amortizes.
+            try:
+                import pyarrow.parquet as pq2
+
+                n10 = pq2.read_metadata(
+                    os.path.join(scaled_dir, "events.parquet")
+                ).num_rows
+                from pandas_streaming_spark.queries.streaming_q import (
+                    q43_stream_tumbling as q43s,
+                )
+
+                q43s(spark, scaled_dir).collect()  # warm + split cache
+                t0 = time.perf_counter()
+                q43s(spark, scaled_dir).collect()
+                amortized = round(n10 / (time.perf_counter() - t0))
+                result.setdefault("streaming", {})["events_per_sec_10x"] = (
+                    amortized
+                )
+            except Exception as e:
+                result.setdefault("streaming", {})["events_per_sec_10x"] = (
+                    f"error: {e}"[:120]
+                )
         except Exception as e:  # the headline numbers must never be lost
             result["scaled"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 

@@ -35,9 +35,10 @@ K_BATCHES = 5
 #: paid 32 near-empty store commits per micro-batch — the dominant term
 #: in the replay's wall time (scripts/profile_streaming.py: per-trigger
 #: cost 1.02 s at 32 partitions; 32→4 took the k=5 tumbling replay from
-#: 6.2 s to 2.7 s for identical results). At real scale size this to
-#: state volume, not a constant.
-STATE_PARTITIONS = 4
+#: 6.2 s to 2.7 s for identical results, and 4→1 shaves another ~10%
+#: at sf0.1 where even the stream-stream joins hold ≤2×100k state rows).
+#: At real scale size this to state volume, not a constant.
+STATE_PARTITIONS = 1
 
 
 def _final(
@@ -52,9 +53,17 @@ def _final(
     # streaming queries at this sf/k)
     replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES, dup_every=dup_every)
     stream = replay_events(spark, sf_dir, replay_dir)
+    # one micro-batch per split file (maxFilesPerTrigger=1): the last
+    # batch id is known, so complete-mode runs skip the k-1 redundant
+    # full-state rewrites (run_stream_to_df final_batch_id fast path)
+    import glob as _glob
+    import os as _os
+
+    n_files = len(_glob.glob(_os.path.join(replay_dir, "batch_*.parquet")))
     return run_stream_to_df(
         spark, transform(stream), output_mode, key_cols,
         state_partitions=STATE_PARTITIONS,
+        final_batch_id=(n_files - 1) if output_mode == "complete" else None,
     )
 
 
