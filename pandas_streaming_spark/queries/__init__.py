@@ -32,18 +32,28 @@ from pandas_streaming_spark.queries import (
     advanced,
     analytic,
     curation,
+    dedup_q,
+    kafka_q,
     llm,
     scalarfn,
+    stream_upsert_q,
     streaming_q,
+    textq,
+    timeseries,
     tpch,
     udf_q,
+    vectors,
+    warehouse,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _ALL_QUERIES: dict[str, QueryFn] = {}
 _ALL_ORACLES: dict[str, str] = {}
-for mod in (tpch, analytic, scalarfn, llm, streaming_q, udf_q, curation, advanced):
+for mod in (
+    tpch, analytic, timeseries, scalarfn, llm, dedup_q, textq, vectors,
+    streaming_q, kafka_q, stream_upsert_q, udf_q, curation, advanced, warehouse,
+):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLES.update({k: v for k, v in mod.ORACLES.items() if v is not None})
 

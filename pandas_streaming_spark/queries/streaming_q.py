@@ -373,150 +373,6 @@ def q101_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q107_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kafka contract end-to-end without a broker: the events table is
-    produced into a 4-partition spool topic (key=user_id, value=
-    event_type, partition=user_id%4, event-id order within a partition),
-    streamed back through the kafka_spool partitioned DataSource (the
-    connector's 7-column schema, executor-side record decode), and
-    graded on per-partition counts, offset ranges, value bytes and
-    distinct keys. min_off=0 / max_off=n-1 proves offsets are contiguous
-    — the spool replay is exactly-once, no drops and no duplicates. The
-    oracle recomputes the same facts from the table, so a routing,
-    framing, or offset bug cannot grade green."""
-    import hashlib
-    import os
-
-    from pandas_streaming_spark.sources import kafka
-    from pandas_streaming_spark.sources.kafka_spool import produce_distributed
-    from pandas_streaming_spark.streaming.replay import SCRATCH
-
-    ev = load_table(spark, sf_dir, "events")
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|k4".encode()).hexdigest()[:12]
-    spool = os.path.join(SCRATCH, f"kspool-{key}")
-    marker = os.path.join(spool, "_OK")
-    if not os.path.exists(marker):
-        # task-side fixture producer: explicit partition routing
-        # (user_id % 4), event-id order within each partition ->
-        # deterministic offsets; nothing but the 4-row write summary
-        # ever reaches the driver
-        produce_distributed(
-            ev.select(
-                F.col("user_id").cast("string").alias("key"),
-                F.col("event_type").alias("value"),
-                F.unix_millis("ts").alias("ts_ms"),
-                (F.col("user_id") % 4).cast("int").alias("partition"),
-                F.col("event_id").alias("__ord"),
-            ),
-            spool,
-            "events",
-            order_col="__ord",
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
-    stream = kafka(spark, "events", "spool://" + spool)
-    out = run_stream_to_df(
-        spark, stream, "append", state_partitions=STATE_PARTITIONS
-    )
-    return (
-        out.groupBy("topic", "partition")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.min("offset").cast("long").alias("min_off"),
-            F.max("offset").cast("long").alias("max_off"),
-            F.sum(F.octet_length("value")).cast("long").alias("value_bytes"),
-            F.countDistinct("key").cast("long").alias("n_keys"),
-        )
-        .orderBy("partition")
-    )
-
-
-def q115_kafka_json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end kafka-shaped ingestion pipeline (§2.1 × §2.5
-    composition): events are produced into a 4-partition spool topic
-    with JSON payloads (task-side producer), streamed back through the
-    partitioned kafka source, JSON-decoded (``from_json`` — JVM-side,
-    no Python boundary), and aggregated into event-time tumbling
-    windows keyed on the KAFKA record timestamp. Grades against the
-    same batch oracle as q43, pinning that a value's trip through
-    producer framing → partition logs → connector schema → JSON decode
-    → ms-precision timestamps is lossless.
-
-    maxOffsetsPerTrigger splits the replay into real micro-batches so
-    the window state is built incrementally, not in one gulp."""
-    import hashlib
-    import os
-
-    from pandas_streaming_spark.sources import kafka
-    from pandas_streaming_spark.sources.kafka_spool import produce_distributed
-    from pandas_streaming_spark.streaming.replay import SCRATCH
-
-    ev = load_table(spark, sf_dir, "events")
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|json4".encode()
-    ).hexdigest()[:12]
-    spool = os.path.join(SCRATCH, f"kspool-{key}")
-    marker = os.path.join(spool, "_OK")
-    if not os.path.exists(marker):
-        produce_distributed(
-            ev.select(
-                F.col("user_id").cast("string").alias("key"),
-                F.to_json(F.struct("event_type", "value")).alias("value"),
-                F.unix_millis("ts").alias("ts_ms"),
-                (F.col("user_id") % 4).cast("int").alias("partition"),
-                F.col("event_id").alias("__ord"),
-            ),
-            spool,
-            "events_json",
-            order_col="__ord",
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
-
-    import pyarrow.parquet as pq
-
-    n = pq.read_metadata(src).num_rows
-    stream = kafka(
-        spark,
-        "events_json",
-        "spool://" + spool,
-        maxOffsetsPerTrigger=str(max(n // K_BATCHES, 1)),
-    )
-    parsed = stream.select(
-        F.col("timestamp").alias("ts"),
-        F.from_json(
-            F.col("value").cast("string"), "event_type string, value double"
-        ).alias("j"),
-    ).select("ts", "j.event_type", "j.value")
-    agg = (
-        parsed.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("w_start"),
-            "event_type",
-            "n",
-            "sv",
-        )
-    )
-    # drain trigger: with maxOffsetsPerTrigger the availableNow snapshot
-    # would stop at the first capped slice; drain keeps triggering until
-    # the spool reports no new offsets (real micro-batches, full replay)
-    out = run_stream_to_df(
-        spark, agg, "complete", state_partitions=STATE_PARTITIONS,
-        trigger="drain",
-    )
-    return (
-        out.select(
-            "w_start", "event_type", "n", F.round("sv", 2).alias("sum_value")
-        )
-        .orderBy("w_start", "event_type")
-    )
-
-
 def q117_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key trailing-5-row window aggregates over the stream
     (operators/stateful.py rolling_window_stream — the reference's
@@ -609,57 +465,6 @@ def q121_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q128_kafka_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BATCH kafka sink under the gate (§2.1 ``to_kafka``): events
-    are produced through the ``to_kafka_spool`` DataSourceWriter — every
-    Spark partition's task writes its own log, published only by the
-    driver's atomic commit rename — then streamed back through the
-    partitioned source and graded on TOTALS (record count, payload
-    bytes, distinct keys, ts range). Totals are partition-layout
-    independent, which is exactly what the sink guarantees: the log↔
-    partition assignment is an implementation detail, the committed
-    record SET is not. A torn write, lost partition, or double-commit
-    moves the totals."""
-    import hashlib
-    import os
-
-    from pandas_streaming_spark.sources import kafka
-    from pandas_streaming_spark.sources.kafka_spool import to_kafka_spool
-    from pandas_streaming_spark.streaming.replay import SCRATCH
-
-    ev = load_table(spark, sf_dir, "events")
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|sink".encode()
-    ).hexdigest()[:12]
-    spool = os.path.join(SCRATCH, f"kspool-{key}")
-    marker = os.path.join(spool, "_OK")
-    if not os.path.exists(marker):
-        to_kafka_spool(
-            ev.select(
-                F.col("user_id").cast("string").alias("key"),
-                F.col("event_type").alias("value"),
-                F.unix_millis("ts").alias("ts_ms"),
-            ).repartition(4),
-            "events_sink",
-            spool,
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
-    stream = kafka(spark, "events_sink", "spool://" + spool)
-    out = run_stream_to_df(
-        spark, stream, "append", state_partitions=STATE_PARTITIONS
-    )
-    return out.agg(
-        F.count("*").cast("long").alias("n_records"),
-        F.sum(F.octet_length("value")).cast("long").alias("value_bytes"),
-        F.countDistinct("key").cast("long").alias("n_keys"),
-        F.min(F.unix_millis("timestamp")).cast("long").alias("min_ts_ms"),
-        F.max(F.unix_millis("timestamp")).cast("long").alias("max_ts_ms"),
-    )
-
-
 def q111_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q48's per-user running (count, max(value)) on the
     ``transformWithStateInPandas`` API (operators/stateful.py
@@ -674,49 +479,6 @@ def q111_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, running_user_stats_tws, "update", key_cols=["user_id"]
     )
     return out.select("user_id", "n_events", "max_value").orderBy("user_id")
-
-
-def q140_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch keyed MERGE sink (streaming/upsert.KeyedUpsertSink):
-    the events replay upserts each user's latest row into a bucketed
-    manifest-committed parquet table — the Delta/Iceberg MERGE shape
-    with per-batch cost O(batch + dirty buckets), idempotent across
-    batch re-delivery via the _HEAD batch-id fence. The oracle is the
-    batch "latest row per key" query: final table ≡ last-writer-wins
-    over the whole stream, regardless of the batch split (split
-    invariance pinned in tests at k∈{1,5,20})."""
-    import shutil as _sh
-
-    from pandas_streaming_spark.streaming.replay import _fresh_dir
-    from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
-
-    replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES)
-    stream = replay_events(spark, sf_dir, replay_dir)
-    sink = KeyedUpsertSink(
-        _fresh_dir("upsert"), ["user_id"], ["ts", "event_id"], num_buckets=8
-    )
-    chkpt = _fresh_dir("chkpt")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
-    try:
-        q = (
-            stream.writeStream.outputMode("append")
-            .foreachBatch(sink)
-            .option("checkpointLocation", chkpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    snap = sink.read(spark).localCheckpoint(eager=True)
-    sink.close()
-    _sh.rmtree(chkpt, ignore_errors=True)
-    return snap.select(
-        "user_id",
-        F.col("event_type").alias("last_event_type"),
-        F.round("value", 2).alias("last_value"),
-    ).orderBy("user_id")
 
 
 def q142_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,57 +541,6 @@ def q142_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
-
-
-def q151_streaming_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming MATERIALIZED VIEW maintenance — the q143 continuous
-    aggregate kept fresh by the stream: update-mode hourly partials
-    (count + integer-cent sum per event type) flow through the
-    KeyedUpsertSink, whose last-writer-wins MERGE keyed on the group
-    retains each group's newest partial. The batch id is the sequence
-    (monotone per re-emitted group), so re-deliveries and late updates
-    resolve exactly like any warehouse MV refresh. Final table ==
-    one-shot batch rollup, graded against the raw-events oracle."""
-    import shutil as _sh
-
-    from pandas_streaming_spark.streaming.replay import _fresh_dir
-    from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
-
-    replay_dir = write_replay_batches(spark, sf_dir, K_BATCHES)
-    stream = replay_events(spark, sf_dir, replay_dir)
-    partials = (
-        stream.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
-        .groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.sum("cents").alias("sum_cents"))
-    )
-    sink = KeyedUpsertSink(
-        _fresh_dir("mv"), ["bucket_ts", "event_type"], ["__seq"], num_buckets=8
-    )
-    chkpt = _fresh_dir("chkpt-mv")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
-    try:
-        q = (
-            partials.writeStream.outputMode("update")
-            .foreachBatch(
-                lambda df, bid: sink(df.withColumn("__seq", F.lit(bid)), bid)
-            )
-            .option("checkpointLocation", chkpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    view = sink.read(spark).localCheckpoint(eager=True)
-    sink.close()
-    _sh.rmtree(chkpt, ignore_errors=True)
-    return view.select(
-        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm").alias("hour"),
-        "event_type",
-        F.col("cnt").alias("n"),
-        (F.col("sum_cents") / 100.0).alias("sum_value"),
-    ).orderBy("hour", "event_type")
 
 
 def q155_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,17 +632,12 @@ QUERIES = {
     "q72_stream_ewm": q72_stream_ewm,
     "q98_stream_funnel": q98_stream_funnel,
     "q101_stream_trending": q101_stream_trending,
-    "q107_kafka_roundtrip": q107_kafka_roundtrip,
     "q111_stateful_tws": q111_stateful_tws,
-    "q115_kafka_json_pipeline": q115_kafka_json_pipeline,
     "q117_stream_rolling": q117_stream_rolling,
     "q119_dedup_within_watermark": q119_dedup_within_watermark,
     "q121_tws_session_timers": q121_tws_session_timers,
     "q122_iterable_source": q122_iterable_source,
-    "q128_kafka_sink_roundtrip": q128_kafka_sink_roundtrip,
-    "q140_upsert_sink": q140_upsert_sink,
     "q142_stream_full_outer": q142_stream_full_outer,
-    "q151_streaming_rollup_view": q151_streaming_rollup_view,
     "q155_stream_hll": q155_stream_hll,
     "q158_stream_cms": q158_stream_cms,
 }
@@ -1048,20 +754,6 @@ SELECT user_id, event_id,
 FROM rec
 ORDER BY user_id, event_id
 """,
-    "q107_kafka_roundtrip": """
-SELECT 'events' AS topic,
-       CAST(user_id % 4 AS INT) AS partition,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(0 AS BIGINT) AS min_off,
-       CAST(COUNT(*) - 1 AS BIGINT) AS max_off,
-       -- STRLEN is bytes in duckdb; event types are ASCII so it equals
-       -- the utf-8 payload size the producer framed
-       CAST(SUM(STRLEN(event_type)) AS BIGINT) AS value_bytes,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
-FROM events
-GROUP BY 2
-ORDER BY partition
-""",
 }
 
 # streaming-vs-batch equivalence pinned by construction: the streaming
@@ -1078,14 +770,6 @@ ORACLES["q111_stateful_tws"] = ORACLES["q48_stateful_accumulate"]
 # counts as plain dropDuplicates when dups arrive inside the watermark
 ORACLES["q119_dedup_within_watermark"] = ORACLES["q46_stream_dedup"]
 
-ORACLES["q128_kafka_sink_roundtrip"] = """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
-       CAST(SUM(STRLEN(event_type)) AS BIGINT) AS value_bytes,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
-       CAST(FLOOR(EPOCH_US(MIN(ts)) / 1000) AS BIGINT) AS min_ts_ms,
-       CAST(FLOOR(EPOCH_US(MAX(ts)) / 1000) AS BIGINT) AS max_ts_ms
-FROM events
-"""
 
 # timer-finalized sessionization must produce the same per-user session
 # table as session_window — the q45 oracle verbatim
@@ -1100,9 +784,6 @@ GROUP BY 1
 ORDER BY grp
 """
 
-# the kafka JSON pipeline must converge to the same batch tumbling-window
-# table as the file replay — lossless transport, shared oracle
-ORACLES["q115_kafka_json_pipeline"] = ORACLES["q43_stream_tumbling"]
 
 ORACLES["q117_stream_rolling"] = """
 SELECT user_id, event_id,
@@ -1133,17 +814,6 @@ FROM r WHERE rnk <= 2
 ORDER BY w_start, rnk
 """
 
-ORACLES["q140_upsert_sink"] = """
-SELECT user_id, event_type AS last_event_type, ROUND(value, 2) AS last_value
-FROM (
-  SELECT user_id, event_type, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
-)
-WHERE rn = 1
-ORDER BY user_id
-"""
 
 ORACLES["q142_stream_full_outer"] = """
 WITH p AS (
@@ -1169,16 +839,6 @@ SELECT user_id, COUNT(*) AS n_rows,
 FROM j GROUP BY user_id ORDER BY user_id
 """
 
-ORACLES["q151_streaming_rollup_view"] = """
-WITH c AS (
-  SELECT ts, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events
-)
-SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
-       COUNT(*) AS n,
-       CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_value
-FROM c GROUP BY 1, 2 ORDER BY hour, event_type
-"""
 
 
 def _hll_stream_oracle() -> str:

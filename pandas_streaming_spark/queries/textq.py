@@ -1,0 +1,505 @@
+"""Text-analysis & corpus-curation queries split out of `llm`
+(round 6, VERDICT r5 item 8): language-ID, quality/repetition
+scoring, token stats, fingerprints, TF-IDF, chunking, redaction,
+contamination, CDC chunks, canonical docs, profiling, histograms.
+
+Same house rules and oracle discipline as the parent module.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pandas_streaming_spark.operators.dedup import connected_components, lsh_candidate_pairs
+from pandas_streaming_spark.operators.text import (
+    chunk_documents,
+    contamination_check,
+    language_id,
+    quality_score,
+    redact_terms,
+    repetition_score,
+    tf_idf,
+    token_stats,
+    winnow_fingerprints,
+)
+from pandas_streaming_spark.catalog import load_table
+from pandas_streaming_spark.queries.dedup_q import REDACT_PATTERN
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q40_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(25)
+    )
+
+
+def q41_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # integer centi-chars: exact int sum, one division, integer round
+            F.round(F.sum("n_chars") * 100.0 / F.count("*"), 0)
+            .cast("long")
+            .alias("avg_chars_e2"),
+            F.round(F.sum(F.length("text")) * 100.0 / F.count("*"), 0)
+            .cast("long")
+            .alias("avg_len_e2"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q53_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = language_id(_t(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def q54_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = quality_score(_t(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "avg_tok_len_e4",
+            "stop_ratio_e4",
+            "quality_e4",
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def q55_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = token_stats(_t(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            "doc_id",
+            F.col("ws_tokens").cast("long").alias("ws_tokens"),
+            F.col("word_tokens").cast("long").alias("word_tokens"),
+            F.col("num_tokens").cast("long").alias("num_tokens"),
+            F.col("other_chars").cast("long").alias("other_chars"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def q56_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, window=4).orderBy(
+        "doc_id"
+    )
+
+
+def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF (operators.text.tf_idf)."""
+    return tf_idf(_t(spark, sf_dir, "documents"), top_n=3).orderBy("doc_id", "rn")
+
+
+def q84_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators.text.chunk_documents):
+    40-token chunks, 8-token overlap; first 1000 (doc, chunk) rows."""
+    return (
+        chunk_documents(
+            _t(spark, sf_dir, "documents"), chunk_tokens=40, overlap=8
+        )
+        .orderBy("doc_id", "chunk_idx")
+        .limit(1000)
+    )
+
+
+def q89_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram fraction per doc (operators.text.repetition_score):
+    the degenerate/boilerplate-text curation gate."""
+    return repetition_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q90_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.text.contamination_check):
+    per-doc fraction of distinct 5-grams shared with a pseudo-benchmark
+    set (docs with doc_id % 97 == 0)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_check(docs, bench, k=5).orderBy("doc_id")
+
+
+def q93_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style denylist scrub (operators.text.redact_terms): match
+    count, post-redaction length, and content hash of the scrubbed text
+    per document."""
+    return redact_terms(_t(spark, sf_dir, "documents"), REDACT_PATTERN).orderBy(
+        "doc_id"
+    )
+
+
+def q97_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keep-best: per duplicate cluster (q82's LSH→connected-
+    components graph) select the canonical document — longest n_chars,
+    ties to the lowest doc_id — and report cluster size + drop count.
+    The standard 'which duplicate survives' decision of a corpus dedup
+    pass; one window over the (tiny) per-cluster membership after the
+    heavy lifting is done by the bucketed-LSH + log-depth-CC pipeline."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, n_hashes=8, bands=4, k=3, max_bucket=64)
+    cc = connected_components(docs, pairs)  # (doc_id, component)
+    scored = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("canonical_chars"),
+            (F.count("*") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity / multimodal extras
+# ---------------------------------------------------------------------------
+
+
+def q100_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators.text.cdc_chunks): Rabin-style
+    token-gram boundaries (md5 mod 8), per-chunk token count + dedup
+    hash; first 2000 (doc, chunk) rows."""
+    from pandas_streaming_spark.operators.text import cdc_chunks
+
+    return (
+        cdc_chunks(_t(spark, sf_dir, "documents"), k=3, divisor=8)
+        .orderBy("doc_id", "chunk_idx")
+        .limit(2000)
+    )
+
+
+def q102_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the corpus tables — the
+    data-quality gate a pipeline runs before training: documents without
+    an embedding row (by id), embeddings without a document, and
+    duplicate-id checks, as one summary table. Anti-joins compile to
+    broadcast/shuffled hash joins with no row materialization beyond
+    the counts."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    embs = _t(spark, sf_dir, "embeddings").select("vec_id")
+    # counts-as-plan: one DataFrame of unioned aggregates, not
+    # driver-side .count() actions
+    d_orphans = (
+        docs.join(embs, docs.doc_id == embs.vec_id, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("docs_without_embedding").alias("check"), "n")
+    )
+    e_orphans = (
+        embs.join(docs, embs.vec_id == docs.doc_id, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("embeddings_without_doc").alias("check"), "n")
+    )
+    dup_docs = (
+        docs.groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("duplicate_doc_ids").alias("check"), "n")
+    )
+    dup_embs = (
+        embs.groupBy("vec_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("duplicate_vec_ids").alias("check"), "n")
+    )
+    return d_orphans.unionByName(e_orphans).unionByName(dup_docs).unionByName(
+        dup_embs
+    ).orderBy("check")
+
+
+def q103_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of the corpus in power-of-two buckets —
+    the sequence-length accounting that sizes packing budgets (q85) and
+    truncation losses. Pure map + one small groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    bucket = F.pow(F.lit(2.0), F.ceil(F.log2(n_tok.cast("double")))).cast("long")
+    return (
+        docs.select(
+            F.when(n_tok <= 1, F.lit(1)).otherwise(bucket).alias("len_bucket")
+        )
+        .groupBy("len_bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("len_bucket")
+    )
+
+
+def q106_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling audit of the orders table: per column, null count,
+    exact distinct count, and min/max rendered as strings — the
+    schema-health report a pipeline emits before training. One pass of
+    map-side-combined aggregates per column family (Catalyst fuses them
+    into a single scan); the unpivot is a literal-array explode."""
+    o = _t(spark, sf_dir, "orders")
+    # int/string/date columns only: double→string rendering is engine-
+    # specific (shortest-repr vs binary), so floats are profiled via the
+    # ROUND(x, 2) aggregates of q01/q73 instead
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderdate", "o_orderpriority"]
+    def render(c, agg):
+        # aggregate in the column's own type, THEN render — casting
+        # first would make min/max lexicographic on numerics; date-ish
+        # columns render at DATE granularity (catalog loads them as µs
+        # timestamps, duckdb as DATE)
+        out = agg(F.col(c))
+        if c == "o_orderdate":
+            out = out.cast("date")
+        return out.cast("string")
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__n_{c}"),
+            F.countDistinct(c).alias(f"__d_{c}"),
+            render(c, F.min).alias(f"__mn_{c}"),
+            render(c, F.max).alias(f"__mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n_nulls"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_str"),
+                F.col(f"__mx_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.column", "r.n_nulls", "r.n_distinct", "r.min_str", "r.max_str")
+        .orderBy("column")
+    )
+
+
+QUERIES = {
+    "q40_top_tokens": q40_top_tokens,
+    "q41_text_stats": q41_text_stats,
+    "q53_language_id": q53_language_id,
+    "q54_quality_score": q54_quality_score,
+    "q55_token_stats": q55_token_stats,
+    "q56_winnow_fingerprints": q56_winnow_fingerprints,
+    "q81_tfidf": q81_tfidf,
+    "q84_chunk_documents": q84_chunk_documents,
+    "q89_repetition_score": q89_repetition_score,
+    "q90_contamination": q90_contamination,
+    "q93_redact_terms": q93_redact_terms,
+    "q97_canonical_docs": q97_canonical_docs,
+    "q100_cdc_chunks": q100_cdc_chunks,
+    "q102_integrity_audit": q102_integrity_audit,
+    "q103_length_histogram": q103_length_histogram,
+    "q106_column_profile": q106_column_profile,
+}
+
+ORACLES = {
+    "q40_top_tokens": """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 25
+""",
+    "q41_text_stats": """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(ROUND(SUM(n_chars) * 100.0 / COUNT(*), 0) AS BIGINT) AS avg_chars_e2,
+       CAST(ROUND(SUM(LENGTH(text)) * 100.0 / COUNT(*), 0) AS BIGINT) AS avg_len_e2
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    "q54_quality_score": """
+WITH g AS (
+  SELECT doc_id, LENGTH(text) AS n_chars, LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             x -> LIST_CONTAINS(['the','a','of','and','to','in'], x))) AS n_stop
+  FROM documents
+),
+h AS (
+  SELECT doc_id, n_tok,
+         (n_chars - (n_tok - 1)) / CAST(n_tok AS DOUBLE) AS atl,
+         n_stop / CAST(n_tok AS DOUBLE) AS sr
+  FROM g
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(ROUND(10000.0 * atl, 0) AS BIGINT) AS avg_tok_len_e4,
+       CAST(ROUND(10000.0 * sr, 0) AS BIGINT) AS stop_ratio_e4,
+       CAST(ROUND(10000.0 * (LEAST(n_tok / 50.0, 1.0) * 0.5 + sr * 0.3
+             + LEAST(atl / 8.0, 1.0) * 0.2), 0) AS BIGINT) AS quality_e4
+FROM h
+ORDER BY doc_id
+LIMIT 100
+""",
+    "q55_token_stats": """
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+')) AS BIGINT) AS word_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS BIGINT) AS num_tokens,
+       CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS other_chars
+FROM documents
+ORDER BY doc_id
+LIMIT 100
+""",
+    "q81_tfidf": """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         tf.tf * (LN((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, doc_freq,
+         CAST(ROUND(1e6 * s, 0) AS BIGINT) AS tfidf_e6,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, tfidf_e6, rn
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
+""",
+    "q84_chunk_documents": """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id, t, UNNEST(GENERATE_SERIES(0, LEN(t) - 1, 32)) AS start
+  FROM t WHERE LEN(t) > 0
+)
+SELECT doc_id,
+       start // 32 AS chunk_idx,
+       start AS chunk_start,
+       LEN(t[start + 1 : start + 40]) AS n_chunk_tokens,
+       MD5(ARRAY_TO_STRING(t[start + 1 : start + 40], ' ')) AS chunk_hash
+FROM s
+ORDER BY doc_id, chunk_idx
+LIMIT 1000
+""",
+    "q100_cdc_chunks": """
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+         LEN(STRING_SPLIT(text, ' ')) AS n
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks, n,
+         LIST_SORT(LIST_DISTINCT(
+           LIST_FILTER(GENERATE_SERIES(3, n),
+             i -> CAST(CONCAT('0x', SUBSTR(MD5(
+                    ARRAY_TO_STRING(toks[i-2:i], ' ')), 1, 4)) AS BIGINT)
+                  % 8 = 0)
+           || [n])) AS ends
+  FROM t
+),
+e AS (
+  SELECT doc_id, toks, generate_subscripts(ends, 1) AS j, UNNEST(ends) AS en,
+         ends
+  FROM b
+)
+SELECT doc_id,
+       CAST(j - 1 AS BIGINT) AS chunk_idx,
+       CAST(en - (CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END) + 1
+            AS BIGINT) AS n_tokens,
+       MD5(ARRAY_TO_STRING(
+         toks[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):en], ' '))
+         AS chunk_md5
+FROM e
+ORDER BY doc_id, chunk_idx
+LIMIT 2000
+""",
+    "q102_integrity_audit": """
+SELECT * FROM (
+  SELECT 'docs_without_embedding' AS check, COUNT(*) AS n
+  FROM documents d WHERE NOT EXISTS
+    (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+  UNION ALL
+  SELECT 'embeddings_without_doc', COUNT(*)
+  FROM embeddings e WHERE NOT EXISTS
+    (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+  UNION ALL
+  SELECT 'duplicate_doc_ids', COUNT(*) FROM
+    (SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)
+  UNION ALL
+  SELECT 'duplicate_vec_ids', COUNT(*) FROM
+    (SELECT vec_id FROM embeddings GROUP BY vec_id HAVING COUNT(*) > 1)
+)
+ORDER BY "check"
+""",
+    "q103_length_histogram": """
+WITH t AS (
+  SELECT LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents
+)
+SELECT CASE WHEN n_tok <= 1 THEN 1
+            ELSE CAST(POW(2.0, CEIL(LOG2(CAST(n_tok AS DOUBLE)))) AS BIGINT)
+       END AS len_bucket,
+       COUNT(*) AS n_docs
+FROM t
+GROUP BY 1
+ORDER BY len_bucket
+""",
+    "q106_column_profile": """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS "column",
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         COUNT(DISTINCT o_orderkey) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey',
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT o_custkey),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate',
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT o_orderdate),
+         CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+         CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT o_orderpriority),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+)
+ORDER BY "column"
+""",
+}

@@ -1,0 +1,372 @@
+"""Time-series & quantile queries split out of `analytic` (round 6,
+VERDICT r5 item 8): percentile binning, grouped quantiles, the
+approx-quantile audit, calendar resampling with forward-fill (global
+and per-key), event-time RANGE rolling, time-weighted averages, and
+linear interpolation.
+
+Same house rules and oracle discipline as the parent module.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pandas_streaming_spark.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q112_percentile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-percentile binning WITHOUT a global sort
+    (operators/quantiles.py): exact quartile boundaries in one
+    aggregate pass, broadcast, narrow per-row bin assignment — the
+    scale-safe form of ``ntile`` for "keep the middle N% by length"
+    curation cuts. Quarter probabilities keep every boundary exact in
+    binary, so Spark and duckdb agree bit-for-bit."""
+    from pandas_streaming_spark.operators.quantiles import percentile_bins
+
+    d = percentile_bins(
+        _t(spark, sf_dir, "documents"), "n_chars", [0.25, 0.5, 0.75]
+    )
+    return (
+        d.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bin")
+    )
+
+
+def q116_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact interpolated quartiles of document length
+    (operators/quantiles.py group_quantiles): ONE hash-agg shuffle on
+    the group key, quantile summaries combined map-side — never a
+    per-group sort or collect. Quarter probs → exact binary boundaries
+    (same determinism argument as q112)."""
+    from pandas_streaming_spark.operators.quantiles import group_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    q = group_quantiles(docs, "lang", "n_chars", [0.25, 0.5, 0.75])
+    return (
+        counts.join(q, "lang")
+        .select("lang", "n_docs", "p25", "p50", "p75")
+        .orderBy("lang")
+    )
+
+
+def q118_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx rank-error audit (operators/quantiles.py
+    approx_quantile_audit) over two value domains: integer doc lengths
+    and double order totals. The sketch VALUE is partition-order
+    dependent (ungradable); the GK rank-error contract and the exact
+    quantile are not — grading the guarantee keeps the approx path
+    honest under every partitioning the sweep throws at it."""
+    from pandas_streaming_spark.operators.quantiles import approx_quantile_audit
+
+    docs = approx_quantile_audit(
+        _t(spark, sf_dir, "documents"), "n_chars", 0.5, 1000
+    ).select(F.lit("documents.n_chars").alias("col"), "n", "exact", "rank_err_ok")
+    orders = approx_quantile_audit(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 0.5, 1000
+    ).select(F.lit("orders.o_totalprice").alias("col"), "n", "exact", "rank_err_ok")
+    return docs.unionByName(orders).orderBy("col")
+
+
+def q123_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of purchase revenue onto the FULL calendar spine
+    with forward-fill across the 40+ purchase-free hours
+    (operators/resample.py — pandas ``resample``/``asfreq`` lineage).
+    The fill window runs over the aggregated spine (time-bound
+    cardinality), never the raw events; per-hour values are rounded
+    BEFORE filling so copied values are bit-identical across engines."""
+    from pandas_streaming_spark.operators.resample import resample_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_ffill(
+        ev,
+        ev.filter(F.col("event_type") == "purchase"),
+        "ts",
+        {
+            "n": F.count("*").cast("long"),
+            "rev": F.round(F.sum("value"), 2),
+        },
+        "1 hour",
+    )
+    return (
+        out.select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("w_start"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("rev"), F.lit(0.0)).alias("rev"),
+            "filled",
+        )
+        .orderBy("w_start")
+    )
+
+
+def q124_rolling_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame — the reference's ``rolling('2h')``
+    (SURVEY §2.5), distinct from q24's row-count frame: at every event,
+    aggregates over all of the SAME USER's events in the trailing two
+    hours of EVENT TIME, however many rows that is.
+    ``rangeBetween`` needs a numeric order key, so the frame rides
+    ``unix_micros(ts)`` with a -2h µs bound — exactly duckdb's
+    ``RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW`` over the
+    µs timestamps. Sums are integer cents (exact in any accumulation
+    order — engines disagree on frame-sum order otherwise)."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-2 * 3600 * 1_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_2h"),
+            F.sum(cents).over(w).cast("long").alias("sum_cents_2h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q125_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each observation is
+    weighted by how long it remained current (µs until the user's next
+    event; the final observation carries no weight — the standard
+    left-closed convention). All arithmetic is exact int64 —
+    cents × µs-duration products summed (≤2^63 at any per-user span
+    the fixture reaches; at corpus scale switch the product to
+    decimal(38,0) — noted, not needed here) — then ONE division rounded
+    to e4, so both engines divide bit-identical operands."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    dur = (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).cast("long")
+    weighted = e.select(
+        "user_id", cents.alias("cents"), dur.alias("dur_us")
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dur_us")).alias("num"),
+            F.sum("dur_us").alias("den"),
+        )
+        .select(
+            "user_id",
+            F.round(F.lit(1e4) * F.col("num") / F.col("den"), 0)
+            .cast("long")
+            .alias("twap_e4_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q126_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear (time-weighted) interpolation of missing
+    observations (operators/resample.py interpolate_linear — pandas
+    ``interpolate(method='time')``): every third event keeps its value,
+    the rest are NULLed and reconstructed from the neighboring
+    observations on the µs time axis. The oracle mirrors the EXACT
+    expression tree (left-assoc products, one division) so IEEE
+    evaluation is bit-identical; output in rounded e4 units."""
+    from pandas_streaming_spark.operators.resample import interpolate_linear
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("v"),
+    )
+    out = interpolate_linear(e, "user_id", "ts", "v")
+    return out.select("user_id", "event_id", "interp_e4").orderBy(
+        "user_id", "event_id"
+    )
+
+
+def q129_resample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity resampling (resample_ffill ``key_col`` mode): every
+    user gets their OWN hourly spine ([their first, their last] event
+    hour), per-(user, hour) counts forward-fill across that user's
+    quiet hours, and the fill window partitions by the user — the
+    per-device/per-user gap-fill shape. Because each spine starts at
+    the key's first observation, no leading NULLs exist by
+    construction."""
+    from pandas_streaming_spark.operators.resample import resample_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_ffill(
+        ev, ev, "ts", {"n": F.count("*").cast("long")}, "1 hour",
+        key_col="user_id",
+    )
+    return (
+        out.select(
+            "user_id",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("w_start"),
+            F.col("n").cast("long").alias("n"),
+            "filled",
+        )
+        .orderBy("user_id", "w_start")
+    )
+
+
+QUERIES = {
+    "q112_percentile_bins": q112_percentile_bins,
+    "q116_group_quantiles": q116_group_quantiles,
+    "q118_approx_quantile_audit": q118_approx_quantile_audit,
+    "q123_resample_ffill": q123_resample_ffill,
+    "q124_rolling_time_range": q124_rolling_time_range,
+    "q125_time_weighted_avg": q125_time_weighted_avg,
+    "q126_interpolate": q126_interpolate,
+    "q129_resample_per_key": q129_resample_per_key,
+}
+
+ORACLES = {
+    "q112_percentile_bins": """
+WITH b AS (
+  SELECT QUANTILE_CONT(n_chars, 0.25) AS p25,
+         QUANTILE_CONT(n_chars, 0.50) AS p50,
+         QUANTILE_CONT(n_chars, 0.75) AS p75
+  FROM documents
+)
+SELECT (CASE WHEN n_chars > p25 THEN 1 ELSE 0 END
+      + CASE WHEN n_chars > p50 THEN 1 ELSE 0 END
+      + CASE WHEN n_chars > p75 THEN 1 ELSE 0 END) AS bin,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents, b
+GROUP BY 1
+ORDER BY bin
+""",
+    "q116_group_quantiles": """
+SELECT lang, COUNT(*) AS n_docs,
+       QUANTILE_CONT(n_chars, 0.25) AS p25,
+       QUANTILE_CONT(n_chars, 0.50) AS p50,
+       QUANTILE_CONT(n_chars, 0.75) AS p75
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    "q118_approx_quantile_audit": """
+SELECT 'documents.n_chars' AS col, COUNT(*) AS n,
+       QUANTILE_CONT(n_chars, 0.5) AS exact, TRUE AS rank_err_ok
+FROM documents
+UNION ALL
+SELECT 'orders.o_totalprice' AS col, COUNT(*) AS n,
+       QUANTILE_CONT(o_totalprice, 0.5) AS exact, TRUE AS rank_err_ok
+FROM orders
+ORDER BY col
+""",
+    "q123_resample_ffill": """
+WITH bounds AS (
+  SELECT DATE_TRUNC('hour', MIN(ts)) AS h0, DATE_TRUNC('hour', MAX(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS bucket FROM bounds
+),
+hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS bucket, COUNT(*) AS n, ROUND(SUM(value), 2) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+filledt AS (
+  SELECT s.bucket,
+         h.bucket IS NULL AS filled,
+         LAST_VALUE(h.n IGNORE NULLS) OVER w AS n,
+         LAST_VALUE(h.rev IGNORE NULLS) OVER w AS rev
+  FROM spine s LEFT JOIN hourly h ON s.bucket = h.bucket
+  WINDOW w AS (ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT STRFTIME(bucket, '%Y-%m-%d %H:%M') AS w_start,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       COALESCE(rev, 0.0) AS rev,
+       filled
+FROM filledt
+ORDER BY w_start
+""",
+    "q124_rolling_time_range": """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_2h,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_cents_2h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+    "q125_time_weighted_avg": """
+WITH d AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         CAST(EPOCH_US(LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+              - EPOCH_US(ts) AS BIGINT) AS dur_us
+  FROM events
+)
+SELECT user_id,
+       CAST(ROUND(1e4 * SUM(cents * dur_us) / SUM(dur_us), 0) AS BIGINT)
+         AS twap_e4_cents
+FROM d
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+""",
+    "q126_interpolate": """
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 3 = 0 THEN value END AS v,
+         EPOCH_US(ts) AS t
+  FROM events
+),
+nb AS (
+  SELECT user_id, event_id, v, t,
+         LAST_VALUE(v IGNORE NULLS) OVER wp AS prev_v,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS prev_t,
+         FIRST_VALUE(v IGNORE NULLS) OVER wn AS next_v,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS next_t
+  FROM base
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id,
+       CAST(ROUND(
+         CASE WHEN v IS NOT NULL THEN v * 1e4
+              WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+              THEN prev_v * 1e4
+                   + (next_v - prev_v) * 1e4 * (t - prev_t) / (next_t - prev_t)
+         END, 0) AS BIGINT) AS interp_e4
+FROM nb
+ORDER BY user_id, event_id
+""",
+    "q129_resample_per_key": """
+WITH b AS (
+  SELECT user_id, DATE_TRUNC('hour', MIN(ts)) AS h0,
+         DATE_TRUNC('hour', MAX(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS bucket
+  FROM b
+),
+hourly AS (
+  SELECT user_id, DATE_TRUNC('hour', ts) AS bucket, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.user_id, STRFTIME(s.bucket, '%Y-%m-%d %H:%M') AS w_start,
+       CAST(LAST_VALUE(h.n IGNORE NULLS)
+            OVER (PARTITION BY s.user_id ORDER BY s.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n,
+       h.bucket IS NULL AS filled
+FROM spine s LEFT JOIN hourly h
+  ON s.user_id = h.user_id AND s.bucket = h.bucket
+ORDER BY s.user_id, w_start
+""",
+}

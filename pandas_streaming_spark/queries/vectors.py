@@ -1,0 +1,244 @@
+"""Embedding / vector-search / multimodal queries split out of `llm`
+(round 6, VERDICT r5 item 8): brute-force and bucketed ANN, k-NN
+join, centroids/k-means, quantization, matryoshka normalization,
+embedding near-dup, multimodal decode and frame sampling, recall
+audits.
+
+Same house rules and oracle discipline as the parent module.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pandas_streaming_spark.operators.multimodal import decode_images, documents_as_media
+from pandas_streaming_spark.operators.similarity import (
+    ann_bucketed_topk,
+    ann_recall,
+    assign_to_centroids,
+    cosine_topk,
+    ivf_topk,
+    kmeans_step,
+    knn_join,
+    label_centroids,
+    quantize_int8,
+    similarity_join,
+)
+from pandas_streaming_spark.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q39_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=20)
+
+
+def q42_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = similarity_join(_t(spark, sf_dir, "embeddings"), threshold=0.35, block_col="label")
+    return (
+        pairs.groupBy("label").agg(F.count("*").alias("n_pairs")).orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup extras
+# ---------------------------------------------------------------------------
+
+
+def q57_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=8)
+
+
+def q58_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return decode_images(media).orderBy("doc_id").limit(100)
+
+
+def q59_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = similarity_join(_t(spark, sf_dir, "embeddings"), threshold=0.35, block_col="label")
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_dup_docs"),
+    )
+
+
+def q79_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling shape over binary payloads: 64-byte frames,
+    every 2nd kept, md5 per frame (operators.multimodal.sample_frames).
+    ASCII guard on both sides pins byte-slices == duckdb char-slices."""
+    from pandas_streaming_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(r"^[\x20-\x7e]*$")
+    )
+    media = documents_as_media(docs)
+    return (
+        sample_frames(media, frame_len=64, every_n=2)
+        .orderBy("doc_id", "frame_idx")
+        .limit(500)
+    )
+
+
+def q86_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN (operators.similarity.knn_join): top-3 cosine
+    neighbors for each of the 5 lowest-id query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb.filter(F.col("vec_id") < 5), emb, k=3).orderBy(
+        "query_id", "rnk"
+    )
+
+
+def q87_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in exact integer micro-units
+    (operators.similarity.label_centroids) — the fixed-point
+    representation makes a float-vector aggregate cross-engine gradable."""
+    return label_centroids(_t(spark, sf_dir, "embeddings")).orderBy("label", "dim")
+
+
+def q91_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step (operators.similarity.assign_to_centroids): nearest
+    per-label centroid by cosine, centroids in exact fixed point."""
+    return assign_to_centroids(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+def q92_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators.similarity.ivf_topk): probe the 2 centroids
+    nearest vec_id=0's vector, exact top-10 within the probed cells."""
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_probe=2)
+
+
+def q95_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators.similarity.
+    quantize_int8): per-vector max-abs scale in micro-units + the int8
+    code array, graded as a joined string (array-grading policy of q49 —
+    list-vs-ndarray reprs diverge across engines)."""
+    return (
+        quantize_int8(_t(spark, sf_dir, "embeddings"))
+        .select("vec_id", "scale_e6", F.concat_ws(",", "codes").alias("codes"))
+        .orderBy("vec_id")
+    )
+
+
+def q96_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration (operators.similarity.kmeans_step):
+    E-step assignment to the label centroids, M-step recenter on the new
+    assignment — exact fixed-point at every stage."""
+    return kmeans_step(_t(spark, sf_dir, "embeddings")).orderBy(
+        "assigned_label", "dim"
+    )
+
+
+def q99_normalize_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation to 16 dims + exact-integer L2 normalization
+    (operators.similarity.normalize_embeddings): the serving transform
+    that turns truncated embeddings back into unit vectors. Unit vector
+    graded as a joined string per the q49/q95 array policy."""
+    from pandas_streaming_spark.operators.similarity import normalize_embeddings
+
+    return (
+        normalize_embeddings(_t(spark, sf_dir, "embeddings"), dims=16)
+        .select("vec_id", "norm_e6", F.concat_ws(",", "unit_e6").alias("unit_e6"))
+        .orderBy("vec_id")
+    )
+
+
+def q108_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit (VERDICT r3 item 7): recall@10 of the
+    2-bit sign-bucket ANN vs exact brute force over 20 spread query ids.
+    2 bits (not q57's 8) so buckets hold a meaningful candidate pool at
+    the 500-row grading corpus; the recall floor is pinned by
+    tests/test_operators.py::test_ann_recall_thresholds."""
+    return ann_recall(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(0, 100, 5)),
+        k=10,
+        n_bits=2,
+    )
+
+
+QUERIES = {
+    "q39_similarity_topk": q39_similarity_topk,
+    "q42_similarity_join": q42_similarity_join,
+    "q57_ann_bucketed": q57_ann_bucketed,
+    "q58_multimodal_decode": q58_multimodal_decode,
+    "q59_embedding_neardup": q59_embedding_neardup,
+    "q79_frame_sample": q79_frame_sample,
+    "q86_knn_join": q86_knn_join,
+    "q87_label_centroid": q87_label_centroid,
+    "q91_centroid_assign": q91_centroid_assign,
+    "q92_ivf_topk": q92_ivf_topk,
+    "q95_quantize_int8": q95_quantize_int8,
+    "q96_kmeans_step": q96_kmeans_step,
+    "q99_normalize_matryoshka": q99_normalize_matryoshka,
+    "q108_ann_recall": q108_ann_recall,
+}
+
+ORACLES = {
+    "q79_frame_sample": """
+WITH f AS (
+  SELECT doc_id, text,
+         UNNEST(GENERATE_SERIES(0, CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT) - 1)) AS fi
+  FROM documents
+  WHERE regexp_matches(text, '^[\x20-\x7e]*$')
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST(LENGTH(SUBSTR(text, CAST(fi AS INT) * 64 + 1, 64)) AS INT) AS frame_len,
+       MD5(SUBSTR(text, CAST(fi AS INT) * 64 + 1, 64)) AS frame_md5
+FROM f
+WHERE fi % 2 = 0
+ORDER BY doc_id, frame_idx
+LIMIT 500
+""",
+    "q87_label_centroid": """
+WITH comps AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         -- CAST component to DOUBLE: duckdb's DECIMAL * FLOAT stays
+         -- float32 while Spark promotes to double before multiplying
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings
+)
+SELECT label, dim, COUNT(*) AS n_vecs,
+       CAST(SUM(c_e6) AS BIGINT) AS sum_e6,
+       -- CAST to DOUBLE first: DECIMAL/BIGINT division is decimal-typed,
+       -- double division matches the Spark side bit-for-bit
+       CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS centroid_e6
+FROM comps
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+    "q95_quantize_int8": """
+WITH s AS (
+  SELECT vec_id, embedding,
+         LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(ROUND(1000000.0 * scale, 0) AS BIGINT) AS scale_e6,
+       ARRAY_TO_STRING(LIST_TRANSFORM(embedding,
+         x -> CAST(CASE WHEN scale = 0 THEN 0
+                        ELSE ROUND(127.0 * CAST(x AS DOUBLE) / scale, 0)
+                   END AS INT)), ',') AS codes
+FROM s
+ORDER BY vec_id
+""",
+    "q99_normalize_matryoshka": """
+WITH s AS (
+  SELECT vec_id, embedding[1:16] AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         SQRT(LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(v)),
+              i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)), 'sum')) AS nrm
+  FROM s
+)
+SELECT vec_id,
+       CAST(ROUND(1000000.0 * nrm, 0) AS BIGINT) AS norm_e6,
+       ARRAY_TO_STRING(LIST_TRANSFORM(v,
+         x -> CAST(CASE WHEN nrm = 0 THEN 0
+                        ELSE ROUND(1000000.0 * CAST(x AS DOUBLE) / nrm, 0)
+                   END AS BIGINT)), ',') AS unit_e6
+FROM n
+ORDER BY vec_id
+""",
+}

@@ -1,0 +1,737 @@
+"""Warehouse & curation analytics split out of `advanced` (round 6,
+VERDICT r5 item 8 — keep modules reviewable): rollup reuse, cohort
+retention, BM25, upsert time-travel/CDC reads, SCD2, path
+transitions, interval overlap, distribution shares, gaps-and-islands,
+weighted sampling, discrete percentiles.
+
+House rules unchanged: JVM-side expressions only, explicit aliases
+mirrored in the duckdb oracle, floats rounded (or micro-unit cast)
+on both sides, deterministic ORDER BY with full tie-breaks.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pandas_streaming_spark.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q143_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate reuse (operators/rollup.py): daily stats per
+    event type answered from an HOURLY partial table instead of raw
+    events — the hypertable rollup pattern. The grade is the merge
+    algebra itself: the oracle computes the daily grain straight from
+    raw events, so any error in the decomposable partials (count/sum/
+    min/max stored, avg derived at read time) hash-mismatches."""
+    from pandas_streaming_spark.operators.rollup import (
+        rollup_merge,
+        time_rollup,
+        with_derived,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        # integer cents: the partial algebra is then EXACT, so the
+        # two-level sum can't drift from the oracle's one-level sum
+        # (doubles are non-associative; int64 is)
+        "cents",
+        F.round(F.col("value") * 100, 0).cast("long"),
+    )
+    hourly = time_rollup(ev, "ts", "hour", ["event_type"], "cents")
+    daily = with_derived(rollup_merge(hourly, "day", ["event_type"]))
+    return daily.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("cnt").alias("n"),
+        (F.col("sum_v") / 100.0).alias("sum_value"),
+        # exact integer rational: cents×1e4 floor-divided by the count.
+        # ROUND of a float division is engine-divergent exactly on .xxx5
+        # boundaries (Spark rounds the shortest decimal rendering,
+        # duckdb the binary value); integer div has one answer.
+        F.expr("(sum_v * 10000) div cnt").alias("avg_cents_e4"),
+        (F.col("min_v") / 100.0).alias("min_value"),
+        (F.col("max_v") / 100.0).alias("max_value"),
+    ).orderBy("day", "event_type")
+
+
+def q144_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-Res as a window top-k,
+    operators/sampling.weighted_sample_topk): per language, 20 documents
+    drawn with probability ∝ n_chars — the corpus-mixing primitive when
+    longer/higher-quality docs should be overrepresented. Content-
+    addressed uniforms make the sample reproducible AND oracle-exact;
+    the output is ids and ranks, never the float keys."""
+    from pandas_streaming_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample_topk(docs, "doc_id", "n_chars", k=20, partition_by="lang")
+        .select("lang", F.col("__ares_rank").alias("rank"), "doc_id", "n_chars")
+        .orderBy("lang", "rank")
+    )
+
+
+def q145_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the product-analytics staple on the reference's
+    event surface): users grouped by first-activity week, retention =
+    share still active N weeks later, in exact basis points (integer
+    div — no float rounding to diverge on). Two shuffles: the per-user
+    first-event aggregate, then the (cohort, week_n) distinct-count; the
+    user-cohort frame re-joins the events on user_id — co-partitioned
+    with the first aggregate's shuffle at scale."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    active = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        active.join(sizes, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_n",
+            "n_active",
+            "cohort_size",
+            F.expr("(n_active * 10000) div cohort_size").alias("retention_bp"),
+        )
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+#: BM25 hyperparameters (standard Robertson defaults)
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 10
+
+
+def q146_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document scoring — the retrieval-side sibling of q81's
+    TF-IDF: the 5 highest-DF corpus tokens act as the query, every
+    document is scored with Robertson BM25 (k1=1.2, b=0.75), top-10
+    returned. Plan: one token pass feeds tf/df/dl; query terms, df and
+    the 1-row avgdl aggregate all broadcast; the only data-sized
+    shuffles are the two token aggregations. Score emits at 1e-4
+    rounding; ranking ties (duplicate docs score identically) break on
+    doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    query = df_.orderBy(F.col("df").desc(), "token").limit(5)
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    idf = (
+        query.crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf")
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select("rank", "doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy("rank")
+    )
+
+
+def q147_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on the q140 MERGE table: replay the events
+    as 5 batches, then read VERSION 2 — the state after the first two
+    batches only. Version N is exact because every commit's manifest is
+    retained (immutable bucket dirs + history in HEAD — the
+    Iceberg/Delta snapshot model); the oracle recomputes latest-per-key
+    over the deterministic first-2/5 event_id prefix the replay split
+    rule defines."""
+    import shutil as _sh
+
+    from pandas_streaming_spark.streaming.replay import (
+        _fresh_dir,
+        replay_events,
+        write_replay_batches,
+    )
+    from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
+
+    replay_dir = write_replay_batches(spark, sf_dir, 5)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    sink = KeyedUpsertSink(
+        _fresh_dir("upsert-tt"), ["user_id"], ["ts", "event_id"], num_buckets=8
+    )
+    chkpt = _fresh_dir("chkpt-tt")
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chkpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = sink.read(spark, version=2).localCheckpoint(eager=True)
+    sink.close()
+    _sh.rmtree(chkpt, ignore_errors=True)
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    ).orderBy("user_id")
+
+
+def q148_upsert_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC) read between MERGE-table snapshots: keys new or
+    changed between version 2 (first 2/5 of the replay) and the final
+    version — Iceberg incremental scan / Delta CDF semantics derived
+    from snapshot EXCEPT over the retained manifests. event_id is unique
+    per row, so 'latest event_id differs' ⟺ 'key changed'; the oracle
+    EXCEPTs the two latest-per-key prefixes directly."""
+    import shutil as _sh
+
+    from pandas_streaming_spark.streaming.replay import (
+        _fresh_dir,
+        replay_events,
+        write_replay_batches,
+    )
+    from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
+
+    replay_dir = write_replay_batches(spark, sf_dir, 5)
+    stream = replay_events(spark, sf_dir, replay_dir)
+    sink = KeyedUpsertSink(
+        _fresh_dir("upsert-cdc"), ["user_id"], ["ts", "event_id"], num_buckets=8
+    )
+    chkpt = _fresh_dir("chkpt-cdc")
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chkpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    delta = (
+        sink.changes(spark, from_version=2)
+        .select("user_id", "event_id")
+        .localCheckpoint(eager=True)
+    )
+    sink.close()
+    _sh.rmtree(chkpt, ignore_errors=True)
+    return delta.orderBy("user_id", "event_id")
+
+
+def q149_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from the event stream:
+    collapse each user's CONSECUTIVE runs of the same event_type into
+    validity intervals (valid_from .. valid_to, open-ended current row)
+    with a version number — the warehouse dimension-history shape. One
+    key window for the change flags + running version, one group-by for
+    the interval bounds, one lead window for valid_to."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    ).withColumn("version", F.sum("chg").over(w))
+    runs = flagged.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),  # constant within a run
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(
+            "user_id",
+            "version",
+            "event_type",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+def q150_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event path analysis (first-order Markov transitions): per-user
+    consecutive event pairs, global transition counts, and the
+    transition probability per source state in exact basis points. One
+    key window + one pair aggregate — the navigation/funnel-exploration
+    query product analytics runs constantly."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wsrc = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("src_total", F.sum("n").over(wsrc))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(n * 10000) div src_total").alias("prob_bp"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def q152_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-vs-interval overlap join (operators/intervals.py): each
+    user's 30-minute-gap sessions against the corpus-wide error hours
+    (hours containing ≥1 error event) — "was the user on the site while
+    something was broken". The operator bucketizes both interval sets to
+    the hour and hash-joins on the bucket (NO BroadcastNestedLoop — the
+    naive inequality-only theta join is O(|A|·|B|)), then re-verifies
+    the exact overlap. Output: per-user session counts + affected share
+    in exact basis points."""
+    from pandas_streaming_spark.operators.intervals import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap on both engines (unix_micros / EPOCH_US): a seconds
+    # cast would truncate and split sessions differently than the oracle
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sessions = (
+        ev.withColumn(
+            "chg",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("chg").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    err_hours = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.date_trunc("hour", "ts").alias("e_start"))
+        .distinct()
+        .withColumn("e_end", F.col("e_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    hit = (
+        interval_overlap_join(
+            sessions, err_hours, "s_start", "s_end", "e_start", "e_end"
+        )
+        .select("user_id", "session_id")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_affected"))
+    )
+    totals = sessions.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
+    return (
+        totals.join(hit, "user_id", "left")
+        .select(
+            "user_id",
+            "n_sessions",
+            F.coalesce("n_affected", F.lit(0)).alias("n_affected"),
+            F.expr("(coalesce(n_affected, 0) * 10000) div n_sessions").alias(
+                "affected_bp"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q153_cume_dist_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two analytic functions the §2.6 family hadn't graded yet:
+    ``cume_dist`` (P(X ≤ x) within the partition) and ratio-to-report
+    (each customer's share of segment revenue — in exact basis points
+    over integer cents, the house float-safe ratio form). One shuffle
+    for the per-customer revenue, one window pass for both analytics."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.withColumn("cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("rev_cents"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    worder = wseg.orderBy("rev_cents", "o_custkey")
+    return rev.select(
+        "c_mktsegment",
+        F.col("o_custkey").alias("custkey"),
+        "rev_cents",
+        F.round(F.cume_dist().over(worder), 4).alias("cume_dist"),
+        F.expr(
+            "(rev_cents * 10000) div sum(rev_cents) over (partition by c_mktsegment)"
+        ).alias("share_bp"),
+    ).orderBy("c_mktsegment", "rev_cents", "custkey")
+
+
+def q154_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous event_id runs per user via the
+    classic ``id − row_number()`` grouping key (consecutive ids share
+    it), summarized per user — the sequence-integrity shape used to
+    detect dropped messages / missing ids in an ingest. One window
+    pass + two aggregations, all integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    islands = (
+        ev.select("user_id", "event_id")
+        .withColumn("grp", F.col("event_id") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min("event_id").alias("run_start"),
+        )
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.max("run_len").alias("longest_run"),
+            F.sum("run_len").alias("n_events"),
+            F.min("run_start").alias("first_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q157_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc — the value ACTUALLY in
+    the data, vs q20's interpolated continuous form): per order status,
+    the smallest value whose cume_dist ≥ p, computed with one window
+    pass shared by all three percentiles. Exact-integer grading via
+    cents."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("cents")
+    ranked = o.select(
+        "o_orderstatus", "cents", F.cume_dist().over(w).alias("cd")
+    )
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(
+            *[
+                F.min(F.when(F.col("cd") >= p, F.col("cents"))).alias(
+                    f"p{int(p * 100):02d}_cents"
+                )
+                for p in (0.25, 0.5, 0.9)
+            ]
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES = {
+    "q143_rollup_reuse": q143_rollup_reuse,
+    "q144_weighted_sample": q144_weighted_sample,
+    "q145_cohort_retention": q145_cohort_retention,
+    "q146_bm25": q146_bm25,
+    "q147_upsert_time_travel": q147_upsert_time_travel,
+    "q148_upsert_changes": q148_upsert_changes,
+    "q149_scd2_history": q149_scd2_history,
+    "q150_path_transitions": q150_path_transitions,
+    "q152_interval_overlap": q152_interval_overlap,
+    "q153_cume_dist_share": q153_cume_dist_share,
+    "q154_gaps_islands": q154_gaps_islands,
+    "q157_percentile_disc": q157_percentile_disc,
+}
+
+ORACLES = {
+    "q143_rollup_reuse": """
+WITH c AS (
+  SELECT ts, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_value,
+       CAST(SUM(cents) * 10000 // COUNT(*) AS BIGINT) AS avg_cents_e4,
+       CAST(MIN(cents) AS DOUBLE) / 100.0 AS min_value,
+       CAST(MAX(cents) AS DOUBLE) / 100.0 AS max_value
+FROM c GROUP BY 1, 2 ORDER BY day, event_type
+""",
+    "q144_weighted_sample": """
+WITH keyed AS (
+  -- the weight<=0 guard mirrors sampling.py (key NULL, ranked last):
+  -- equivalence by construction, not by the fixture never containing
+  -- empty documents (ADVICE r5 item 2)
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN n_chars > 0 THEN POWER(
+           (CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 7))
+                 AS BIGINT) + 1.0) / 268435456.0,
+           1.0 / n_chars) END AS ares_key
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY ares_key DESC NULLS LAST, doc_id) AS rank
+  FROM keyed
+)
+SELECT lang, rank, doc_id, n_chars
+FROM ranked WHERE rank <= 20
+ORDER BY lang, rank
+""",
+    "q145_cohort_retention": """
+WITH cohort AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cw FROM events GROUP BY user_id
+),
+sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM cohort GROUP BY cw),
+active AS (
+  SELECT cw, week_n, COUNT(*) AS n_active FROM (
+    SELECT DISTINCT e.user_id, c.cw,
+           DATE_DIFF('day', c.cw, DATE_TRUNC('week', e.ts)) // 7 AS week_n
+    FROM events e JOIN cohort c ON e.user_id = c.user_id
+  ) GROUP BY cw, week_n
+)
+SELECT STRFTIME(active.cw, '%Y-%m-%d') AS cohort_week, week_n, n_active,
+       cohort_size,
+       CAST(n_active * 10000 // cohort_size AS BIGINT) AS retention_bp
+FROM active JOIN sizes ON active.cw = sizes.cw
+ORDER BY cohort_week, week_n
+""",
+    "q146_bm25": """
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS t(token)
+  WHERE t.token <> ''
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+query AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 5),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+idf AS (
+  SELECT token, LN((nd.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM query, nd
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(idf.idf * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl))) AS score
+  FROM tf JOIN idf ON tf.token = idf.token
+          JOIN dl ON tf.doc_id = dl.doc_id, ad
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, ROUND(score, 4) AS bm25 FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY rank
+""",
+    "q147_upsert_time_travel": """
+WITH prefix AS (
+  SELECT * FROM events
+  WHERE event_id * 5 < 2 * (SELECT COUNT(*) FROM events)
+)
+SELECT user_id, event_type AS last_event_type, ROUND(value, 2) AS last_value
+FROM (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM prefix
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+    "q148_upsert_changes": """
+WITH pre AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE event_id * 5 < 2 * (SELECT COUNT(*) FROM events)
+),
+v2 AS (SELECT user_id, event_id FROM pre WHERE rn = 1),
+fin AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+v5 AS (SELECT user_id, event_id FROM fin WHERE rn = 1)
+SELECT user_id, event_id FROM v5
+EXCEPT
+SELECT user_id, event_id FROM v2
+ORDER BY user_id, event_id
+""",
+    "q149_scd2_history": """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versioned AS (
+  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS BIGINT) AS version
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, version, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, version, event_type,
+       STRFTIME(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       STRFTIME(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       n_events
+FROM runs
+ORDER BY user_id, version
+""",
+    "q150_path_transitions": """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS prob_bp
+FROM counts
+ORDER BY from_type, to_type
+""",
+    "q152_interval_overlap": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM (
+    SELECT user_id, ts,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS session_id
+    FROM flagged
+  ) GROUP BY user_id, session_id
+),
+eh AS (
+  SELECT DISTINCT DATE_TRUNC('hour', ts) AS e_start,
+         DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS e_end
+  FROM events WHERE event_type = 'error'
+),
+hit AS (
+  SELECT user_id AS hit_user, COUNT(*) AS n_affected FROM (
+    SELECT DISTINCT s.user_id, s.session_id
+    FROM sess s JOIN eh ON s.s_start <= eh.e_end AND eh.e_start <= s.s_end
+  ) GROUP BY user_id
+),
+tot AS (SELECT user_id, COUNT(*) AS n_sessions FROM sess GROUP BY user_id)
+SELECT tot.user_id, n_sessions,
+       COALESCE(n_affected, 0) AS n_affected,
+       CAST(COALESCE(n_affected, 0) * 10000 // n_sessions AS BIGINT)
+         AS affected_bp
+FROM tot LEFT JOIN hit ON tot.user_id = hit.hit_user
+ORDER BY user_id
+""",
+    "q153_cume_dist_share": """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT c_mktsegment, o_custkey AS custkey, rev_cents
+  FROM rev JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, custkey, rev_cents,
+       ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                               ORDER BY rev_cents, custkey), 4) AS cume_dist,
+       CAST(rev_cents * 10000 //
+            SUM(rev_cents) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+         AS share_bp
+FROM seg
+ORDER BY c_mktsegment, rev_cents, custkey
+""",
+    "q154_gaps_islands": """
+WITH islands AS (
+  SELECT user_id,
+         event_id - ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS grp,
+         event_id
+  FROM events
+),
+runs AS (
+  SELECT user_id, grp, COUNT(*) AS run_len, MIN(event_id) AS run_start
+  FROM islands GROUP BY user_id, grp
+)
+SELECT user_id, COUNT(*) AS n_islands,
+       CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       CAST(SUM(run_len) AS BIGINT) AS n_events,
+       CAST(MIN(run_start) AS BIGINT) AS first_id
+FROM runs GROUP BY user_id ORDER BY user_id
+""",
+    "q157_percentile_disc": """
+WITH c AS (
+  SELECT o_orderstatus, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderstatus,
+       QUANTILE_DISC(cents, 0.25) AS p25_cents,
+       QUANTILE_DISC(cents, 0.50) AS p50_cents,
+       QUANTILE_DISC(cents, 0.90) AS p90_cents
+FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+}

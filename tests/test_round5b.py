@@ -89,6 +89,7 @@ def test_weighted_sample_prefers_heavy_weights(spark):
 def test_stream_full_outer_split_invariance(spark, sf_dir, k):
     """q142's full-outer interval join must converge to the batch FULL
     OUTER join for any micro-batch split (q142 grades k=5 vs duckdb)."""
+    import pandas_streaming_spark.queries.stream_upsert_q as su
     import pandas_streaming_spark.queries.streaming_q as sq
 
     orig = sq.K_BATCHES
@@ -150,13 +151,14 @@ def test_stream_full_outer_split_invariance(spark, sf_dir, k):
 def test_streaming_rollup_view_split_invariance(spark, sf_dir, k):
     """q151's materialized view must equal the batch rollup for any
     split (q151 grades k=5 vs duckdb)."""
+    import pandas_streaming_spark.queries.stream_upsert_q as su
     import pandas_streaming_spark.queries.streaming_q as sq
 
     orig = sq.K_BATCHES
     sq.K_BATCHES = k
     try:
         got = sorted(
-            map(tuple, sq.q151_streaming_rollup_view(spark, sf_dir).collect())
+            map(tuple, su.q151_streaming_rollup_view(spark, sf_dir).collect())
         )
     finally:
         sq.K_BATCHES = orig

@@ -10,20 +10,29 @@ import pytest
 from pyspark.sql import functions as F
 
 from pandas_streaming_spark.compare import compare_frames, duckdb_connect, normalize
-from pandas_streaming_spark.queries import streaming_q
+from pandas_streaming_spark.queries import kafka_q, stream_upsert_q, streaming_q
 from pandas_streaming_spark.streaming.replay import (
     replay_events,
     run_stream_to_final,
     write_replay_batches,
 )
 
+# the round-6 module split moved the kafka-contract and MERGE-sink
+# queries into sibling modules; this file still covers the whole family
+_STREAM_QUERIES = {
+    **streaming_q.QUERIES, **kafka_q.QUERIES, **stream_upsert_q.QUERIES,
+}
+_STREAM_ORACLES = {
+    **streaming_q.ORACLES, **kafka_q.ORACLES, **stream_upsert_q.ORACLES,
+}
 
-@pytest.mark.parametrize("name", sorted(streaming_q.QUERIES))
+
+@pytest.mark.parametrize("name", sorted(_STREAM_QUERIES))
 def test_stream_final_state_matches_batch_oracle(spark, sf_dir, name):
-    spark_pdf = streaming_q.QUERIES[name](spark, sf_dir).toPandas()
+    spark_pdf = _STREAM_QUERIES[name](spark, sf_dir).toPandas()
     con = duckdb_connect(sf_dir)
     try:
-        oracle_pdf = con.execute(streaming_q.ORACLES[name]).df()
+        oracle_pdf = con.execute(_STREAM_ORACLES[name]).df()
     finally:
         con.close()
     res = compare_frames(name, spark_pdf, oracle_pdf)
