@@ -110,6 +110,10 @@ def main() -> None:
         "q149_scd2_history",         # SCD2 run-collapse windows
         "q150_path_transitions",     # Markov transition matrix
         "q152_interval_overlap",     # bucketized interval-overlap join
+        "q159_asof_event_join",      # bucketed as-of vs native ASOF oracle
+        "q161_zorder_skipping",      # Morton layout + 2-dim stats pruning
+        "q163_bitmap_distinct",      # exact mergeable-bitmap distinct
+        "q165_chained_stateful",     # stream join -> window, 2 state stores
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:
@@ -206,11 +210,11 @@ def main() -> None:
             # same five triggers shows the throughput the state machinery
             # actually sustains once that floor amortizes.
             try:
-                import pyarrow.parquet as pq2
-
-                n10 = pq2.read_metadata(
+                # the scaled copy is a spark-written parquet DIRECTORY;
+                # count via a scan (footer-only, no data read)
+                n10 = spark.read.parquet(
                     os.path.join(scaled_dir, "events.parquet")
-                ).num_rows
+                ).count()
                 from pandas_streaming_spark.queries.streaming_q import (
                     q43_stream_tumbling as q43s,
                 )
@@ -324,6 +328,12 @@ def main() -> None:
                         "Exchange hashpartitioning(o_orderkey" not in plan
                         and "Exchange hashpartitioning(l_orderkey" not in plan
                     )
+                    # same protocol for BOTH paths (warm + timed) — the
+                    # headline times100 number stays the cold record
+                    q04(spark, dir100).collect()
+                    t0 = time.perf_counter()
+                    q04(spark, dir100).collect()
+                    default_warm_sec = round(time.perf_counter() - t0, 4)
                     was = set_scale_layout(False)
                     try:
                         q04(spark, dir100).collect()  # warm plain listings
@@ -333,7 +343,8 @@ def main() -> None:
                     finally:
                         set_scale_layout(was)
                     result["scaled100"]["bucketed"] = {
-                        "q04_default_bucketed_sec": times100[
+                        "q04_default_bucketed_sec": default_warm_sec,
+                        "q04_default_cold_sec": times100[
                             "q04_star_join_revenue"
                         ],
                         "q04_plain_sec": plain_sec,

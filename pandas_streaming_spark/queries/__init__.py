@@ -219,6 +219,13 @@ _EXTRAS = [
     "q156_hll_set_ops",
     "q157_percentile_disc",
     "q158_stream_cms",
+    "q159_asof_event_join",
+    "q160_hll_native_audit",
+    "q161_zorder_skipping",
+    "q162_variant_json",
+    "q163_bitmap_distinct",
+    "q164_try_arithmetic",
+    "q165_chained_stateful",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -442,7 +442,50 @@ def q156_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q160_hll_native_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE DataSketches HLL surface (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate) under the q64/q118
+    error-contract gate — complements q141's engine-exact md5 HLL by
+    exercising the built-in sketch the 100 TB path would actually use.
+    Per event_type: exact distinct-user anchor + whether the default
+    lgConfigK=12 estimate landed within 5% of exact; plus a TOTAL row
+    whose estimate comes from hll_union_agg over the per-type sketches —
+    the mergeability property (partial sketches union-ed to the global
+    answer) is exactly what map-side combine relies on at scale. A
+    serde or merge bug flips a boolean instead of grading green."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    rows = per.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("est_ok"),
+    )
+    total_exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    union_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u_est")
+    )
+    total = (
+        total_exact.crossJoin(F.broadcast(union_est))  # two 1-row frames
+        .select(
+            F.lit("TOTAL").alias("event_type"),
+            "exact_users",
+            (
+                F.abs(F.col("u_est") - F.col("exact_users"))
+                <= F.lit(0.05) * F.col("exact_users")
+            ).alias("est_ok"),
+        )
+    )
+    return rows.unionByName(total).orderBy("event_type")
+
+
 QUERIES = {
+    "q160_hll_native_audit": q160_hll_native_audit,
     "q130_regression_stats": q130_regression_stats,
     "q131_mode_bitagg": q131_mode_bitagg,
     "q132_sorted_collect": q132_sorted_collect,
@@ -589,6 +632,13 @@ FROM {prev} ORDER BY rank_e6 DESC, node
 
 
 ORACLES = {
+    "q160_hll_native_audit": """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS est_ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'TOTAL', COUNT(DISTINCT user_id), TRUE FROM events
+ORDER BY event_type
+""",
     "q130_regression_stats": """
 SELECT l_returnflag,
        ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 2) AS slope,

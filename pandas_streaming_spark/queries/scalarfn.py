@@ -198,7 +198,72 @@ def q67_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q162_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured path (parse_json /
+    variant_get) — the schema-on-read twin of q36's typed from_json:
+    props parses to an open VARIANT once, fields are extracted with
+    typed paths at query time (both JVM-side, no Python). At corpus
+    scale this is the pattern for heterogeneous metadata columns where
+    a fixed struct schema would churn. duckdb oracle re-derives the
+    same fields with its JSON extraction."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.parse_json("props").alias("p"),
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("p"), "$.k", "int").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q164_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* arithmetic (§2.8 error-handling family):
+    ``try_divide`` nulls division-by-zero instead of aborting the job
+    (this session runs ANSI mode, so plain ``/`` on a zero denominator
+    is a hard error at 100 TB — on row 3 billion), ``try_add`` nulls
+    int64 overflow, ``try_to_number`` nulls unparseable strings. Counts
+    and guarded aggregates per event_type; the duckdb oracle re-derives
+    every null with explicit CASE guards, so the try-semantics are
+    graded, not just exercised."""
+    e = _t(spark, sf_dir, "events")
+    den = (F.col("user_id") % 5).cast("long")
+    big = F.lit(9223372036854775807).cast("long")
+    parsed = F.try_to_number(
+        F.regexp_extract("props", r'"k": (\d+)', 1), F.lit("99999")
+    )
+    t = e.select(
+        "event_type",
+        F.try_divide(F.col("value"), den).alias("ratio"),
+        F.try_add(big, F.when(F.col("user_id") > 0, F.col("user_id"))
+                  .otherwise(F.lit(0))).alias("ov"),
+        parsed.alias("k_num"),
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.count("*") - F.count("ratio")).cast("long").alias("n_div_null"),
+            (F.count("*") - F.count("ov")).cast("long").alias("n_overflow"),
+            F.round(F.sum("ratio"), 2).alias("sum_ratio"),
+            F.sum("k_num").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "q164_try_arithmetic": q164_try_arithmetic,
+    "q162_variant_json": q162_variant_json,
     "q31_string_fns": q31_string_fns,
     "q32_like_case": q32_like_case,
     "q33_date_fns": q33_date_fns,
@@ -212,6 +277,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q164_try_arithmetic": """
+WITH t AS (
+  SELECT event_type,
+         CASE WHEN user_id % 5 = 0 THEN NULL
+              ELSE value / (user_id % 5) END AS ratio,
+         CASE WHEN user_id > 0 THEN NULL
+              ELSE 9223372036854775807 END AS ov,
+         CAST(REGEXP_EXTRACT(props, '"k": (\d+)', 1) AS BIGINT) AS k_num
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(COUNT(*) - COUNT(ratio) AS BIGINT) AS n_div_null,
+       CAST(COUNT(*) - COUNT(ov) AS BIGINT) AS n_overflow,
+       ROUND(SUM(ratio), 2) AS sum_ratio,
+       CAST(SUM(k_num) AS BIGINT) AS sum_k
+FROM t
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "q162_variant_json": """
+SELECT event_type,
+       COUNT(CAST(JSON_EXTRACT(props, '$.k') AS INTEGER)) AS n_with_k,
+       MIN(CAST(JSON_EXTRACT(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(JSON_EXTRACT(props, '$.k') AS INTEGER)) AS max_k,
+       CAST(SUM(CAST(JSON_EXTRACT(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
     "q31_string_fns": """
 SELECT p_partkey,
        UPPER(p_name) AS up_name,

@@ -1,7 +1,9 @@
-"""Streaming MERGE-sink queries split out of `streaming_q` (round 6,
+"""Advanced streaming composition split out of `streaming_q` (round 6,
 VERDICT r5 item 8): the events replay driving the KeyedUpsertSink —
 idempotent per-key upserts graded against the batch latest-row
-oracle, and the continuously-maintained rollup view.
+oracle, the continuously-maintained rollup view — and the chained
+multi-stateful pipeline (stream-stream join feeding a windowed
+aggregation inside ONE streaming query).
 
 Same house rules and oracle discipline as the parent module.
 """
@@ -110,7 +112,58 @@ def q151_streaming_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour", "event_type")
 
 
+def q165_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 4 /
+    SPARK-42376): an event-time stream-stream interval join (purchases
+    x preceding clicks within 1 h) feeds a tumbling-window aggregation
+    downstream — two state stores in one pipeline, the shape earlier
+    engines forced into two jobs with an intermediate sink. Both
+    operators evict on the propagated watermark; the far-future flush
+    sentinel closes the final windows so the bounded replay emits its
+    tail. Purchase values are integer cents before the join so sums
+    grade exactly. Oracle: the batch interval join + hourly rollup."""
+    from pandas_streaming_spark.streaming.joins import interval_join
+    from pandas_streaming_spark.streaming.replay import (
+        replay_events as _re,
+        run_stream_to_df as _run,
+    )
+
+    replay_dir = write_replay_batches(spark, sf_dir, _sq.K_BATCHES, sentinel=True)
+    pur = _re(spark, sf_dir, replay_dir).filter(
+        F.col("event_type") == "purchase"
+    ).withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+    clk = _re(spark, sf_dir, replay_dir).filter(F.col("event_type") == "click")
+    joined = interval_join(
+        pur, clk, key="user_id", left_time="ts", right_time="ts",
+        lookback="1 HOUR", watermark="2 hours", how="inner",
+    )
+    # the sentinel PAIR must flow THROUGH the aggregation (emission of
+    # the tail windows rides the batch that carries it); its far-future
+    # window is dropped afterwards against a threshold derived from the
+    # real data, not a hardcoded fixture date
+    agg = joined.groupBy(F.window(F.col("l.__lt"), "1 hour").alias("w")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("l.cents").cast("long").alias("sum_cents"),
+    )
+    out = _run(spark, agg, "append", state_partitions=_sq.STATE_PARTITIONS)
+    from pandas_streaming_spark.catalog import load_table as _lt
+
+    max_real = _lt(spark, sf_dir, "events").agg(F.max("ts").alias("m"))
+    return (
+        out.join(F.broadcast(max_real))
+        .filter(F.col("w.start") <= F.col("m"))  # sentinel is +365d
+        .drop("m")
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("w_start"),
+            "n_pairs",
+            "sum_cents",
+        )
+        .orderBy("w_start")
+    )
+
+
 QUERIES = {
+    "q165_chained_stateful": q165_chained_stateful,
     "q140_upsert_sink": q140_upsert_sink,
     "q151_streaming_rollup_view": q151_streaming_rollup_view,
 }
@@ -139,4 +192,23 @@ SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
        COUNT(*) AS n,
        CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_value
 FROM c GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+ORACLES["q165_chained_stateful"] = """
+WITH p AS (
+  SELECT user_id, ts, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.ts, p.cents
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+)
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS w_start,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM j GROUP BY 1 ORDER BY w_start
 """

@@ -215,7 +215,59 @@ def q129_resample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q159_asof_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-bucketed as-of join graded against duckdb's NATIVE
+    ``ASOF JOIN`` — an independent engine's implementation of the same
+    semantics, a strictly stronger oracle than the mirrored union+window
+    SQL q11 uses. For each click event: the same user's latest purchase
+    at-or-before it (backward, 1-hour tolerance) and earliest purchase
+    at-or-after it (forward), both through
+    ``operators/asof.asof_join_bucketed`` (6-hour buckets: ~120 buckets
+    x ~1.5k users of parallelism — the 100 TB plan shape). The purchase
+    side is pre-collapsed to unique (user, ts) via ``max_by(event_id)``
+    so tie-breaks are engine-independent, and fills are graded in
+    integer cents so cross-engine float-sum order cannot flip a digit.
+    """
+    from pandas_streaming_spark.operators.asof import asof_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(
+            F.round(F.max_by("value", "event_id") * 100, 0)
+            .cast("long")
+            .alias("pv_cents")
+        )
+    )
+    bw = asof_join_bucketed(
+        clicks, pur, key="user_id", left_time="ts", right_time="pts",
+        value_cols=["pv_cents"], bucket_seconds=21600.0,
+        direction="backward", tolerance=3600.0,
+    )
+    fw = asof_join_bucketed(
+        clicks, pur.withColumnRenamed("pv_cents", "fv_cents"),
+        key="user_id", left_time="ts", right_time="pts",
+        value_cols=["fv_cents"], bucket_seconds=21600.0,
+        direction="forward",
+    )
+    agg_b = bw.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.count("pv_cents").alias("n_bw"),
+        F.coalesce(F.sum("pv_cents"), F.lit(0)).cast("long").alias("sum_bw_cents"),
+    )
+    agg_f = fw.groupBy("user_id").agg(
+        F.count("fv_cents").alias("n_fw"),
+        F.coalesce(F.sum("fv_cents"), F.lit(0)).cast("long").alias("sum_fw_cents"),
+    )
+    return agg_b.join(agg_f, "user_id").orderBy("user_id")
+
+
 QUERIES = {
+    "q159_asof_event_join": q159_asof_event_join,
     "q112_percentile_bins": q112_percentile_bins,
     "q116_group_quantiles": q116_group_quantiles,
     "q118_approx_quantile_audit": q118_approx_quantile_audit,
@@ -227,6 +279,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q159_asof_event_join": """
+WITH c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts AS pts,
+         CAST(ROUND(MAX_BY(value, event_id) * 100, 0) AS BIGINT) AS pv_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+),
+bw AS (
+  SELECT c.user_id, c.event_id,
+         CASE WHEN c.ts - p.pts <= INTERVAL 3600 SECONDS
+              THEN p.pv_cents END AS pv
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
+),
+fw AS (
+  SELECT c.user_id, c.event_id, p.pv_cents AS fv
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.pts
+)
+SELECT b.user_id,
+       COUNT(*) AS n_clicks,
+       COUNT(b.pv) AS n_bw,
+       CAST(COALESCE(SUM(b.pv), 0) AS BIGINT) AS sum_bw_cents,
+       COUNT(f.fv) AS n_fw,
+       CAST(COALESCE(SUM(f.fv), 0) AS BIGINT) AS sum_fw_cents
+FROM bw b JOIN fw f ON b.user_id = f.user_id AND b.event_id = f.event_id
+GROUP BY b.user_id
+ORDER BY b.user_id
+""",
     "q112_percentile_bins": """
 WITH b AS (
   SELECT QUANTILE_CONT(n_chars, 0.25) AS p25,
