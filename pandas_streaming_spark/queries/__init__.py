@@ -226,6 +226,10 @@ _EXTRAS = [
     "q163_bitmap_distinct",
     "q164_try_arithmetic",
     "q165_chained_stateful",
+    "q166_recursive_session",
+    "q167_lateral_topk",
+    "q168_null_safe_join",
+    "q169_from_csv",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -427,7 +427,52 @@ def q105_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q166_recursive_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0 WITH RECURSIVE) — linked-list
+    sessionization as transitive closure: a window pass precomputes each
+    purchase's predecessor link, session heads (gap > 30 min) anchor the
+    recursion, and the recursive term walks the unique prev_id linkage,
+    carrying the head's timestamp as the session id. Exactly the
+    gaps-and-islands result (q105/q154 compute it with one running-max
+    window), derived through the engine's iterative-plan machinery
+    instead — duckdb runs the SAME recursive SQL as the oracle, so the
+    recursion semantics (anchor + UNION ALL fixpoint) are what's graded.
+    Recursion depth = max session length, not data size. Gaps compare on
+    unix_micros (exact int64 on both engines)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("__ev_q166")
+    return spark.sql("""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, ts,
+         LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_id,
+         unix_micros(ts) - LAG(unix_micros(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM __ev_q166 WHERE event_type = 'purchase'
+),
+chain AS (
+  SELECT user_id, event_id, ts AS session_start
+  FROM base WHERE prev_id IS NULL OR gap_us > 1800000000
+  UNION ALL
+  SELECT b.user_id, b.event_id, c.session_start
+  FROM base b JOIN chain c
+    ON b.prev_id = c.event_id AND b.gap_us <= 1800000000
+),
+sess AS (
+  SELECT user_id, session_start, COUNT(*) AS n
+  FROM chain GROUP BY user_id, session_start
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_purchases,
+       CAST(MAX(n) AS BIGINT) AS max_session
+FROM sess
+GROUP BY user_id
+ORDER BY user_id
+""")
+
+
 QUERIES = {
+    "q166_recursive_session": q166_recursive_session,
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,
     "q16_cube": q16_cube,
@@ -456,6 +501,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q166_recursive_session": """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, ts,
+         LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_id,
+         EPOCH_US(ts) - LAG(EPOCH_US(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events WHERE event_type = 'purchase'
+),
+chain AS (
+  SELECT user_id, event_id, ts AS session_start
+  FROM base WHERE prev_id IS NULL OR gap_us > 1800000000
+  UNION ALL
+  SELECT b.user_id, b.event_id, c.session_start
+  FROM base b JOIN chain c
+    ON b.prev_id = c.event_id AND b.gap_us <= 1800000000
+),
+sess AS (
+  SELECT user_id, session_start, COUNT(*) AS n
+  FROM chain GROUP BY user_id, session_start
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_purchases,
+       CAST(MAX(n) AS BIGINT) AS max_session
+FROM sess
+GROUP BY user_id
+ORDER BY user_id
+""",
     "q14_count_distinct": """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type

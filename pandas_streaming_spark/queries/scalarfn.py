@@ -261,7 +261,86 @@ def q164_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q167_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (§2.6/§3 decorrelation surface beyond
+    q68/q69's scalar+EXISTS): per nation, its top-2 customers by account
+    balance via ``LATERAL (... ORDER BY ... LIMIT 2)`` — the per-row
+    dependent subquery Catalyst decorrelates into a ranked join rather
+    than executing N times. duckdb runs the same LATERAL SQL."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__n_q167")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__c_q167")
+    return spark.sql("""
+SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS acctbal
+FROM __n_q167 n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM __c_q167
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+ORDER BY n.n_name, acctbal DESC, t.c_name
+""")
+
+
+def q168_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) — a
+    distinct join-semantics surface the plain family (q03–q10) never
+    exercises: rows whose join key is NULL pair with each other instead
+    of vanishing. The nullable key is the JSON props field (absent on a
+    fraction of events); a per-key dim of counts joins back null-safely,
+    so the NULL-key group must survive with its dim count attached —
+    under a plain equi-join those rows would drop and the oracle
+    (IS NOT DISTINCT FROM) would mismatch."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    dim = e.groupBy(F.col("k").alias("dk")).agg(F.count("*").alias("k_count"))
+    joined = e.join(dim, F.col("k").eqNullSafe(F.col("dk")), "inner")
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("k_count").cast("long").alias("k_count"),
+        )
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+def q169_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-string parsing (``from_csv`` — the §2.1 text-format surface
+    as a column expression, the way log lines arrive off a queue): a
+    deterministic CSV line is rendered from the order columns, then
+    parsed BACK through from_csv's schema'd reader, and the parsed
+    fields — not the originals — feed the aggregate. A quoting/splitting
+    bug breaks the roundtrip; the oracle computes from the raw columns
+    directly."""
+    o = _t(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),  # contains '-', no commas: safe unquoted
+        F.round(F.col("o_totalprice"), 2),
+    )
+    parsed = o.select(
+        F.from_csv(
+            line, F.lit("okey BIGINT, prio STRING, price DOUBLE")
+        ).alias("c")
+    ).select("c.*")
+    return (
+        parsed.groupBy("prio")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("okey").alias("max_key"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("prio")
+    )
+
+
 QUERIES = {
+    "q169_from_csv": q169_from_csv,
+    "q168_null_safe_join": q168_null_safe_join,
+    "q167_lateral_topk": q167_lateral_topk,
     "q164_try_arithmetic": q164_try_arithmetic,
     "q162_variant_json": q162_variant_json,
     "q31_string_fns": q31_string_fns,
@@ -277,6 +356,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q169_from_csv": """
+SELECT o_orderpriority AS prio, COUNT(*) AS n, MAX(o_orderkey) AS max_key,
+       ROUND(SUM(ROUND(o_totalprice, 2)), 2) AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY prio
+""",
+    "q168_null_safe_join": """
+WITH e AS (
+  SELECT event_id, CAST(JSON_EXTRACT(props, '$.k') AS INTEGER) AS k
+  FROM events
+),
+dim AS (
+  SELECT k, COUNT(*) AS k_count FROM e GROUP BY k
+)
+SELECT e.k, COUNT(*) AS n_rows, CAST(MAX(dim.k_count) AS BIGINT) AS k_count
+FROM e JOIN dim ON e.k IS NOT DISTINCT FROM dim.k
+GROUP BY e.k
+ORDER BY e.k ASC NULLS FIRST
+""",
+    "q167_lateral_topk": """
+SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+ORDER BY n.n_name, acctbal DESC, t.c_name
+""",
     "q164_try_arithmetic": """
 WITH t AS (
   SELECT event_type,
