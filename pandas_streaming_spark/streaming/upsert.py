@@ -210,6 +210,55 @@ class KeyedUpsertSink:
         older = self.read(spark, version=from_version)
         return newer.exceptAll(older)
 
+    def compact(self, spark: SparkSession) -> tuple[int, int]:
+        """OPTIMIZE-style small-file compaction (the Delta ``OPTIMIZE`` /
+        Iceberg rewrite_data_files maintenance op): rewrite the CURRENT
+        snapshot with one fresh directory — and one file — per bucket,
+        committed as a new version. A maintenance commit: the batch-id
+        fence is unchanged (re-delivered stream batches are still
+        skipped), pre-compaction versions remain time-travelable (their
+        manifests and directories are untouched until vacuum), and the
+        snapshot is bit-identical by construction (same rows, new
+        layout). Every micro-batch merge writes its dirty buckets with
+        the session's task parallelism, so long-running streams
+        accumulate files; compaction restores O(num_buckets) files per
+        snapshot. Returns (files_before, files_after)."""
+        import glob as _glob
+
+        head = self._read_head()
+        if head["version"] < 1:
+            return (0, 0)
+        manifest = self._load_manifest(head["version"])
+
+        def _nfiles(m: dict) -> int:
+            return sum(
+                len(_glob.glob(os.path.join(p, "*.parquet")))
+                for p in set(m.values())
+            )
+
+        before = _nfiles(manifest)
+        version = head["version"] + 1
+        out_dir = os.path.join(
+            self.base_dir, f"v{version:06d}-compact-{uuid.uuid4().hex[:8]}"
+        )
+        (
+            self.read(spark)
+            .withColumn("__bucket", self._bucket())
+            # each bucket id hashes to exactly one partition, so every
+            # bucket directory gets exactly one file (bucket collisions
+            # only mean one task writes two directories)
+            .repartition(self.num_buckets, "__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_manifest = {
+            os.path.basename(d).split("=", 1)[1]: d
+            for d in _glob.glob(os.path.join(out_dir, "__bucket=*"))
+        }
+        self._commit_version(head, head["batch_id"], new_manifest)
+        return (before, _nfiles(new_manifest))
+
     def vacuum(self, keep_last: int = 1) -> int:
         """Drop manifests and bucket directories unreferenced by the
         ``keep_last`` most recent versions; returns the number of

@@ -218,3 +218,37 @@ def test_upsert_vacuum_bucket_granular_and_guard(spark):
     assert all(_os.path.exists(p) for p in live)
     assert {r["v"] for r in sink.read(spark).collect()} == {"a2", "b"}
     sink.close()
+
+
+def test_upsert_compact_preserves_snapshot_and_history(spark):
+    """compact() is a pure maintenance commit: identical snapshot, one
+    file per bucket afterwards, pre-compaction versions still
+    time-travelable, stream batch-id fence unchanged, and vacuum after
+    compaction reclaims the old fragmented directories."""
+    import os as _os
+
+    sink = KeyedUpsertSink(_fresh_dir("upsert-cpt"), ["k"], ["seq"], num_buckets=2)
+    for i in range(4):
+        sink(
+            spark.createDataFrame(
+                [(j, i, f"b{i}r{j}") for j in range(6)], "k long, seq long, v string"
+            ),
+            i,
+        )
+    pre = sorted(map(tuple, sink.read(spark).collect()))
+    v_pre = sink.versions()[-1]
+    before, after = sink.compact(spark)
+    assert after <= sink.num_buckets and before >= after
+    assert sorted(map(tuple, sink.read(spark).collect())) == pre
+    # maintenance commit: new version, same batch fence
+    assert sink.versions()[-1] == v_pre + 1
+    assert sink._read_head()["batch_id"] == 3
+    # re-delivery of the last stream batch is still skipped
+    sink(spark.createDataFrame([(0, 99, "dup")], "k long, seq long, v string"), 3)
+    assert sorted(map(tuple, sink.read(spark).collect())) == pre
+    # time travel to the pre-compaction version still works
+    assert sorted(map(tuple, sink.read(spark, version=v_pre).collect())) == pre
+    removed = sink.vacuum(keep_last=1)
+    assert removed > 0
+    assert sorted(map(tuple, sink.read(spark).collect())) == pre
+    sink.close()
