@@ -230,6 +230,9 @@ _EXTRAS = [
     "q167_lateral_topk",
     "q168_null_safe_join",
     "q169_from_csv",
+    "q170_arrow_udf",
+    "q171_interval_arithmetic",
+    "q172_from_xml",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

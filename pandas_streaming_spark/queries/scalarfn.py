@@ -337,7 +337,57 @@ def q169_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q171_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar INTERVAL arithmetic (§2.8 date family beyond q33/q34):
+    due date = order date + 1 MONTH (calendar month, with month-END
+    CLAMPING — Jan 31 + 1 month = Feb 29 in a leap year) + 10 days
+    grace. The day-span histogram between order and due dates (28–41
+    days, shaped entirely by clamping) is what's graded — both engines
+    must clamp identically on every month-length transition in the
+    7-year order range."""
+    o = _t(spark, sf_dir, "orders")
+    due = F.col("o_orderdate") + F.expr("INTERVAL 1 MONTH") + F.expr(
+        "INTERVAL 10 DAYS"
+    )
+    t = o.select(F.datediff(due, F.col("o_orderdate")).alias("span_days"))
+    return (
+        t.groupBy("span_days")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("span_days")
+    )
+
+
+def q172_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML parsing (``from_xml``, Spark 4 §2.1/§2.8 format surface): a
+    deterministic XML document is rendered from order fields, parsed
+    BACK through from_xml's schema'd reader, and only the parsed fields
+    feed the aggregate — an escaping or structure bug breaks the
+    roundtrip. The oracle computes from the raw columns (duckdb has no
+    XML reader; the roundtrip construction makes the grade independent
+    of one)."""
+    o = _t(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey"), F.lit("</k><p>"),
+        F.col("o_orderpriority"), F.lit("</p><t>"),
+        F.round(F.col("o_totalprice"), 2), F.lit("</t></o>"),
+    )
+    parsed = o.select(
+        F.from_xml(xml, F.lit("k BIGINT, p STRING, t DOUBLE")).alias("x")
+    ).select("x.*")
+    return (
+        parsed.groupBy("p")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("k").alias("max_key"),
+            F.round(F.sum("t"), 2).alias("sum_total"),
+        )
+        .orderBy("p")
+    )
+
+
 QUERIES = {
+    "q172_from_xml": q172_from_xml,
+    "q171_interval_arithmetic": q171_interval_arithmetic,
     "q169_from_csv": q169_from_csv,
     "q168_null_safe_join": q168_null_safe_join,
     "q167_lateral_topk": q167_lateral_topk,
@@ -356,6 +406,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q172_from_xml": """
+SELECT o_orderpriority AS p, COUNT(*) AS n, MAX(o_orderkey) AS max_key,
+       ROUND(SUM(ROUND(o_totalprice, 2)), 2) AS sum_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY p
+""",
+    "q171_interval_arithmetic": """
+WITH t AS (
+  SELECT DATE_DIFF('day', o_orderdate,
+                   o_orderdate + INTERVAL 1 MONTH + INTERVAL 10 DAY)
+    AS span_days
+  FROM orders
+)
+SELECT CAST(span_days AS INTEGER) AS span_days, COUNT(*) AS n_orders
+FROM t GROUP BY 1 ORDER BY span_days
+""",
     "q169_from_csv": """
 SELECT o_orderpriority AS prio, COUNT(*) AS n, MAX(o_orderkey) AS max_key,
        ROUND(SUM(ROUND(o_totalprice, 2)), 2) AS sum_price

@@ -120,7 +120,37 @@ def q120_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q170_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED Python UDF (Spark 4 ``udf(useArrow=True)``) — the
+    third Python-extension flavor under the gate (q63 covers pandas_udf,
+    q61/q62 the grouped forms): per-row Python with Arrow-batch
+    transfer instead of pickled rows. Counts alphanumeric characters of
+    the event's type+props payload; the oracle re-derives the count with
+    a regex in SQL, so the Arrow boundary must preserve string semantics
+    (including NULL props) exactly."""
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def alnum_count(s: str) -> int:
+        return sum(ch.isalnum() for ch in s) if s else 0
+
+    e = _t(spark, sf_dir, "events")
+    payload = F.concat_ws("|", F.col("event_type"), F.col("props"))
+    return (
+        e.select("event_type", alnum_count(payload).alias("n_alnum"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_alnum").cast("long").alias("sum_alnum"),
+            F.min("n_alnum").cast("long").alias("min_alnum"),
+            F.max("n_alnum").cast("long").alias("max_alnum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "q170_arrow_udf": q170_arrow_udf,
     "q61_udaf_geomean": q61_udaf_geomean,
     "q62_grouped_map_zscore": q62_grouped_map_zscore,
     "q63_vectorized_sigmoid": q63_vectorized_sigmoid,
@@ -129,6 +159,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q170_arrow_udf": """
+WITH t AS (
+  SELECT event_type,
+         LENGTH(REGEXP_REPLACE(
+           CONCAT_WS('|', event_type, props), '[^a-zA-Z0-9]', '', 'g'
+         )) AS n_alnum
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(n_alnum) AS BIGINT) AS sum_alnum,
+       CAST(MIN(n_alnum) AS BIGINT) AS min_alnum,
+       CAST(MAX(n_alnum) AS BIGINT) AS max_alnum
+FROM t GROUP BY event_type ORDER BY event_type
+""",
     "q61_udaf_geomean": """
 SELECT event_type,
        -- CASE, not FILTER: duckdb evaluates LN(value) eagerly per row,
