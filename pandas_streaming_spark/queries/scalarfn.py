@@ -234,12 +234,28 @@ def q164_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 overflow, ``try_to_number`` nulls unparseable strings. Counts
     and guarded aggregates per event_type; the duckdb oracle re-derives
     every null with explicit CASE guards, so the try-semantics are
-    graded, not just exercised."""
+    graded, not just exercised.
+
+    Scale note, measured the hard way: TRY evaluation is
+    exception-BASED on its failure path — a thrown-and-caught JVM
+    exception per failing row. With overflow on EVERY row the 100x
+    probe read 30x growth (~10 us/row); with the realistic shape —
+    guards against RARE poison rows (~0.1 % here) — the same query is
+    scan-bound. try_* is armor for the odd bad record, not a vectorized
+    branch; if the common case fails, restructure the expression."""
     e = _t(spark, sf_dir, "events")
     den = (F.col("user_id") % 5).cast("long")
-    big = F.lit(9223372036854775807).cast("long")
+    # overflow only the ~0.1% "poison" rows (event_id % 997 == 0 hits
+    # at every SF; user_id-keyed predicates miss the small fixtures)
+    big = F.when(F.pmod(F.col("event_id"), F.lit(997)) == 0,
+                 F.lit(9223372036854775807)).otherwise(F.lit(0)).cast("long")
+    # NULLIF the no-match empty string first: try_to_number('') takes the
+    # per-row exception path internally (measured 30x growth at 100x —
+    # 98s for 10M rows); try_to_number(NULL) is the fast path and the
+    # TRY semantics under grade are unchanged
     parsed = F.try_to_number(
-        F.regexp_extract("props", r'"k": (\d+)', 1), F.lit("99999")
+        F.nullif(F.regexp_extract("props", r'"k": (\d+)', 1), F.lit("")),
+        F.lit("99999"),
     )
     t = e.select(
         "event_type",
@@ -458,8 +474,8 @@ WITH t AS (
   SELECT event_type,
          CASE WHEN user_id % 5 = 0 THEN NULL
               ELSE value / (user_id % 5) END AS ratio,
-         CASE WHEN user_id > 0 THEN NULL
-              ELSE 9223372036854775807 END AS ov,
+         CASE WHEN event_id % 997 = 0 AND user_id > 0 THEN NULL
+              ELSE 1 END AS ov,
          CAST(REGEXP_EXTRACT(props, '"k": (\d+)', 1) AS BIGINT) AS k_num
   FROM events
 )
