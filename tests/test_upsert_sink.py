@@ -252,3 +252,41 @@ def test_upsert_compact_preserves_snapshot_and_history(spark):
     assert removed > 0
     assert sorted(map(tuple, sink.read(spark).collect())) == pre
     sink.close()
+
+
+def test_upsert_crash_between_manifest_and_head(spark):
+    """The documented crash-safety claim of the commit protocol: a crash
+    AFTER writing the per-version manifest but BEFORE advancing _HEAD
+    leaves an orphan manifest that readers never see; the next batch
+    commits on top of the old HEAD (skipping the orphan version id is
+    fine — ids need not be dense to readers, which only follow HEAD and
+    the manifests HEAD-lineage references), and vacuum reclaims the
+    orphan."""
+    import os as _os
+
+    sink = KeyedUpsertSink(_fresh_dir("upsert-crash"), ["k"], ["seq"], num_buckets=1)
+    sink(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"), 0)
+    head_before = sink._read_head()
+
+    # simulate the crash: run the merge machinery by hand — write a
+    # manifest for version 2 without touching HEAD
+    orphan_path = sink._manifest_path(head_before["version"] + 1)
+    _os.makedirs(_os.path.dirname(orphan_path), exist_ok=True)
+    import json as _json
+
+    with open(orphan_path, "w") as f:
+        _json.dump(
+            {"version": 2, "batch_id": 1, "manifest": {"0": "/nonexistent"}}, f
+        )
+
+    # reader state: HEAD still points at v1 and reads fine
+    assert sink._read_head() == head_before
+    assert {r["v"] for r in sink.read(spark).collect()} == {"a"}
+
+    # next real batch: commits over the orphan (same version id is
+    # OVERWRITTEN by the manifest write — os.replace — so lineage stays
+    # consistent with HEAD)
+    sink(spark.createDataFrame([(1, 2, "b")], "k long, seq long, v string"), 1)
+    assert {r["v"] for r in sink.read(spark).collect()} == {"b"}
+    assert sink.read(spark, version=1).collect()[0]["v"] == "a"
+    sink.close()
