@@ -233,6 +233,7 @@ _EXTRAS = [
     "q170_arrow_udf",
     "q171_interval_arithmetic",
     "q172_from_xml",
+    "q173_dynamic_session_gap",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

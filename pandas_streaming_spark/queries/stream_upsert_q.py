@@ -162,7 +162,58 @@ def q165_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q173_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC session windows (Spark's expression-valued
+    ``session_window`` gap): each event extends its session by a gap
+    that depends on the EVENT — purchases hold the session open 30
+    minutes, everything else 10 — which fixed-gap sessionization (q45)
+    cannot express. Semantics: per-event half-open windows
+    [ts, ts+gap) that merge while they overlap; the oracle re-derives
+    the same islands with a running-max-of-ends window (head iff
+    ts >= max of all previous ends), so the merge rule itself is
+    graded. Runs as a real 5-batch replay in complete mode."""
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        ).agg(F.count("*").alias("n"))
+
+    replay_dir = write_replay_batches(spark, sf_dir, _sq.K_BATCHES)
+    out = _run_replay(spark, sf_dir, replay_dir, transform)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.max("n").cast("long").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _run_replay(spark, sf_dir, replay_dir, transform):
+    from pandas_streaming_spark.streaming.replay import (
+        replay_events as _re,
+        run_stream_to_df as _run,
+    )
+
+    stream = _re(spark, sf_dir, replay_dir)
+    import glob as _glob
+    import os as _os
+
+    n_files = len(_glob.glob(_os.path.join(replay_dir, "batch_*.parquet")))
+    return _run(
+        spark, transform(stream), "complete",
+        state_partitions=_sq.STATE_PARTITIONS,
+        final_batch_id=n_files - 1,
+    )
+
+
 QUERIES = {
+    "q173_dynamic_session_gap": q173_dynamic_session_gap,
     "q165_chained_stateful": q165_chained_stateful,
     "q140_upsert_sink": q140_upsert_sink,
     "q151_streaming_rollup_view": q151_streaming_rollup_view,
@@ -211,4 +262,34 @@ SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS w_start,
        COUNT(*) AS n_pairs,
        CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM j GROUP BY 1 ORDER BY w_start
+"""
+
+ORACLES["q173_dynamic_session_gap"] = """
+WITH e AS (
+  SELECT user_id, EPOCH_US(ts) AS ts_us,
+         EPOCH_US(ts) + CASE WHEN event_type = 'purchase'
+                             THEN 1800000000 ELSE 600000000 END AS end_us
+  FROM events
+),
+m AS (
+  SELECT user_id, ts_us, end_us,
+         MAX(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, end_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max_end
+  FROM e
+),
+isl AS (
+  SELECT user_id,
+         SUM(CASE WHEN prev_max_end IS NULL OR ts_us >= prev_max_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, end_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+),
+sess AS (
+  SELECT user_id, sid, COUNT(*) AS n FROM isl GROUP BY user_id, sid
+)
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS max_session_events
+FROM sess GROUP BY user_id ORDER BY user_id
 """
