@@ -297,3 +297,46 @@ def test_z_value_is_bijective_and_local(spark):
         for i in range(4)
     )
     assert all(by_ab[(a, b)] == expect(a, b) for a in range(16) for b in range(16))
+
+
+def test_bucketed_layout_invalidates_on_source_regeneration(spark, tmp_path):
+    """The layout manifest fingerprints the source parquet; the round
+    driver REGENERATES testdata between rounds, and a stale bucketed
+    copy silently serving old rows would be a correctness catastrophe.
+    Rewrite the source (same path, new content) and the catalog must
+    fall back to the fresh plain data and drop the stale manifest."""
+    import os as _os
+    import shutil as _shutil
+
+    from pandas_streaming_spark import catalog
+
+    sf_copy = str(tmp_path / "sfx")
+    _os.makedirs(sf_copy)
+    _shutil.copyfile(
+        "/root/testdata/sf0.001/orders.parquet", f"{sf_copy}/orders.parquet"
+    )
+    try:
+        catalog.ensure_bucketed_layout(
+            spark, sf_copy, "orders", ["o_orderkey"], 4, ["o_orderkey"]
+        )
+        n_before = catalog.load_table(spark, sf_copy, "orders").count()
+        assert catalog._load_bucketed(spark, sf_copy, "orders") is not None
+
+        # regenerate the source: HALF the rows, new mtime
+        half = (
+            catalog.load_table(spark, sf_copy, "orders")
+            .filter("o_orderkey % 2 = 0")
+            .toPandas()
+        )
+        half.to_parquet(f"{sf_copy}/orders.parquet.new")
+        _os.replace(f"{sf_copy}/orders.parquet.new", f"{sf_copy}/orders.parquet")
+
+        got = catalog.load_table(spark, sf_copy, "orders").count()
+        assert got == len(half) != n_before, (
+            "stale layout served old rows after source regeneration"
+        )
+        assert catalog._load_bucketed(spark, sf_copy, "orders") is None
+        mp = catalog._layout_manifest_path(spark, sf_copy, "orders")
+        assert not _os.path.exists(mp), "stale manifest must be dropped"
+    finally:
+        catalog.drop_bucketed_layout(spark, sf_copy, "orders")
