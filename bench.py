@@ -114,6 +114,8 @@ def main() -> None:
         "q161_zorder_skipping",      # Morton layout + 2-dim stats pruning
         "q163_bitmap_distinct",      # exact mergeable-bitmap distinct
         "q165_chained_stateful",     # stream join -> window, 2 state stores
+        "q166_recursive_session",    # WITH RECURSIVE linked-list closure
+        "q173_dynamic_session_gap",  # expression-valued session gap replay
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:
