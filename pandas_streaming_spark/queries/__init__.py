@@ -234,6 +234,8 @@ _EXTRAS = [
     "q171_interval_arithmetic",
     "q172_from_xml",
     "q173_dynamic_session_gap",
+    "q174_width_bucket_histogram",
+    "q175_listagg",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -401,7 +401,49 @@ def q172_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q174_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram via ``width_bucket`` (§2.8 numeric family,
+    the profiling primitive behind every "distribution of X" dashboard):
+    20 buckets over [0, 600000) of order totals, plus the under/overflow
+    buckets 0 and n+1 the function reserves. The oracle mirrors Spark's
+    EXACT arithmetic — floor((v - lo) / ((hi - lo) / n)) + 1, same IEEE
+    operation order — so edge values land identically in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    b = F.width_bucket(
+        F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(20)
+    )
+    return (
+        o.select(b.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q175_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ordered string aggregation (Spark 4 ``LISTAGG ... WITHIN
+    GROUP (ORDER BY ...)``) — the ANSI form of what q132 builds from
+    array_sort(collect_list): per nation, its region-mates' names in a
+    deterministic comma list. duckdb's STRING_AGG with ORDER BY is the
+    oracle; integer keys keep the ordering collation-free."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__n_q175")
+    return spark.sql("""
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_nationkey) AS members
+FROM __n_q175
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""")
+
+
 QUERIES = {
+    "q175_listagg": q175_listagg,
+    "q174_width_bucket_histogram": q174_width_bucket_histogram,
     "q172_from_xml": q172_from_xml,
     "q171_interval_arithmetic": q171_interval_arithmetic,
     "q169_from_csv": q169_from_csv,
@@ -422,6 +464,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q175_listagg": """
+SELECT n_regionkey, COUNT(*) AS n_nations,
+       STRING_AGG(n_name, ',' ORDER BY n_nationkey) AS members
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+    "q174_width_bucket_histogram": """
+WITH t AS (
+  SELECT o_totalprice,
+         CAST(FLOOR((o_totalprice - 0.0) / ((600000.0 - 0.0) / 20)) + 1
+              AS BIGINT) AS bucket
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM t GROUP BY bucket ORDER BY bucket
+""",
     "q172_from_xml": """
 SELECT o_orderpriority AS p, COUNT(*) AS n, MAX(o_orderkey) AS max_key,
        ROUND(SUM(ROUND(o_totalprice, 2)), 2) AS sum_total
