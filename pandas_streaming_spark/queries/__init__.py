@@ -236,6 +236,7 @@ _EXTRAS = [
     "q173_dynamic_session_gap",
     "q174_width_bucket_histogram",
     "q175_listagg",
+    "q176_conditional_aggregates",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -441,7 +441,33 @@ ORDER BY n_regionkey
 """)
 
 
+def q176_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family (§2.4 tail): ``count_if``,
+    ``bool_and``/``bool_or`` (ANSI EVERY/ANY), and a FILTER-clause
+    aggregate — the predicates-as-aggregates shapes dashboards lean on.
+    All deterministic and map-side-combined; duckdb mirrors with
+    COUNT(*) FILTER and BOOL_AND/BOOL_OR."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 100).alias("n_over_100"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 499).alias("any_over_499"),
+            F.expr("sum(value) FILTER (WHERE user_id % 2 = 0)").alias(
+                "sum_even_users_raw"
+            ),
+        )
+        .select(
+            "event_type", "n_over_100", "all_nonneg", "any_over_499",
+            F.round("sum_even_users_raw", 2).alias("sum_even_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "q176_conditional_aggregates": q176_conditional_aggregates,
     "q175_listagg": q175_listagg,
     "q174_width_bucket_histogram": q174_width_bucket_histogram,
     "q172_from_xml": q172_from_xml,
@@ -464,6 +490,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q176_conditional_aggregates": """
+SELECT event_type,
+       COUNT(*) FILTER (WHERE value > 100) AS n_over_100,
+       BOOL_AND(value >= 0) AS all_nonneg,
+       BOOL_OR(value > 499) AS any_over_499,
+       ROUND(SUM(value) FILTER (WHERE user_id % 2 = 0), 2) AS sum_even_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
     "q175_listagg": """
 SELECT n_regionkey, COUNT(*) AS n_nations,
        STRING_AGG(n_name, ',' ORDER BY n_nationkey) AS members
