@@ -509,9 +509,13 @@ ORDER BY n_regionkey
 """,
     "q174_width_bucket_histogram": """
 WITH t AS (
+  -- LEAST/GREATEST mirror width_bucket's under/overflow clamping: values
+  -- >= hi land in bucket n+1 (21), values < lo in bucket 0 — without the
+  -- clamp a larger SF's o_totalprice >= 600000 would diverge (ADVICE r6).
   SELECT o_totalprice,
-         CAST(FLOOR((o_totalprice - 0.0) / ((600000.0 - 0.0) / 20)) + 1
-              AS BIGINT) AS bucket
+         LEAST(GREATEST(
+           CAST(FLOOR((o_totalprice - 0.0) / ((600000.0 - 0.0) / 20)) + 1
+                AS BIGINT), 0), 21) AS bucket
   FROM orders
 )
 SELECT bucket, COUNT(*) AS n,

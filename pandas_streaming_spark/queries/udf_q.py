@@ -130,9 +130,16 @@ def q170_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (including NULL props) exactly."""
     from pyspark.sql.types import LongType
 
+    # ASCII-explicit on purpose (ADVICE r6): str.isalnum() is Unicode-aware
+    # while the oracle regex is [a-zA-Z0-9]; pinning the UDF to ASCII makes
+    # the graded semantics match by construction, not by fixture content.
+    _ASCII_ALNUM = frozenset(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    )
+
     @F.udf(returnType=LongType(), useArrow=True)
     def alnum_count(s: str) -> int:
-        return sum(ch.isalnum() for ch in s) if s else 0
+        return sum(ch in _ASCII_ALNUM for ch in s) if s else 0
 
     e = _t(spark, sf_dir, "events")
     payload = F.concat_ws("|", F.col("event_type"), F.col("props"))

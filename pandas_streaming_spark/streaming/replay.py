@@ -253,12 +253,19 @@ def run_stream_to_df(
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
 
+    # foreachBatch runs driver-side, so a mutable closure records what the
+    # sink actually did: if the final_batch_id fast path is ever wrong (batch
+    # ids never reach it), we must fail loudly, not return an empty frame.
+    progress = {"max_batch_id": -1, "final_written": False}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        progress["max_batch_id"] = max(progress["max_batch_id"], batch_id)
         if output_mode == "complete":
             if final_batch_id is not None and batch_id < final_batch_id:
                 batch_df.write.format("noop").mode("overwrite").save()
             else:
                 batch_df.write.mode("overwrite").parquet(spill)
+                progress["final_written"] = True
         elif output_mode == "append":
             batch_df.write.mode("append").parquet(spill)
         else:  # update
@@ -271,6 +278,7 @@ def run_stream_to_df(
         .foreachBatch(sink)
         .option("checkpointLocation", chkpt)
     )
+    ok = False
     try:
         if trigger == "available_now":
             q = w.trigger(availableNow=True).start()
@@ -285,11 +293,32 @@ def run_stream_to_df(
             q.awaitTermination()
         else:
             raise ValueError(f"unknown trigger {trigger!r}")
+        ok = True
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    shutil.rmtree(chkpt, ignore_errors=True)
+        # checkpoints live on tmpfs (/dev/shm): reclaim on EVERY exit path —
+        # an exception in awaitTermination must not leak shared-memory state
+        shutil.rmtree(chkpt, ignore_errors=True)
+        if not ok:
+            shutil.rmtree(spill, ignore_errors=True)
+
+    if (
+        output_mode == "complete"
+        and final_batch_id is not None
+        and progress["max_batch_id"] >= 0
+        and not progress["final_written"]
+    ):
+        # the fast path skipped every write: final_batch_id was overestimated
+        # (batch ids stopped short). Silent empty results are worse than a
+        # loud failure here.
+        shutil.rmtree(spill, ignore_errors=True)
+        raise RuntimeError(
+            f"run_stream_to_df: complete-mode replay ended at batch "
+            f"{progress['max_batch_id']} without reaching final_batch_id="
+            f"{final_batch_id}; the final snapshot was never written"
+        )
 
     if not glob.glob(os.path.join(spill, "*.parquet")):
         shutil.rmtree(spill, ignore_errors=True)

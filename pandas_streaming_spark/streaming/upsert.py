@@ -287,9 +287,16 @@ class KeyedUpsertSink:
             removed += 1
         for d in sorted({os.path.dirname(p) for p in all_paths - live}):
             try:
-                if not os.listdir(d):
+                # Spark leaves _SUCCESS / .*.crc markers at the version-dir
+                # level; a dir holding only those is "empty" for GC purposes
+                # — otherwise fully-reclaimed version dirs live on forever
+                # as marker-only husks (ADVICE r6 item 3).
+                leftovers = os.listdir(d)
+                if all(e.startswith(("_", ".")) for e in leftovers):
+                    for e in leftovers:
+                        os.remove(os.path.join(d, e))
                     os.rmdir(d)
-            except FileNotFoundError:
+            except (FileNotFoundError, OSError):
                 pass
         for v in dropped_v:
             try:

@@ -290,3 +290,31 @@ def test_upsert_crash_between_manifest_and_head(spark):
     assert {r["v"] for r in sink.read(spark).collect()} == {"b"}
     assert sink.read(spark, version=1).collect()[0]["v"] == "a"
     sink.close()
+
+
+def test_upsert_vacuum_removes_marker_only_husks(spark):
+    """ADVICE r6 item 3: Spark leaves _SUCCESS/.crc markers in version
+    dirs; vacuum must treat marker-only dirs as empty and rmdir them
+    instead of accumulating husks forever."""
+    import os as _os
+
+    sink = KeyedUpsertSink(_fresh_dir("upsert-husk"), ["k"], ["seq"], num_buckets=1)
+    for i in range(3):  # one bucket: every batch fully rewrites it
+        sink(
+            spark.createDataFrame([(1, i, f"v{i}")], "k long, seq long, v string"), i
+        )
+    dead_dirs = {
+        _os.path.dirname(p)
+        for v in sink.versions()[:-1]
+        for p in sink._load_manifest(v).values()
+    }
+    assert dead_dirs
+    # simulate Spark's job-commit markers at the version-dir level
+    for d in dead_dirs:
+        open(_os.path.join(d, "_SUCCESS"), "w").close()
+        open(_os.path.join(d, "._SUCCESS.crc"), "w").close()
+    sink.vacuum(keep_last=1)
+    assert all(not _os.path.exists(d) for d in dead_dirs), (
+        "marker-only version dirs must be fully reclaimed")
+    assert {r["v"] for r in sink.read(spark).collect()} == {"v2"}
+    sink.close()
