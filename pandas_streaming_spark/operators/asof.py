@@ -171,6 +171,71 @@ def asof_join(
     return filled.filter(F.col("__side") == 1).drop("__side")
 
 
+from pandas_streaming_spark.plans import plan_size_bytes as _plan_size_bytes
+
+# combined left+right estimate below which the plain (key-partitioned)
+# plan wins: the bucketed plan pays a fixed cell-aggregate + carry-seed
+# overhead (~0.8 s at local[32]) that only amortizes once key-capped
+# parallelism actually starves the cluster. Measured crossover on the
+# bench shape (20 keys): plain 1.03 s vs bucketed 1.45 s at ~50 MB inputs,
+# plain 18.9 s vs bucketed 4.6 s at ~500 MB — 128 MB splits the regimes.
+_AUTO_THRESHOLD_BYTES = 128 * 1024 * 1024
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str | Column,
+    right_time: str | Column,
+    value_cols: list[str],
+    bucket_seconds: float,
+    right_ord: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
+    threshold_bytes: int | None = None,
+) -> DataFrame:
+    """Cost-gated as-of join (VERDICT r6 item 2): picks :func:`asof_join`
+    (one key-partitioned window — lowest constant factor) below a
+    size threshold and :func:`asof_join_bucketed` (parallelism =
+    keys x time-buckets) above it, from Catalyst's free plan-statistics
+    estimate of the two inputs — no counting job, no sampled scan.
+
+    Unknown statistics (streaming relations, Python data sources) report
+    ~Long.Max and therefore pick the bucketed plan — the safe direction:
+    a few-hundred-ms constant overhead at worst, versus a key-cardinality
+    parallelism cap on what might be 100 TB.
+
+    ``threshold_bytes``: override the 128 MB default; the
+    ``SPARK_GRAFT_ASOF_AUTO_THRESHOLD`` env var (bytes) overrides both —
+    set it to 0 to force the bucketed plan, or huge to force plain
+    (useful for pinning either regime in tests and plan audits).
+    """
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_ASOF_AUTO_THRESHOLD")
+    if env is not None:
+        threshold = int(env)
+    elif threshold_bytes is not None:
+        threshold = threshold_bytes
+    else:
+        threshold = _AUTO_THRESHOLD_BYTES
+    est = _plan_size_bytes(left) + _plan_size_bytes(right)
+    if est < threshold:
+        return asof_join(
+            left, right, key, left_time, right_time, value_cols,
+            right_ord=right_ord, direction=direction, tolerance=tolerance,
+            allow_exact_matches=allow_exact_matches,
+        )
+    return asof_join_bucketed(
+        left, right, key, left_time, right_time, value_cols,
+        bucket_seconds=bucket_seconds, right_ord=right_ord,
+        direction=direction, tolerance=tolerance,
+        allow_exact_matches=allow_exact_matches,
+    )
+
+
 def _bucket_expr(u: DataFrame, bucket_seconds: float) -> Column:
     """Time-bucket id for the unioned __t column: floor(epoch / width).
     Handles timestamp (unix_micros), date (unix_date), and plain numeric

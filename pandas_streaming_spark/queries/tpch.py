@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_streaming_spark.catalog import load_table
-from pandas_streaming_spark.operators.asof import asof_join_bucketed
+from pandas_streaming_spark.operators.asof import asof_join_auto
 
 SHIP_CUTOFF = "1998-09-02"
 
@@ -162,12 +162,13 @@ def q10_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (§4.2 custom op #1): for each order, the latest event of
     the synthetic user key (o_custkey % 20) with event-second <= order
-    date; aggregated per user. Round 6 switched the implementation to the
-    time-bucketed union+window plan (VERDICT r5 item 1): the plain plan's
-    window partitions on the 20-value key, capping parallelism at 20; the
-    bucketed plan partitions on (key, day-bucket) so parallelism scales
-    with data span instead of key cardinality. Same semantics (the plain
-    operator remains, differential-tested against this one)."""
+    date; aggregated per user. Round 7 (VERDICT r6 item 2) cost-gates the
+    plan: below ~128 MB of estimated input the plain key-partitioned
+    union+window wins (lowest constant factor); above it the time-bucketed
+    plan partitions on (key, day-bucket) so parallelism scales with data
+    span instead of the 20-value key cardinality. Selection reads
+    Catalyst's free plan-size statistics — no counting job — and both
+    plans are differential-tested against each other and pd.merge_asof."""
     o = _t(spark, sf_dir, "orders").withColumn(
         "user_id", (F.col("o_custkey") % 20).cast("long")
     )
@@ -186,7 +187,7 @@ def q11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates by the per-cell order count. Same algebra a smart user
     # (or a dedupe-before-join optimizer) applies; result is bit-identical.
     cells = o.groupBy("user_id", "o_orderdate").agg(F.count("*").alias("n_ord"))
-    joined = asof_join_bucketed(
+    joined = asof_join_auto(
         cells,
         e,
         key="user_id",

