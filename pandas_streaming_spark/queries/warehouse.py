@@ -179,8 +179,8 @@ def q147_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches only. Version N is exact because every commit's manifest is
     retained (immutable bucket dirs + history in HEAD — the
     Iceberg/Delta snapshot model); the oracle recomputes latest-per-key
-    over the deterministic first-2/5 event_id prefix the replay split
-    rule defines."""
+    over the deterministic first-2/5 event-time-rank prefix the replay
+    split rule defines."""
     import shutil as _sh
 
     from pandas_streaming_spark.streaming.replay import (
@@ -650,9 +650,15 @@ SELECT rank, doc_id, ROUND(score, 4) AS bm25 FROM (
 ) WHERE rank <= 10 ORDER BY rank
 """,
     "q147_upsert_time_travel": """
-WITH prefix AS (
-  SELECT * FROM events
-  WHERE event_id * 5 < 2 * (SELECT COUNT(*) FROM events)
+WITH ranked AS (
+  -- the replay split is by event-TIME rank (round 7, replay.py v2 rule:
+  -- floor(rank(ts, event_id) * k / n)), not by id arithmetic
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rnk
+  FROM events
+),
+prefix AS (
+  SELECT * FROM ranked
+  WHERE rnk * 5 < 2 * (SELECT COUNT(*) FROM events)
 )
 SELECT user_id, event_type AS last_event_type, ROUND(value, 2) AS last_value
 FROM (
@@ -665,12 +671,16 @@ WHERE rn = 1
 ORDER BY user_id
 """,
     "q148_upsert_changes": """
-WITH pre AS (
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rnk
+  FROM events
+),
+pre AS (
   SELECT user_id, event_id,
          ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
-  WHERE event_id * 5 < 2 * (SELECT COUNT(*) FROM events)
+  FROM ranked
+  WHERE rnk * 5 < 2 * (SELECT COUNT(*) FROM events)
 ),
 v2 AS (SELECT user_id, event_id FROM pre WHERE rn = 1),
 fin AS (

@@ -6,10 +6,19 @@ streaming queries (Q43–Q48) and the reference's own batch-split-invariance
 test (SURVEY.md §5.1): the final state must be identical for any k and
 equal to the one-shot batch computation.
 
-Split rule: batch i of k = rows with floor(event_id * k / n) == i.
-Contiguous event_id ranges preserve event-time order (ts is monotone in
-event_id — verified in FIXTURES.md), so each parquet file is one in-order
-micro-batch via ``maxFilesPerTrigger=1``.
+Split rule: batch i of k = rows with ``floor(rank * k / n) == i`` where
+``rank`` is the global 0-based EVENT-TIME rank under ``ORDER BY (ts,
+event_id)`` (operators/indexing.global_index — two-phase distributed
+rank, no single-partition sort). For the driver fixtures (dense ids
+0..n-1, ts monotone in id) rank == event_id, so this is byte-identical
+to the original ``floor(event_id * k / n)`` rule; for datagen-scaled
+replicas (keys offset +1e9 per replica, SAME time axis) it interleaves
+the replicas back into one in-order stream. The id-arithmetic rule at
+10x silently dropped every replica but the first (batch index overflowed
+k), and an id-contiguous split would restart event time at every replica
+boundary, turning the whole tail into watermark-late data — both caught
+by the round-7 10x correctness axis. Time-rank splits keep each parquet
+file one in-order micro-batch via ``maxFilesPerTrigger=1``.
 
 Everything here is Spark-side: the split is written by executor tasks
 (the driver only renames files), and the sink spills micro-batch output
@@ -72,8 +81,8 @@ def write_replay_batches(
         # regenerated testdata at the same path must not reuse a stale split
         src = os.path.join(sf_dir, "events.parquet")
         st = os.stat(src)
-        key = hashlib.md5(
-            f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{k}|{dup_every}|{sentinel}".encode()
+        key = hashlib.md5(  # v3 = time-rank split rule, pinned global_index (invalidates v1/v2)
+            f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{k}|{dup_every}|{sentinel}|v3".encode()
         ).hexdigest()[:12]
         out_dir = os.path.join(SCRATCH, f"replay-{key}")
         marker = os.path.join(out_dir, "_OK")
@@ -122,10 +131,16 @@ def _write_replay_batches(
     row's horizon. A finite replay would otherwise withhold the tail.
     """
     from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.indexing import global_index
 
     ev = load_table(spark, sf_dir, "events")  # catalog casts ts to µs
     n = ev.count()
-    df = ev.withColumn("__b", F.expr(f"CAST((event_id * {k}) DIV {n} AS INT)"))
+    # global event-time rank (ts, event_id unique composite), then the
+    # same proportional cut as the original id rule — see module docstring
+    ranked = global_index(ev, ["ts", "event_id"], "__rank")
+    df = ranked.withColumn(
+        "__b", F.expr(f"CAST((__rank * {k}) DIV {n} AS INT)")
+    ).drop("__rank")
     if dup_every:
         w = Window.partitionBy("__b").orderBy("event_id")
         df = df.withColumn("__rn", F.row_number().over(w))
@@ -164,6 +179,7 @@ def _write_replay_batches(
             _write_single_file(flush, os.path.join(out_dir, "batch_9999.parquet"))
     finally:
         df.unpersist()
+        ranked._gi_pinned.unpersist()  # global_index's boundary pin
     return out_dir
 
 

@@ -759,3 +759,24 @@ def test_sessionize_exact_boundary_merges(spark):
     )
     got = {r["event_id"]: r["session_idx"] for r in lab.collect()}
     assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_global_index_matches_window_rank(spark):
+    """operators/indexing.global_index == row_number()-1 under the same
+    total order, for data whose key range is wildly non-dense (the 10x
+    replica shape that broke the id-arithmetic replay split)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pandas_streaming_spark.operators.indexing import global_index
+
+    rng = random.Random(20260814)
+    rows = [(rng.randrange(10**12) * 2 + (i % 2), i) for i in range(5000)]
+    rows = list({(k, v) for k, v in rows})  # unique keys = total order
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+    out = global_index(df, ["k"], "idx")
+    got = {r["k"]: r["idx"] for r in out.collect()}
+    expect = {k: i for i, (k, _) in enumerate(sorted(rows))}
+    assert got == expect
+    out._gi_pinned.unpersist()
