@@ -342,13 +342,29 @@ def simhash_audit(
             "knowingly."
         )
     fp = simhash_fingerprints(df, id_col, text_col, n_bits)
-    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
-    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
+    # pack the bitstring into 32-bit longs so the pair scan's Hamming is
+    # bit_count(xor) per block instead of n_bits substring compares —
+    # measured the difference between "minutes" and "stuck for half an
+    # hour" on the round-7 10x axis (50k rows x 64 chars x 2.5e9 pairs)
+    n_blocks = (n_bits + 31) // 32
+    packs = [
+        F.conv(F.substring("simhash", blk * 32 + 1, 32), 2, 10)
+        .cast("long")
+        .alias(f"__p{blk}")
+        for blk in range(n_blocks)
+    ]
+    packed = fp.select(F.col(id_col), *packs)
+    a = packed.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"__p{b}").alias(f"__a{b}") for b in range(n_blocks)],
+    )
+    b = packed.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"__p{b}").alias(f"__b{b}") for b in range(n_blocks)],
+    )
     hamming = sum(
-        F.when(
-            F.substring("__sa", j + 1, 1) != F.substring("__sb", j + 1, 1), 1
-        ).otherwise(0)
-        for j in range(n_bits)
+        F.bit_count(F.col(f"__a{blk}").bitwiseXOR(F.col(f"__b{blk}")))
+        for blk in range(n_blocks)
     )
     cand = (
         a.join(b, F.col("id_a") < F.col("id_b"))

@@ -140,9 +140,17 @@ def q110_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision/recall of Hamming<=6 pairs on 64-bit block-seeded
     fingerprints vs exact Jaccard>=0.5 truth. The 64-bit form also
     regression-pins the block-seeding fix (bits 33+ froze constant
-    before r4 — every doc identical in the tail)."""
+    before r4 — every doc identical in the tail).
+
+    Audited on the deterministic ``doc_id % 4 == 1`` sample (round 7):
+    the audit is O(n²) by design (that is what max_rows guards), and the
+    10x correctness axis put 50 000 rows — 10 identical replicas per
+    text — through the pair scan, which is audit-abuse, not audit-scale.
+    The static modulo keeps the sample scale-proportional and identical
+    in both engines at every axis (replica key offsets are ≡ 0 mod 4,
+    so each replica contributes the same id class)."""
     return simhash_audit(
-        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1),
         threshold=0.5, max_hamming=6, n_bits=64, k=3,
     )
 

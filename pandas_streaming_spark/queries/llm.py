@@ -407,7 +407,8 @@ FROM c, t, h
     "q110_simhash_audit": f"""
 WITH tok AS (
   SELECT doc_id, MD5(t) AS h0, MD5(t || '|1') AS h1
-  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+        WHERE doc_id % 4 = 1)
 ),
 fp AS (
   SELECT doc_id, {_SIMHASH64_CONCAT} AS sh FROM (
@@ -421,7 +422,7 @@ cand AS (
   FROM fp a JOIN fp b ON a.doc_id < b.doc_id
   WHERE ({_HAMMING64}) <= 6
 ),
-sh2 AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sh2 AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES}) WHERE doc_id % 4 = 1),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
 truth AS (
   SELECT j.id_a, j.id_b FROM (
@@ -478,6 +479,52 @@ SELECT COALESCE(lang, 'ALL') AS lang, COUNT(*) AS n_docs,
 FROM documents
 GROUP BY ROLLUP (lang)
 ORDER BY lang
+""",
+    "q182_rrf_hybrid": f"""
+WITH qt AS (
+  SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS t
+  FROM documents WHERE doc_id = 0
+),
+dt AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+  FROM documents WHERE doc_id <> 0
+),
+lex AS (
+  SELECT doc_id, COUNT(*) AS lex_score
+  FROM dt JOIN qt ON dt.t = qt.t
+  GROUP BY doc_id
+  ORDER BY lex_score DESC, doc_id
+  LIMIT 50
+),
+topl AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS rank_lex
+  FROM lex
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT e.vec_id,
+         CAST(ROUND(10000.0 * {_cos('e.embedding', 'q.qe')}, 0) AS BIGINT)
+           AS sim_e4
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY sim_e4 DESC, vec_id
+  LIMIT 50
+),
+topv AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY sim_e4 DESC, vec_id) AS rank_vec
+  FROM vs
+)
+SELECT COALESCE(topl.doc_id, topv.doc_id) AS doc_id,
+       topl.rank_lex AS rank_lex,
+       topv.rank_vec AS rank_vec,
+       COALESCE(CAST(ROUND(1e6 / (60 + topl.rank_lex), 0) AS BIGINT), 0)
+         + COALESCE(CAST(ROUND(1e6 / (60 + topv.rank_vec), 0) AS BIGINT), 0)
+         AS rrf_e6
+FROM topl FULL OUTER JOIN topv ON topl.doc_id = topv.doc_id
+ORDER BY rrf_e6 DESC, doc_id
+LIMIT 10
 """,
     "q39_similarity_topk": f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
