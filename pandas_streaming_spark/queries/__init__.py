@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pandas_streaming_spark.queries import (
     advanced,
     analytic,
+    quality,
     curation,
     dedup_q,
     kafka_q,
@@ -53,6 +54,7 @@ _ALL_ORACLES: dict[str, str] = {}
 for mod in (
     tpch, analytic, timeseries, scalarfn, llm, dedup_q, textq, vectors,
     streaming_q, kafka_q, stream_upsert_q, udf_q, curation, advanced, warehouse,
+    quality,
 ):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLES.update({k: v for k, v in mod.ORACLES.items() if v is not None})
@@ -237,6 +239,11 @@ _EXTRAS = [
     "q174_width_bucket_histogram",
     "q175_listagg",
     "q176_conditional_aggregates",
+    "q177_constraint_audit",
+    "q179_mode_median",
+    "q180_global_index",
+    "q181_bigram_lm_score",
+    "q182_rrf_hybrid",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

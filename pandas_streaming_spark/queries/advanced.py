@@ -484,7 +484,34 @@ def q160_hll_native_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.unionByName(total).orderBy("event_type")
 
 
+def q180_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global row indexing (operators/indexing.global_index):
+    0-based rank of every order under ``ORDER BY o_orderkey`` assigned
+    WITHOUT a single-partition sort — range-partition, local row_number,
+    tiny per-partition-count prefix-sum broadcast back (the two-phase
+    zipWithIndex construction; a bare ``row_number() OVER (ORDER BY …)``
+    funnels 100 TB through one task). Graded by per-priority count +
+    sum/min/max of the assigned index: any single misassignment anywhere
+    shifts a sum. The oracle re-derives the rank with the window form —
+    same semantics, different (small-data-only) plan."""
+    from pandas_streaming_spark.operators.indexing import global_index
+
+    o = _t(spark, sf_dir, "orders")
+    idx = global_index(o, ["o_orderkey"], "row_idx")
+    return (
+        idx.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("row_idx").cast("long").alias("sum_idx"),
+            F.min("row_idx").cast("long").alias("min_idx"),
+            F.max("row_idx").cast("long").alias("max_idx"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
+    "q180_global_index": q180_global_index,
     "q160_hll_native_audit": q160_hll_native_audit,
     "q130_regression_stats": q130_regression_stats,
     "q131_mode_bitagg": q131_mode_bitagg,
@@ -632,6 +659,18 @@ FROM {prev} ORDER BY rank_e6 DESC, node
 
 
 ORACLES = {
+    "q180_global_index": """
+WITH t AS (
+  SELECT o_orderpriority,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_idx
+  FROM orders
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(row_idx) AS BIGINT) AS sum_idx,
+       CAST(MIN(row_idx) AS BIGINT) AS min_idx,
+       CAST(MAX(row_idx) AS BIGINT) AS max_idx
+FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
     "q160_hll_native_audit": """
 SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS est_ok
 FROM events GROUP BY event_type

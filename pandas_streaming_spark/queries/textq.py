@@ -296,7 +296,78 @@ def q106_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q181_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram language-model quality scoring (§2.9 text-analysis
+    tail) — the KenLM-perplexity-filter shape every web-scale curation
+    pipeline runs, with the n-gram model trained ON the corpus itself:
+
+    1. explode each doc into char bigrams (``transform(sequence(...))``
+       + substring — narrow, no shuffle);
+    2. train: bigram counts + prefix-char counts (two map-side-combined
+       aggregates over the same exploded frame; the model is at most
+       |alphabet|² rows — BROADCAST scale by construction);
+    3. score: broadcast-join the model onto the doc bigrams,
+       per-bigram logprob ln(cnt(ab)/cnt(a·)) in integer micro-units
+       (rounded per term, THEN summed as longs — exact in any
+       accumulation order, the repo's standard cross-engine float
+       discipline), per-doc totals, per-language rollup.
+
+    Low avg logprob = improbable character sequences = the gibberish /
+    wrong-language / binary-noise tail a perplexity filter cuts. Graded
+    per language: doc count, exact long total of per-doc logprob sums,
+    total bigram count, and the ratio in e2 units derived from the two
+    exact longs."""
+    d = _t(spark, sf_dir, "documents")
+    bi = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("__bg"),
+    )
+    model = (
+        bi.groupBy("__bg").agg(F.count("*").alias("__cnt_bg"))
+        .withColumn("__pfx", F.substring("__bg", 1, 1))
+    )
+    prefix = model.groupBy("__pfx").agg(F.sum("__cnt_bg").alias("__cnt_pfx"))
+    model = model.join(prefix, "__pfx").select(
+        "__bg",
+        F.round(
+            F.lit(1e6) * F.log(F.col("__cnt_bg") / F.col("__cnt_pfx")), 0
+        )
+        .cast("long")
+        .alias("__lp_e6"),
+    )
+    per_doc = (
+        bi.join(F.broadcast(model), "__bg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("__lp_e6").alias("__doc_lp"),
+            F.count("*").alias("__doc_n"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__doc_lp").cast("long").alias("sum_lp_e6"),
+            F.sum("__doc_n").cast("long").alias("n_bigrams"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_lp_e6",
+            "n_bigrams",
+            F.round(F.col("sum_lp_e6") / F.col("n_bigrams") / 1e4, 2).alias(
+                "avg_lp_e2"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
+    "q181_bigram_lm_score": q181_bigram_lm_score,
     "q40_top_tokens": q40_top_tokens,
     "q41_text_stats": q41_text_stats,
     "q53_language_id": q53_language_id,
@@ -316,6 +387,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q181_bigram_lm_score": """
+WITH bi AS (
+  SELECT doc_id, lang,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text) - 1),
+                i -> SUBSTR(text, CAST(i AS INT), 2))) AS bg
+  FROM documents
+),
+model AS (
+  SELECT bg, COUNT(*) AS cnt_bg, SUBSTR(bg, 1, 1) AS pfx FROM bi GROUP BY bg
+),
+pfx AS (SELECT pfx, SUM(cnt_bg) AS cnt_pfx FROM model GROUP BY pfx),
+lp AS (
+  SELECT m.bg,
+         CAST(ROUND(1e6 * LN(1.0 * m.cnt_bg / p.cnt_pfx), 0) AS BIGINT)
+           AS lp_e6
+  FROM model m JOIN pfx p ON m.pfx = p.pfx
+),
+per_doc AS (
+  SELECT doc_id, lang, SUM(lp_e6) AS doc_lp, COUNT(*) AS doc_n
+  FROM bi JOIN lp ON bi.bg = lp.bg
+  GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(doc_lp) AS BIGINT) AS sum_lp_e6,
+       CAST(SUM(doc_n) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(doc_lp) AS DOUBLE) / SUM(doc_n) / 1e4, 2) AS avg_lp_e2
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+""",
     "q40_top_tokens": """
 SELECT token, COUNT(*) AS cnt
 FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)

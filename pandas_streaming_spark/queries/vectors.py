@@ -157,7 +157,79 @@ def q108_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q182_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (§2.9 similarity
+    tail) — the lexical+vector fusion every RAG stack runs: rank
+    candidates for "documents like doc 0" twice, lexically (distinct
+    shared tokens with doc 0 — integer score, broadcast token probe)
+    and semantically (cosine_topk against vec 0's embedding), then fuse
+    with RRF(k=60): score = Σ 1/(60 + rank) over the rankings a doc
+    appears in. Both rankings are cut to top-50 BEFORE ranking (standard
+    RRF cutoff, and what keeps the per-ranking window a post-LIMIT
+    50-row frame instead of a global sort); contributions are integer
+    micro-units so the fused sum is exact cross-engine. Docs and
+    vectors share the id space (TESTDATA: vec_id == doc_id)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    q_toks = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.array_distinct(F.split("text", " "))).alias("__qt"))
+    )
+    doc_toks = (
+        docs.filter(F.col("doc_id") != 0)
+        .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("__t"))
+    )
+    lex = (
+        doc_toks.join(F.broadcast(q_toks), F.col("__t") == F.col("__qt"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("lex_score"))
+        .orderBy(F.col("lex_score").desc(), "doc_id")
+        .limit(50)
+    )
+    # rank within the 50 fused candidates: the no-partition window runs
+    # AFTER the TakeOrdered cut, so it sorts 50 rows, not the corpus
+    w_lex = Window.orderBy(F.col("lex_score").desc(), "doc_id")
+    lex = lex.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("rank_lex")
+    )
+    vec = (
+        cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=51)
+        .filter(F.col("vec_id") != 0)
+        .limit(50)
+    )
+    w_vec = Window.orderBy(F.col("sim_e4").desc(), "vec_id")
+    vec = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_vec).cast("long").alias("rank_vec"),
+    )
+    rrf = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_vec",
+            (
+                F.coalesce(
+                    F.round(F.lit(1e6) / (F.lit(60) + F.col("rank_lex")), 0)
+                    .cast("long"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.round(F.lit(1e6) / (F.lit(60) + F.col("rank_vec")), 0)
+                    .cast("long"),
+                    F.lit(0),
+                )
+            ).alias("rrf_e6"),
+        )
+        .orderBy(F.col("rrf_e6").desc(), "doc_id")
+        .limit(10)
+    )
+    return rrf
+
+
 QUERIES = {
+    "q182_rrf_hybrid": q182_rrf_hybrid,
     "q39_similarity_topk": q39_similarity_topk,
     "q42_similarity_join": q42_similarity_join,
     "q57_ann_bucketed": q57_ann_bucketed,
