@@ -33,6 +33,27 @@ import os
 import statistics
 import time
 
+def _mat(df) -> int:
+    """Materialize a query result for timing; returns the row count.
+
+    Arrow ``toPandas()`` instead of ``collect()`` (round 7): both pull
+    every result row to the driver, but collect() builds a Python Row
+    object per row — measured 7.0 s of pure driver-side object
+    construction on q81's 1.5M-row result at 100x, versus 2.3 s for the
+    same rows as Arrow batches, while the engine time underneath was
+    3.5 s either way. Timing Row construction benchmarks the Python
+    driver, not the engine; at real scale results this large are written
+    to tables, not collected. Arrow transfer is the closest
+    driver-materialized proxy for that sink path. Queries with tiny
+    results (most of the suite) measure identically under both. The
+    change is recorded in the JSON as ``materialization: arrow`` — 1x
+    numbers before/after r7 are comparable for every aggregate-shaped
+    query; only the per-doc/per-chunk result queries (q81, q84) shed
+    driver overhead.
+    """
+    return len(df.toPandas())
+
+
 HEADLINE = [
     "q01_pricing_summary",      # scan + filter + hash agg (TPC-H Q1 shape)
     "q04_star_join_revenue",    # 5-way broadcast/SMJ star join
@@ -65,7 +86,7 @@ def main() -> None:
     # skipping map stages, so the number is honest end-to-end latency
     # (plan + run), the same thing the BASELINE.md duckdb rows measure.
     for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).collect()
+        _mat(QUERIES[name](spark, sf_dir))
 
     load_start = os.getloadavg()[0]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -75,7 +96,7 @@ def main() -> None:
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
+            _mat(QUERIES[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(runs), 4)
         spread[name] = {
@@ -120,9 +141,9 @@ def main() -> None:
     extras: dict[str, float] = {}
     for name in EXTRAS:
         try:
-            QUERIES[name](spark, sf_dir).collect()  # warm
+            _mat(QUERIES[name](spark, sf_dir))  # warm
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
+            _mat(QUERIES[name](spark, sf_dir))
             extras[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:
             extras[name] = f"error: {e}"[:120]
@@ -135,6 +156,7 @@ def main() -> None:
         "queries": times,
         "spread": spread,
         "protocol": f"median-of-{n_runs}",
+        "materialization": "arrow",
         "load_avg": {"start": round(load_start, 2), "end": None},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extras": extras,
@@ -151,9 +173,9 @@ def main() -> None:
         from pandas_streaming_spark.queries.streaming_q import q43_stream_tumbling
 
         n_events = pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows
-        q43_stream_tumbling(spark, sf_dir).collect()  # warm + build split cache
+        _mat(q43_stream_tumbling(spark, sf_dir))  # warm + build split cache
         t0 = time.perf_counter()
-        q43_stream_tumbling(spark, sf_dir).collect()
+        _mat(q43_stream_tumbling(spark, sf_dir))
         stream_sec = time.perf_counter() - t0
         result["streaming"] = {
             "query": "q43_stream_tumbling",
@@ -180,14 +202,14 @@ def main() -> None:
             )
             scale_dataset(spark, sf_dir, scaled_dir, factor)
             for name in HEADLINE:  # warm the scaled file listings
-                QUERIES[name](spark, scaled_dir).collect()
+                _mat(QUERIES[name](spark, scaled_dir))
             scaled_times: dict[str, float] = {}
             scaled_spread: dict[str, dict] = {}
             for name in HEADLINE:
                 runs = []
                 for _ in range(3):  # median-of-3: scaled runs cost seconds each
                     t0 = time.perf_counter()
-                    QUERIES[name](spark, scaled_dir).collect()
+                    _mat(QUERIES[name](spark, scaled_dir))
                     runs.append(time.perf_counter() - t0)
                 scaled_times[name] = round(statistics.median(runs), 4)
                 scaled_spread[name] = {
@@ -221,9 +243,9 @@ def main() -> None:
                     q43_stream_tumbling as q43s,
                 )
 
-                q43s(spark, scaled_dir).collect()  # warm + split cache
+                _mat(q43s(spark, scaled_dir))  # warm + split cache
                 t0 = time.perf_counter()
-                q43s(spark, scaled_dir).collect()
+                _mat(q43s(spark, scaled_dir))
                 amortized = round(n10 / (time.perf_counter() - t0))
                 result.setdefault("streaming", {})["events_per_sec_10x"] = (
                     amortized
@@ -284,7 +306,7 @@ def main() -> None:
                     skipped.append(name)  # no silent caps: record the cut
                     continue
                 t0 = time.perf_counter()
-                QUERIES[name](spark, dir100).collect()
+                _mat(QUERIES[name](spark, dir100))
                 times100[name] = round(time.perf_counter() - t0, 4)
             if skipped:  # budget already blown: plan checks would add minutes
                 inv = {"skipped_on_budget": True}
@@ -334,18 +356,18 @@ def main() -> None:
                     # a single warm sample flipped the comparison under
                     # accumulated load) — times100 stays the cold record
                     def timed3():
-                        q04(spark, dir100).collect()  # warm listings
+                        _mat(q04(spark, dir100))  # warm listings
                         runs = []
                         for _ in range(3):
                             t0 = time.perf_counter()
-                            rows = q04(spark, dir100).collect()
+                            n_rows = _mat(q04(spark, dir100))
                             runs.append(time.perf_counter() - t0)
-                        return round(statistics.median(runs), 4), rows
+                        return round(statistics.median(runs), 4), n_rows
 
                     default_warm_sec, _ = timed3()
                     was = set_scale_layout(False)
                     try:
-                        plain_sec, rows = timed3()
+                        plain_sec, n_rows = timed3()
                     finally:
                         set_scale_layout(was)
                     result["scaled100"]["bucketed"] = {
@@ -358,7 +380,7 @@ def main() -> None:
                         "n_buckets": 32,
                         "fact_join_exchange_free": exchange_free,
                         "default_path": "bucketed-layout (catalog-transparent)",
-                        "rows": len(rows),
+                        "rows": n_rows,
                     }
                 except Exception as e:
                     result["scaled100"]["bucketed"] = {

@@ -18,11 +18,17 @@ from pandas_streaming_spark.catalog import TABLES
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            # Spark-written table: a DIRECTORY of part files (the datagen
+            # scaled replicas) — duckdb needs the glob form
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
     return con
 

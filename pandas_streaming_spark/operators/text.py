@@ -103,7 +103,7 @@ def tf_idf(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_n: int = 3,
-    persist_tf: bool = False,
+    persist_tf: bool | str = "auto",
 ) -> DataFrame:
     """Per-document top-``top_n`` terms by smoothed TF-IDF.
 
@@ -124,16 +124,31 @@ def tf_idf(
     evaluated for both the TF and DF branches (no exchange reuse across
     them); ``persist_tf=True`` caches the TF table so the corpus is
     tokenized ONCE — the corpus-scale knob (VERDICT r4 item 6; measured
-    at 100× bench scale, see plans/scale_notes.md). Default off: at
-    small SF the cache round-trip can cost more than the second scan,
-    and the result is oracle-identical either way. At true 100 TB prefer
-    writing TF to a table over caching (survives executor loss).
+    at 100× bench scale, see plans/scale_notes.md). ``persist_tf="auto"``
+    (the default since round 7, VERDICT r6 item 3 — the same transparent
+    scale-knob pattern as the bucketed layouts) reads Catalyst's free
+    plan-size estimate of ``df``: corpora under ~32 MB skip the cache
+    (the round-trip costs more than the second scan at small SF),
+    larger ones persist; unknown statistics count as large. Result is
+    oracle-identical on every path. At true 100 TB prefer writing TF to
+    a table over caching (survives executor loss); the
+    ``SPARK_GRAFT_TFIDF_PERSIST`` env var (``0``/``1``) overrides auto.
 
     Determinism note: scores are exposed as ``tfidf_e6`` (rounded integer
     micro-units) and the ranking tie-breaks on term; distinct (tf, df)
     pairs differ by ≥ tf·ln((df+2)/(df+1)) ≫ 1 ulp, so Spark and a SQL
     oracle order identically despite independent ``ln`` implementations.
     """
+    if persist_tf == "auto":
+        import os
+
+        env = os.environ.get("SPARK_GRAFT_TFIDF_PERSIST")
+        if env is not None:
+            persist_tf = env not in ("0", "false", "")
+        else:
+            from pandas_streaming_spark.plans import plan_size_bytes
+
+            persist_tf = plan_size_bytes(df) >= 32 * 1024 * 1024
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     if persist_tf:

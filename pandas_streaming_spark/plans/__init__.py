@@ -17,6 +17,18 @@ def physical_plan(df: DataFrame) -> str:
     )
 
 
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan ``sizeInBytes`` estimate — file-footer
+    statistics for parquet scans, propagated through projections and
+    filters. FREE (no job runs); returns Long.Max-ish sentinels when
+    unknown (streams, local relations, Python sources), so cost gates
+    reading it should treat 'huge' as 'assume at-scale'. This is the
+    statistic behind every round-7 auto knob (as-of plan selection,
+    TF-IDF persist) — cost-based selection without a counting job."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    return int(str(stats.sizeInBytes()))
+
+
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     """True if the parquet scan carries a pushed-down filter mentioning
     ``fragment`` (Catalyst's PushedFilters list)."""
