@@ -137,6 +137,10 @@ def main() -> None:
         "q165_chained_stateful",     # stream join -> window, 2 state stores
         "q166_recursive_session",    # WITH RECURSIVE linked-list closure
         "q173_dynamic_session_gap",  # expression-valued session gap replay
+        "q177_constraint_audit",     # dbt-test archetypes, one summary frame
+        "q180_global_index",         # two-phase distributed zipWithIndex
+        "q181_bigram_lm_score",      # char-bigram LM perplexity filter
+        "q182_rrf_hybrid",           # lexical+vector reciprocal rank fusion
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

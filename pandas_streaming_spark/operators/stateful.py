@@ -47,6 +47,26 @@ RUNNING_STATS_OUT = StructType(
 )
 
 
+
+def _event_time_frame(pdfs: "Iterator[pd.DataFrame]") -> "pd.DataFrame | None":
+    """Concatenate a group's Arrow chunks and sort ONCE by event time
+    (ts, event_id). The per-group iterator of applyInPandasWithState can
+    split one micro-batch's rows at Arrow-batch boundaries
+    (maxRecordsPerBatch) with rows in arbitrary shuffle order; sorting
+    each chunk independently re-orders an order-sensitive fold at
+    exactly those cuts. At base bench sizes every group fit one chunk and
+    this was invisible — the round-7 10x axis (20k-row batches, one
+    state partition) exposed it. Memory bound: this key's rows in this
+    micro-batch (same bound the chunked fold already carried through its
+    emitted output). Returns None for an empty iterator (timeout calls).
+    """
+    frames = list(pdfs)
+    if not frames:
+        return None
+    out = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    return out.sort_values(["ts", "event_id"])
+
+
 def running_user_stats(events_stream: DataFrame) -> DataFrame:
     """Per-user running (count, max(value)) — the Q48 graded op.
 
@@ -307,9 +327,9 @@ def rolling_window_stream(events_stream: DataFrame, n: int) -> DataFrame:
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         ords, vals = ([], []) if not state.exists else [list(x) for x in state.get]
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_id")
-            out = []
+        pdf = _event_time_frame(pdfs)
+        out = []
+        if pdf is not None:
             for eid, v in zip(pdf["event_id"], pdf["value"]):
                 ords.append(int(eid))
                 vals.append(float(v))
@@ -317,7 +337,7 @@ def rolling_window_stream(events_stream: DataFrame, n: int) -> DataFrame:
                     ords.pop(0)
                     vals.pop(0)
                 out.append((key[0], int(eid), float(sum(vals)), len(vals)))
-            yield pd.DataFrame(out, columns=["user_id", "event_id", "win_sum", "win_count"])
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "win_sum", "win_count"])
         state.update((ords, vals))
 
     return events_stream.groupBy("user_id").applyInPandasWithState(
@@ -346,23 +366,26 @@ def ewm_stream(events_stream: DataFrame, alpha: float = 0.5) -> DataFrame:
     ``ewm(alpha, adjust=True)`` semantics), reference `ewm` op.
 
     State carries (numerator, denominator) of the adjusted EWM so any
-    batch split yields identical output — non-graded extra (no SQL
-    oracle; verified in unit tests against pandas)."""
+    batch split yields identical output. Fold order is EVENT TIME
+    ``(ts, event_id)`` — the replay split is time-contiguous (round 7),
+    so per-batch time order concatenated across batches IS the global
+    time order; sorting by id instead silently diverged from the oracle
+    the moment ids stopped being time-monotone (the 10x replica axis)."""
 
     def fold(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         num, den = state.get if state.exists else (0.0, 0.0)
         decay = 1.0 - alpha
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_id")
-            out_rows = []
+        pdf = _event_time_frame(pdfs)
+        out_rows = []
+        if pdf is not None:
             for eid, v in zip(pdf["event_id"], pdf["value"]):
                 num = num * decay + float(v)
                 den = den * decay + 1.0
                 out_rows.append((key[0], int(eid), num / den))
-            state.update((num, den))
-            yield pd.DataFrame(out_rows, columns=["user_id", "event_id", "ewm_value"])
+        state.update((num, den))
+        yield pd.DataFrame(out_rows, columns=["user_id", "event_id", "ewm_value"])
 
     return events_stream.groupBy("user_id").applyInPandasWithState(
         fold,
@@ -401,8 +424,8 @@ def funnel_stream(events_stream: DataFrame, stages: list[str]) -> DataFrame:
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         times = list(state.get[0]) if state.exists else []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_id")
+        pdf = _event_time_frame(pdfs)
+        if pdf is not None:
             for et, ts in zip(pdf["event_type"], pdf["ts"].astype("int64")):
                 k = len(times)
                 if k < n and et == stages[k] and (k == 0 or int(ts) > times[-1]):

@@ -161,9 +161,16 @@ def q134_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            # integer cents per line item, summed as longs: ROUND after a
+            # float SUM is still accumulation-order-dependent once enough
+            # terms stack up — at 10x the double error crossed the .005
+            # boundary and flipped a cent vs the oracle (10x axis, r7)
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0,
+                ).cast("long")
+            ).alias("revenue_cents"),
         )
         .orderBy("p_brand")
     )
@@ -737,7 +744,8 @@ ORDER BY user_id
     # nothing but the scan volume.
     "q134_bloom_prune": """
 SELECT p_brand, COUNT(*) AS n_items,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size <= 5
 GROUP BY p_brand ORDER BY p_brand

@@ -124,9 +124,19 @@ def q115_kafka_json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as f:
             f.write("ok")
 
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
-    n = pq.read_metadata(src).num_rows
+    # scaled replicas are Spark-written DIRECTORIES of part files
+    n = (
+        sum(
+            pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(src, "*.parquet"))
+        )
+        if os.path.isdir(src)
+        else pq.read_metadata(src).num_rows
+    )
     stream = kafka(
         spark,
         "events_json",

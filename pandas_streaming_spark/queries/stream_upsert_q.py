@@ -266,14 +266,21 @@ FROM j GROUP BY 1 ORDER BY w_start
 
 ORACLES["q173_dynamic_session_gap"] = """
 WITH e AS (
-  SELECT user_id, EPOCH_US(ts) AS ts_us,
+  -- event_id joins every ORDER BY: the 10x replicas make (ts_us,
+  -- end_us) massively tied, and duckdb's parallel window execution was
+  -- observed returning RUN-VARYING running-max frames over tied ROWS
+  -- orders (user 26 flipped 20/18 across identical invocations); a
+  -- unique total order removes the ambiguity without changing the
+  -- island semantics
+  SELECT user_id, event_id, EPOCH_US(ts) AS ts_us,
          EPOCH_US(ts) + CASE WHEN event_type = 'purchase'
                              THEN 1800000000 ELSE 600000000 END AS end_us
   FROM events
 ),
 m AS (
-  SELECT user_id, ts_us, end_us,
-         MAX(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, end_us
+  SELECT user_id, event_id, ts_us, end_us,
+         MAX(end_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, end_us, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING
                            AND 1 PRECEDING) AS prev_max_end
   FROM e
@@ -282,7 +289,7 @@ isl AS (
   SELECT user_id,
          SUM(CASE WHEN prev_max_end IS NULL OR ts_us >= prev_max_end
                   THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts_us, end_us
+           OVER (PARTITION BY user_id ORDER BY ts_us, end_us, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM m
 ),

@@ -736,8 +736,11 @@ ORDER BY p.user_id
     # the division num/den is performed on bit-identical operands.
     "q72_stream_ewm": """
 WITH RECURSIVE ordered AS (
+  -- fold order is event time, matching the replay's time-contiguous
+  -- batches (r7); event_id alone stops being time-monotone at 10x
   SELECT user_id, event_id, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
   FROM events
 ),
 rec AS (
@@ -788,10 +791,11 @@ ORDER BY grp
 ORACLES["q117_stream_rolling"] = """
 SELECT user_id, event_id,
        CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
-            OVER (PARTITION BY user_id ORDER BY event_id
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
          AS win_sum_cents,
-       CAST(LEAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id),
+       CAST(LEAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
                   5) AS BIGINT) AS win_count
 FROM events
 ORDER BY user_id, event_id

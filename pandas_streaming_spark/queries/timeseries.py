@@ -183,7 +183,7 @@ def q126_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("v"),
     )
-    out = interpolate_linear(e, "user_id", "ts", "v")
+    out = interpolate_linear(e, "user_id", "ts", "v", tiebreak_col="event_id")
     return out.select("user_id", "event_id", "interp_e4").orderBy(
         "user_id", "event_id"
     )
@@ -412,17 +412,22 @@ nb AS (
          FIRST_VALUE(v IGNORE NULLS) OVER wn AS next_v,
          FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS next_t
   FROM base
-  WINDOW wp AS (PARTITION BY user_id ORDER BY ts
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         wn AS (PARTITION BY user_id ORDER BY ts
+         wn AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, event_id,
        CAST(ROUND(
          CASE WHEN v IS NOT NULL THEN v * 1e4
               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                   AND next_t <> prev_t
               THEN prev_v * 1e4
                    + (next_v - prev_v) * 1e4 * (t - prev_t) / (next_t - prev_t)
+              -- zero gap (tied timestamps): carry prev, mirroring the
+              -- engine's guarded branch
+              WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+              THEN prev_v * 1e4
          END, 0) AS BIGINT) AS interp_e4
 FROM nb
 ORDER BY user_id, event_id

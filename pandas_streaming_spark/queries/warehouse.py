@@ -164,11 +164,18 @@ def q146_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    # rank on integer basis points, not the raw double: the raw per-doc
+    # sums differ by ULPs with aggregation order (identical replica docs
+    # at 10x got effectively-random rank order despite the doc_id
+    # tie-break, because no two raw scores ever compared equal)
+    scored = scored.withColumn(
+        "score_e4", F.round(F.col("score") * 1e4, 0).cast("long")
+    )
+    w = Window.orderBy(F.col("score_e4").desc(), "doc_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _BM25_TOPK)
-        .select("rank", "doc_id", F.round("score", 4).alias("bm25"))
+        .select("rank", "doc_id", F.col("score_e4").alias("bm25_e4"))
         .orderBy("rank")
     )
 
@@ -643,9 +650,10 @@ scored AS (
           JOIN dl ON tf.doc_id = dl.doc_id, ad
   GROUP BY tf.doc_id
 )
-SELECT rank, doc_id, ROUND(score, 4) AS bm25 FROM (
-  SELECT doc_id, score,
-         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+SELECT rank, doc_id, bm25_e4 FROM (
+  SELECT doc_id, CAST(ROUND(score * 1e4, 0) AS BIGINT) AS bm25_e4,
+         ROW_NUMBER() OVER (ORDER BY CAST(ROUND(score * 1e4, 0) AS BIGINT)
+                              DESC, doc_id) AS rank
   FROM scored
 ) WHERE rank <= 10 ORDER BY rank
 """,

@@ -218,9 +218,9 @@ def test_ewm_stream_matches_pandas(spark, sf_dir):
 
     ev = (
         load_table(spark, sf_dir, "events")
-        .select("user_id", "event_id", "value")
+        .select("user_id", "ts", "event_id", "value")
         .toPandas()
-        .sort_values(["user_id", "event_id"])
+        .sort_values(["user_id", "ts", "event_id"])  # event-TIME fold order
     )
     expected = (
         ev.assign(
@@ -228,7 +228,8 @@ def test_ewm_stream_matches_pandas(spark, sf_dir):
                 lambda s: s.ewm(alpha=0.5, adjust=True).mean()
             )
         )
-        .drop(columns="value")
+        .drop(columns=["value", "ts"])
+        .sort_values(["user_id", "event_id"])
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(
