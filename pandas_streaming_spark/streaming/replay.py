@@ -242,15 +242,26 @@ def run_stream_to_df(
     real scale pick ~(state size / ~100 MB) partitions; the conf is
     restored after the run either way.
 
-    ``final_batch_id``: complete-mode fast path (VERDICT r5 item 5).
-    Complete mode re-emits the ENTIRE state every trigger, but only the
-    final snapshot is the answer — when the caller knows the batch count
-    (the replay splits are files it wrote), intermediate triggers run
-    through Spark's ``noop`` sink: the batch plan executes FULLY
-    (state updates and commits — verified bit-identical final state),
-    only the k-1 redundant full-state parquet rewrites are skipped.
-    Everything stays executor-side; ignored for append/update, whose
-    every batch IS output.
+    ``final_batch_id``: retained for API compatibility, now a no-op.
+    The r5 noop fast path existed to skip k-1 redundant complete-mode
+    full-state parquet rewrites; the r7 native memory sink (below) never
+    writes parquet at all, so there is nothing left to skip.
+
+    Sink selection (round 7, VERDICT r6 item 5): ``complete`` and
+    ``append`` run through JVM-NATIVE sinks (the in-memory snapshot sink
+    and the file-stream parquet sink respectively) instead of
+    ``foreachBatch`` — a Python ``foreachBatch`` callback costs a
+    Py4J round-trip plus a Python-side plan build on EVERY trigger,
+    which at replay batch sizes was a measurable slice of the
+    ~250-400 ms/trigger floor. With native sinks the whole trigger loop
+    (planning, state commit, sink write) stays in the JVM. ``update``
+    keeps ``foreachBatch`` — it must stamp each batch's rows with the
+    batch id for last-writer-wins resolution, which no built-in sink
+    records. The complete-mode memory sink holds the final snapshot in
+    driver memory: that is exactly the frame every caller materializes
+    anyway (complete-mode state is aggregated, orders of magnitude
+    smaller than the stream), and the append path still spills
+    executor-side.
 
     The result is local-checkpointed so the spill dir can be deleted.
     """
@@ -269,31 +280,43 @@ def run_stream_to_df(
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
 
-    # foreachBatch runs driver-side, so a mutable closure records what the
-    # sink actually did: if the final_batch_id fast path is ever wrong (batch
-    # ids never reach it), we must fail loudly, not return an empty frame.
-    progress = {"max_batch_id": -1, "final_written": False}
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        progress["max_batch_id"] = max(progress["max_batch_id"], batch_id)
-        if output_mode == "complete":
-            if final_batch_id is not None and batch_id < final_batch_id:
-                batch_df.write.format("noop").mode("overwrite").save()
-            else:
-                batch_df.write.mode("overwrite").parquet(spill)
-                progress["final_written"] = True
-        elif output_mode == "append":
-            batch_df.write.mode("append").parquet(spill)
-        else:  # update
+    mem_name = None
+    if output_mode == "complete":
+        # JVM-native snapshot sink: every trigger truncate+inserts the
+        # current full state into a driver-side in-memory table; no
+        # Python callback, no parquet rewrites, and the final_batch_id
+        # fast-path bookkeeping is moot (nothing redundant is written
+        # beyond the small state itself). Supersedes the r5 noop fast
+        # path AND its loud-failure guard: the last trigger's snapshot
+        # IS the table, there is no "skipped final write" hazard.
+        mem_name = f"replay_mem_{uuid.uuid4().hex[:8]}"
+        w = (
+            stream_df.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(mem_name)
+            .option("checkpointLocation", chkpt)
+        )
+    elif output_mode == "append":
+        # JVM-native file sink: executor tasks append each trigger's new
+        # rows straight to the spill dir (with a _spark_metadata commit
+        # log), no per-trigger Python.
+        w = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", spill)
+            .option("checkpointLocation", chkpt)
+        )
+    else:  # update: foreachBatch, the only sink that can stamp batch ids
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
                 "append"
             ).parquet(spill)
 
-    w = (
-        stream_df.writeStream.outputMode(output_mode)
-        .foreachBatch(sink)
-        .option("checkpointLocation", chkpt)
-    )
+        w = (
+            stream_df.writeStream.outputMode(output_mode)
+            .foreachBatch(sink)
+            .option("checkpointLocation", chkpt)
+        )
     ok = False
     try:
         if trigger == "available_now":
@@ -319,22 +342,14 @@ def run_stream_to_df(
         shutil.rmtree(chkpt, ignore_errors=True)
         if not ok:
             shutil.rmtree(spill, ignore_errors=True)
+            if mem_name is not None:
+                spark.catalog.dropTempView(mem_name)
 
-    if (
-        output_mode == "complete"
-        and final_batch_id is not None
-        and progress["max_batch_id"] >= 0
-        and not progress["final_written"]
-    ):
-        # the fast path skipped every write: final_batch_id was overestimated
-        # (batch ids stopped short). Silent empty results are worse than a
-        # loud failure here.
+    if output_mode == "complete":
+        out = spark.table(mem_name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(mem_name)
         shutil.rmtree(spill, ignore_errors=True)
-        raise RuntimeError(
-            f"run_stream_to_df: complete-mode replay ended at batch "
-            f"{progress['max_batch_id']} without reaching final_batch_id="
-            f"{final_batch_id}; the final snapshot was never written"
-        )
+        return out
 
     if not glob.glob(os.path.join(spill, "*.parquet")):
         shutil.rmtree(spill, ignore_errors=True)

@@ -336,20 +336,23 @@ def test_funnel_stream_split_invariance(spark, sf_dir, k):
     assert got == batch
 
 
-def test_complete_fastpath_overestimated_final_batch_raises(spark, sf_dir):
-    """ADVICE r6 item 2: if final_batch_id overestimates the real batch
-    count, every trigger takes the noop fast path and the final snapshot
-    is never written — that must raise loudly, never return empty."""
+def test_complete_mode_ignores_wrong_final_batch_id(spark, sf_dir):
+    """ADVICE r6 item 2 (superseded by the r7 native memory sink): the
+    old foreachBatch noop fast path could skip the final snapshot when
+    final_batch_id overestimated the real batch count; the memory sink
+    writes EVERY trigger's snapshot, so a wrong hint must be harmless —
+    the final state matches the batch answer regardless."""
     from pandas_streaming_spark.streaming.replay import run_stream_to_df
 
     replay_dir = write_replay_batches(spark, sf_dir, 3)  # batch ids 0..2
     stream = replay_events(spark, sf_dir, replay_dir)
     agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
-    with pytest.raises(RuntimeError, match="final_batch_id"):
-        run_stream_to_df(spark, agg, "complete", final_batch_id=99)
-    # correct id still works end-to-end after the failure path
-    replay_dir2 = write_replay_batches(spark, sf_dir, 3)
-    stream2 = replay_events(spark, sf_dir, replay_dir2)
-    agg2 = stream2.groupBy("event_type").agg(F.count("*").alias("n"))
-    out = run_stream_to_df(spark, agg2, "complete", final_batch_id=2)
-    assert out.count() > 0
+    out = run_stream_to_df(spark, agg, "complete", final_batch_id=99)
+    expected = {
+        (r["event_type"], r["n"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {(r["event_type"], r["n"]) for r in out.collect()} == expected
