@@ -216,7 +216,14 @@ def asof_join_auto(
 
     env = os.environ.get("SPARK_GRAFT_ASOF_AUTO_THRESHOLD")
     if env is not None:
-        threshold = int(env)
+        try:
+            threshold = int(env)
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_ASOF_AUTO_THRESHOLD must be a plain integer "
+                f"byte count (got {env!r}); e.g. 134217728 for 128 MB, "
+                "0 to force the bucketed plan"
+            ) from None
     elif threshold_bytes is not None:
         threshold = threshold_bytes
     else:

@@ -25,8 +25,27 @@ tiebreak column; the function enforces nothing it can't see.
 
 from __future__ import annotations
 
+from typing import Callable, NamedTuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+class GlobalIndex(NamedTuple):
+    """Result of :func:`global_index`: the indexed frame plus an explicit
+    ``release()`` that unpersists the internal boundary pin.
+
+    The pin is REQUIRED for correctness while ``df`` (or anything derived
+    from it) is still being evaluated — repartitionByRange re-samples its
+    boundaries per execution, so an unpinned plan's two subtrees (counts
+    and output) can see different partitionings. Call ``release()`` only
+    after the indexed result has been materialized (collected, written,
+    or ``localCheckpoint(eager=True)``-ed). The explicit tuple replaces a
+    round-7 dynamic ``_gi_pinned`` attribute that any ``withColumn``/
+    ``groupBy`` silently dropped, leaving the cache unreleasable."""
+
+    df: DataFrame
+    release: Callable[[], None]
 
 
 def global_index(
@@ -34,12 +53,15 @@ def global_index(
     order_cols: list[str],
     index_col: str = "__idx",
     num_partitions: int | None = None,
-) -> DataFrame:
+) -> GlobalIndex:
     """Append ``index_col``: the 0-based global rank of each row under
     ``ORDER BY order_cols`` — without a single-partition sort.
 
     One range exchange of the data + one tiny (|partitions|-row)
     aggregate broadcast back; the per-partition window sorts locally.
+    Returns :class:`GlobalIndex` — ``.df`` is the indexed frame,
+    ``.release()`` unpersists the boundary pin once a downstream result
+    is materialized.
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -73,7 +95,7 @@ def global_index(
         )
         .drop("__gi_pid", "__gi_off")
     )
-    # hand callers the pinned frame so long-lived pipelines can unpersist
-    # once the indexed result is materialized downstream
-    out._gi_pinned = p
-    return out
+    def _release() -> None:
+        p.unpersist()
+
+    return GlobalIndex(out, _release)

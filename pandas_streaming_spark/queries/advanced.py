@@ -500,13 +500,18 @@ def q180_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnels 100 TB through one task). Graded by per-priority count +
     sum/min/max of the assigned index: any single misassignment anywhere
     shifts a sum. The oracle re-derives the rank with the window form —
-    same semantics, different (small-data-only) plan."""
+    same semantics, different (small-data-only) plan.
+
+    The ≤5-row aggregate is eagerly localCheckpoint-ed so the operator's
+    boundary pin (a persisted copy of the full input) can be released
+    before returning — one-shot callers must not leak session-lifetime
+    executor storage (ADVICE r7)."""
     from pandas_streaming_spark.operators.indexing import global_index
 
     o = _t(spark, sf_dir, "orders")
-    idx = global_index(o, ["o_orderkey"], "row_idx")
-    return (
-        idx.groupBy("o_orderpriority")
+    gi = global_index(o, ["o_orderkey"], "row_idx")
+    out = (
+        gi.df.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
             F.sum("row_idx").cast("long").alias("sum_idx"),
@@ -514,7 +519,10 @@ def q180_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("row_idx").cast("long").alias("max_idx"),
         )
         .orderBy("o_orderpriority")
+        .localCheckpoint(eager=True)
     )
+    gi.release()
+    return out
 
 
 QUERIES = {

@@ -316,7 +316,19 @@ def q181_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong-language / binary-noise tail a perplexity filter cuts. Graded
     per language: doc count, exact long total of per-doc logprob sums,
     total bigram count, and the ratio in e2 units derived from the two
-    exact longs."""
+    exact longs.
+
+    Cross-engine boundary argument (ADVICE r7): the only float in the
+    grade is ``ROUND(1e6 * ln(cnt_bg/cnt_pfx))``. Spark's Math.log and
+    duckdb's libm ln are each within 1 ulp, so the engines' scaled
+    values differ by at most |x|·2⁻⁵² ≤ 12e6 · 2.2e-16 ≈ 3e-9 (|ln r|
+    ≤ ~12 for any count ratio these fixtures can produce). The round
+    can therefore only disagree if some bigram's scaled logprob lies
+    within 3e-9 of a .5 boundary — so the query AUDITS the model
+    (broadcast-scale, ≤|alphabet|² rows) and fails fast if any distinct
+    ratio's distance to the nearest boundary is < 1e-6 (300× the drift
+    bound), turning a would-be silent hash mismatch into a loud error
+    on any future fixture that violates separation."""
     d = _t(spark, sf_dir, "documents")
     bi = d.select(
         "doc_id",
@@ -330,13 +342,27 @@ def q181_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__pfx", F.substring("__bg", 1, 1))
     )
     prefix = model.groupBy("__pfx").agg(F.sum("__cnt_bg").alias("__cnt_pfx"))
-    model = model.join(prefix, "__pfx").select(
-        "__bg",
-        F.round(
-            F.lit(1e6) * F.log(F.col("__cnt_bg") / F.col("__cnt_pfx")), 0
+    scaled = F.lit(1e6) * F.log(F.col("__cnt_bg") / F.col("__cnt_pfx"))
+    # materialize the ≤|alphabet|²-row model once — the audit and the
+    # scoring join both read it, and without this the full corpus
+    # explode+aggregate would run twice
+    joined = model.join(prefix, "__pfx").localCheckpoint(eager=True)
+    # quantization-separation audit — see docstring; exact-ratio terms
+    # (cnt_bg == cnt_pfx → x = 0, distance 0.5) are the far case, not a
+    # violation
+    min_sep = joined.agg(
+        F.min(F.abs(scaled - F.floor(scaled) - F.lit(0.5))).alias("d")
+    ).first()["d"]
+    if min_sep is not None and min_sep < 1e-6:
+        raise ValueError(
+            f"q181 fixture violates rounding separation: a bigram logprob "
+            f"sits {min_sep:.2e} from a .5 micro-unit boundary (< 1e-6); "
+            "cross-engine ulp drift could flip the grade — regenerate the "
+            "fixture or coarsen the quantization"
         )
-        .cast("long")
-        .alias("__lp_e6"),
+    model = joined.select(
+        "__bg",
+        F.round(scaled, 0).cast("long").alias("__lp_e6"),
     )
     per_doc = (
         bi.join(F.broadcast(model), "__bg")

@@ -137,8 +137,8 @@ def _write_replay_batches(
     n = ev.count()
     # global event-time rank (ts, event_id unique composite), then the
     # same proportional cut as the original id rule — see module docstring
-    ranked = global_index(ev, ["ts", "event_id"], "__rank")
-    df = ranked.withColumn(
+    gi = global_index(ev, ["ts", "event_id"], "__rank")
+    df = gi.df.withColumn(
         "__b", F.expr(f"CAST((__rank * {k}) DIV {n} AS INT)")
     ).drop("__rank")
     if dup_every:
@@ -179,7 +179,7 @@ def _write_replay_batches(
             _write_single_file(flush, os.path.join(out_dir, "batch_9999.parquet"))
     finally:
         df.unpersist()
-        ranked._gi_pinned.unpersist()  # global_index's boundary pin
+        gi.release()  # global_index's boundary pin
     return out_dir
 
 
@@ -318,6 +318,7 @@ def run_stream_to_df(
             .option("checkpointLocation", chkpt)
         )
     ok = False
+    q = None
     try:
         if trigger == "available_now":
             q = w.trigger(availableNow=True).start()
@@ -334,6 +335,15 @@ def run_stream_to_df(
             raise ValueError(f"unknown trigger {trigger!r}")
         ok = True
     finally:
+        if not ok and q is not None:
+            # stop a still-live query BEFORE deleting its checkpoint/sink —
+            # an interrupt/timeout mid-awaitTermination must not leave it
+            # running against a removed checkpoint dir (ADVICE r7)
+            try:
+                q.stop()
+                q.awaitTermination(30)
+            except Exception:
+                pass
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

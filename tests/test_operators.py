@@ -775,8 +775,11 @@ def test_global_index_matches_window_rank(spark):
     rows = [(rng.randrange(10**12) * 2 + (i % 2), i) for i in range(5000)]
     rows = list({(k, v) for k, v in rows})  # unique keys = total order
     df = spark.createDataFrame(rows, "k long, v long").repartition(16)
-    out = global_index(df, ["k"], "idx")
-    got = {r["k"]: r["idx"] for r in out.collect()}
+    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    gi = global_index(df, ["k"], "idx")
+    got = {r["k"]: r["idx"] for r in gi.df.collect()}
     expect = {k: i for i, (k, _) in enumerate(sorted(rows))}
     assert got == expect
-    out._gi_pinned.unpersist()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() > baseline
+    gi.release()  # explicit contract (ADVICE r7) — the pin must be gone
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == baseline

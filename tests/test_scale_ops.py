@@ -161,6 +161,25 @@ def test_q11_auto_gate_picks_plain_at_small_scale(spark, sf_dir, monkeypatch):
     assert normalize(plain_pdf) == normalize(bucketed_pdf)
 
 
+def test_asof_auto_rejects_malformed_threshold_env(spark, monkeypatch):
+    """A malformed SPARK_GRAFT_ASOF_AUTO_THRESHOLD must raise a clear
+    configuration error naming the env var, not a bare int() ValueError
+    deep inside a graded query (ADVICE r7)."""
+    import pytest
+
+    from pandas_streaming_spark.operators.asof import asof_join_auto
+
+    left = spark.createDataFrame([(1, 10.0)], "k long, t double")
+    right = spark.createDataFrame([(1, 5.0, 2.0)], "k long, rt double, v double")
+    for bad in ("", "128MB", "1e6"):
+        monkeypatch.setenv("SPARK_GRAFT_ASOF_AUTO_THRESHOLD", bad)
+        with pytest.raises(ValueError, match="SPARK_GRAFT_ASOF_AUTO_THRESHOLD"):
+            asof_join_auto(
+                left, right, key="k", left_time="t", right_time="rt",
+                value_cols=["v"], bucket_seconds=100.0,
+            )
+
+
 def test_asof_auto_unknown_stats_pick_bucketed(spark):
     """Inputs with no usable size statistics (createDataFrame locals
     report huge/unknown) must fall to the bucketed plan — the safe
