@@ -39,6 +39,21 @@ def test_stream_final_state_matches_batch_oracle(spark, sf_dir, name):
     assert res.ok, res.detail
 
 
+def test_stream_catchup_equals_protocol(spark, sf_dir):
+    """Trigger-batching invariance: replaying the SAME k=5 split with no
+    maxFilesPerTrigger cap (availableNow catch-up — the bench's
+    events_per_sec_catchup shape) must yield the identical final state as
+    the one-file-per-trigger protocol. Same invariant family as batch-
+    split invariance, along the trigger axis instead of the split axis."""
+    from pandas_streaming_spark.queries.streaming_q import q43_stream_tumbling
+
+    protocol = normalize(q43_stream_tumbling(spark, sf_dir).toPandas())
+    catchup = normalize(
+        q43_stream_tumbling(spark, sf_dir, catchup=True).toPandas()
+    )
+    assert protocol == catchup
+
+
 @pytest.mark.parametrize("k", [1, 5, 20])
 def test_batch_split_invariance_tumbling(spark, sf_dir, k):
     """Tumbling-window counts must not depend on how the stream is split."""
@@ -342,6 +357,7 @@ def test_complete_mode_ignores_wrong_final_batch_id(spark, sf_dir):
     final_batch_id overestimated the real batch count; the memory sink
     writes EVERY trigger's snapshot, so a wrong hint must be harmless —
     the final state matches the batch answer regardless."""
+    from pandas_streaming_spark.catalog import load_table
     from pandas_streaming_spark.streaming.replay import run_stream_to_df
 
     replay_dir = write_replay_batches(spark, sf_dir, 3)  # batch ids 0..2
