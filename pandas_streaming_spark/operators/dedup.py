@@ -19,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandas_streaming_spark.functions import shingles_of, tokens
@@ -501,3 +501,104 @@ def connected_components(
             break
         prev = cur
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def prefix_filter_simjoin(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs candidate-generation family — Bayardo et al. WWW'07,
+    Xiao et al. WWW'08 — reconstructed from the published algorithm):
+    every doc pair with k-shingle Jaccard >= ``threshold``, with NO
+    probabilistic misses, without the all-shared-token pair explosion of
+    a plain inverted-index join.
+
+    Construction (all DataFrame ops, no driver loops):
+
+    1. distinct k-word shingles per doc; per-shingle document frequency;
+    2. canonical GLOBAL rarity order (df asc, shingle asc — a total
+       order, so every engine ranks identically);
+    3. per doc of size n, index only its PREFIX: the first
+       ``n - ceil(t*n) + 1`` shingles in rarity order. Any pair with
+       Jaccard >= t has intersection >= ceil(t * max(na, nb)), so
+       skipping the last ceil(t*n) - 1 shingles of each doc cannot skip
+       every shared shingle — two qualifying docs MUST collide on at
+       least one indexed prefix shingle (the standard prefix-filter
+       exactness argument);
+    4. candidates = equi-join on prefix shingles (rarest shingles ->
+       smallest buckets, the opposite end of the df spectrum from the
+       stopword-like shingles a naive inverted index floods on), plus
+       the length filter min(na, nb) >= t * max(na, nb);
+    5. exact verification of candidates only: intersection counts via
+       the shingle join, Jaccard = common / (na + nb - common).
+
+    Scale shape: one shuffle on shingle for df counts, one per-doc
+    window for prefix positions, candidate join keyed on rare shingles,
+    verify join bounded by the candidate set. No crossJoin, no
+    all-pairs stage at any size. Returns
+    (id_a, id_b, common, na, nb, jaccard).
+    """
+    sh = (
+        _exploded_shingles(df, id_col, text_col, k)
+        .select(F.col(id_col), F.col("__sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
+    tok_df = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "__sh")
+    ranked = (
+        sh.join(tok_df, "__sh")
+        .withColumn("__pos", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    # conservative float guard: ceil(t*n) computed one too HIGH (t*n is
+    # inexact in binary; e.g. 0.8*5 can land an ulp above 4.0) would
+    # shorten the prefix and silently MISS a qualifying pair. Biasing the
+    # argument down by an epsilon only ever lengthens the prefix — extra
+    # candidates are discarded by the exact verify, missed ones are
+    # unrecoverable.
+    prefix = ranked.filter(
+        F.col("__pos")
+        <= F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + 1
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "__sh", F.col("__n").alias("na")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "__sh", F.col("__n").alias("nb")
+    )
+    cand = (
+        a.join(b, "__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(  # same epsilon direction: never prune a borderline pair
+            F.least("na", "nb")
+            >= F.lit(threshold) * F.greatest("na", "nb") - F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sha = sh.select(F.col(id_col).alias("id_a"), "__sh")
+    shb = sh.select(F.col(id_col).alias("id_b"), "__sh")
+    common = (
+        cand.join(sha, "id_a")
+        .join(shb, ["id_b", "__sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("nb"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -34,6 +34,7 @@ from pandas_streaming_spark.queries import (
     quality,
     curation,
     dedup_q,
+    ingest,
     kafka_q,
     llm,
     scalarfn,
@@ -54,7 +55,7 @@ _ALL_ORACLES: dict[str, str] = {}
 for mod in (
     tpch, analytic, timeseries, scalarfn, llm, dedup_q, textq, vectors,
     streaming_q, kafka_q, stream_upsert_q, udf_q, curation, advanced, warehouse,
-    quality,
+    quality, ingest,
 ):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLES.update({k: v for k, v in mod.ORACLES.items() if v is not None})
@@ -244,6 +245,12 @@ _EXTRAS = [
     "q180_global_index",
     "q181_bigram_lm_score",
     "q182_rrf_hybrid",
+    "q183_prefix_filter_simjoin",
+    "q184_incremental_mv",
+    "q185_gopher_rules",
+    "q186_group_split",
+    "q187_schema_evolution",
+    "q188_time_decay_score",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -115,7 +115,47 @@ def q80_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q186_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP-level train/val/test split: the split key is
+    the md5 bucket of the ``source`` (domain) rather than the row id, so
+    every document of one source lands in one split — the standard
+    defense against near-duplicate leakage across splits (same-domain
+    pages are correlated; a row-level split like q75 puts siblings in
+    train AND test). Reuses operators/sampling.hash_split verbatim with
+    the group column as the id — co-assignment falls out of hash
+    determinism, no extra machinery. The result carries an in-query
+    leakage AUDIT row (sources spanning >1 split — structurally zero,
+    and the oracle re-derives it): a split tool that cannot prove its
+    own leakage-freedom is not a leakage-safe split tool. Scale: one
+    narrow md5 projection + one aggregate; no shuffle on the fact rows
+    beyond the groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = hash_split(docs, "source", {"train": 80, "val": 10, "test": 10})
+    per_split = s.groupBy("split").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    leak = (
+        s.groupBy("source")
+        .agg(F.countDistinct("split").alias("__k"))
+        .agg(
+            F.sum(F.when(F.col("__k") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sources")
+        )
+        .select(
+            F.lit("zz_leaked_sources").alias("split"),
+            "n_sources",
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("sum_chars"),
+        )
+    )
+    return per_split.unionByName(leak).orderBy("split")
+
+
 QUERIES = {
+    "q186_group_split": q186_group_split,
     "q74_deterministic_sample": q74_deterministic_sample,
     "q75_hash_split": q75_hash_split,
     "q76_cap_per_source": q76_cap_per_source,
@@ -125,6 +165,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q186_group_split": f"""
+WITH b AS (
+  SELECT source, n_chars, {_BUCKET_SQL.format(id="source")} AS bucket
+  FROM documents
+), s AS (
+  SELECT source, n_chars,
+         CASE WHEN bucket < 10 THEN 'test'
+              WHEN bucket < 90 THEN 'train'
+              ELSE 'val' END AS split
+  FROM b
+)
+SELECT split, COUNT(DISTINCT source) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split
+UNION ALL
+SELECT 'zz_leaked_sources',
+       (SELECT COUNT(*) FROM
+         (SELECT source FROM s GROUP BY source
+          HAVING COUNT(DISTINCT split) > 1)),
+       0, 0
+ORDER BY split
+""",
     "q74_deterministic_sample": f"""
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents

@@ -16,6 +16,7 @@ from pandas_streaming_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    prefix_filter_simjoin,
     simhash_audit,
     simhash_fingerprints,
 )
@@ -65,6 +66,37 @@ def q52_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Text-analysis extras
 # ---------------------------------------------------------------------------
+
+
+def q183_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join at Jaccard >= 0.6 over 3-word shingles,
+    via PPJoin-style prefix filtering (operators/dedup.py
+    prefix_filter_simjoin): only each doc's rarest
+    ``n - ceil(t*n) + 1`` shingles are indexed, so the candidate join
+    runs on the small-bucket end of the shingle df spectrum — unlike
+    LSH (q50) there are no probabilistic misses, and unlike the plain
+    inverted index (q52) the join never floods on stopword-like
+    shingles. The duckdb oracle is the brute-force inverted-index form:
+    any candidate the prefix filter missed (or extra pair it invented)
+    hash-mismatches the full pair list. jac_e6 is ROUND over the same
+    IEEE division both engines compute on identical integers."""
+    pairs = prefix_filter_simjoin(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.6
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.col("common").cast("long").alias("n_common"),
+            (F.col("na") + F.col("nb") - F.col("common"))
+            .cast("long")
+            .alias("n_union"),
+            F.round(F.lit(1e6) * F.col("jaccard"), 0)
+            .cast("long")
+            .alias("jac_e6"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q82_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,6 +258,7 @@ QUERIES = {
     "q50_lsh_candidate_pairs": q50_lsh_candidate_pairs,
     "q51_simhash": q51_simhash,
     "q52_ngram_jaccard": q52_ngram_jaccard,
+    "q183_prefix_filter_simjoin": q183_prefix_filter_simjoin,
     "q82_dedup_clusters": q82_dedup_clusters,
     "q104_chunk_dedup_pipeline": q104_chunk_dedup_pipeline,
     "q109_lsh_audit": q109_lsh_audit,

@@ -1,0 +1,122 @@
+"""Ingest-surface queries (round 8): schema evolution across parquet
+epochs — the §2.1 batch-I/O surface a long-lived 100 TB lake actually
+has (columns appear over time; old files never get rewritten).
+
+House rules unchanged: aliases match the duckdb SQL exactly; numeric
+outputs exact integers or identical-arithmetic doubles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.catalog import load_table
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _evolved_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once, content-keyed cache) a two-epoch parquet layout of
+    the orders table under ``.scratch``:
+
+    - ``epoch=0``: odd order keys, WITHOUT the late column;
+    - ``epoch=1``: even order keys, WITH a new ``channel`` column
+      (derived deterministically from o_custkey).
+
+    This is the real shape of a lake that added a column mid-history —
+    per-file schemas genuinely differ, which is exactly what
+    ``mergeSchema`` exists for. Executor tasks write the files; the
+    driver only manages the cache marker."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|schema-evo-v1".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(_SCRATCH, f"schema-evo-{key}")
+    marker = os.path.join(out_dir, "_OK")
+    if os.path.exists(marker):
+        return out_dir
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    o = _t(spark, sf_dir, "orders")
+    e0 = o.filter(F.col("o_orderkey") % 2 == 1)
+    e1 = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "channel", F.concat(F.lit("c"), (F.col("o_custkey") % 3).cast("string"))
+    )
+    e0.write.mode("overwrite").parquet(os.path.join(tmp, "epoch=0"))
+    e1.write.mode("overwrite").parquet(os.path.join(tmp, "epoch=1"))
+    with open(os.path.join(tmp, "_OK"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        if not os.path.exists(marker):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            try:
+                os.rename(tmp, out_dir)
+            except OSError:
+                return tmp
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def q187_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (§2.1): a two-epoch parquet layout whose
+    files have DIFFERENT physical schemas (``channel`` exists only in
+    epoch 1) is read back with ``mergeSchema=true`` + partition
+    discovery; epoch-0 rows surface the late column as NULL. Graded per
+    (epoch, channel): counts and exact cents — the oracle re-derives
+    both the epoch rule and the late column from the raw table, so a
+    reader that dropped the extra column, non-NULLed the old epoch, or
+    lost rows at the schema seam mismatches. Scale: mergeSchema's cost
+    is footer-only schema union across files; the scan itself stays
+    pruned and pushed down like any parquet read."""
+    layout = _evolved_layout(spark, sf_dir)
+    # partition discovery yields the epoch column from the dir names (the
+    # _OK cache marker is underscore-hidden to Spark); mergeSchema unions
+    # the per-file schemas so epoch-0 rows carry channel = NULL
+    df = spark.read.option("mergeSchema", "true").parquet(layout)
+    df = df.withColumn("epoch", F.col("epoch").cast("int"))
+    return (
+        df.groupBy("epoch", "channel")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .orderBy("epoch", "channel")
+    )
+
+
+QUERIES = {
+    "q187_schema_evolution": q187_schema_evolution,
+}
+
+ORACLES = {
+    "q187_schema_evolution": """
+WITH e AS (
+  SELECT CASE WHEN o_orderkey % 2 = 1 THEN 0 ELSE 1 END AS epoch,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN 'c' || CAST(o_custkey % 3 AS VARCHAR) END AS channel,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT epoch, channel, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY epoch, channel
+ORDER BY epoch, channel
+""",
+}

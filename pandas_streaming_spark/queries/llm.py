@@ -315,6 +315,24 @@ FROM bits
 ORDER BY doc_id
 LIMIT 100
 """,
+    "q183_prefix_filter_simjoin": f"""
+WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(c AS BIGINT) AS n_common,
+       CAST(na.n + nb.n - c AS BIGINT) AS n_union,
+       CAST(ROUND(1e6 * c / (na.n + nb.n - c), 0) AS BIGINT) AS jac_e6
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE 1.0 * c / (na.n + nb.n - c) >= 0.6
+ORDER BY id_a, id_b
+""",
     "q52_ngram_jaccard": f"""
 WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

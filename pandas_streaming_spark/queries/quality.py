@@ -84,11 +84,125 @@ def q177_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q185_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery (Rae et al. 2021's filter
+    archetypes re-expressed for this fixture's vocabulary): five
+    boolean gates per document — word count in range, mean word length
+    in range, distinct-word ratio (repetition gate), stopword presence,
+    single-word dominance — plus the pass-ALL funnel count. Every gate
+    is an INTEGER comparison (e.g. mean-word-length 3 <= sum_len/n <= 10
+    graded as 3*n <= sum_len AND sum_len <= 10*n), so there is no float
+    anywhere in the grade. All expressions are narrow column ops
+    (split/array_distinct/array_intersect/transform) — zero shuffles
+    before the final 1-row aggregate; the dominance gate scans
+    distinct-words x words per row, bounded by the fixture's tiny
+    vocabulary and by typical natural-text distinct counts, not by
+    corpus size. q54 grades quality SCORES; this grades the GATE
+    battery and its funnel, which is what a curation pipeline actually
+    filters with."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    per = d.select(
+        F.size(w).alias("n"),
+        F.length(F.regexp_replace("text", " ", "")).alias("sum_len"),
+        F.size(F.array_distinct(w)).alias("n_dist"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(w),
+                F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")]),
+            )
+        ).alias("n_stop"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(w),
+                lambda x: F.size(F.filter(w, lambda y: y == x)),
+            )
+        ).alias("max_cnt"),
+    )
+    flags = per.select(
+        ((F.col("n") >= 30) & (F.col("n") <= 10000)).alias("r_count"),
+        (
+            (F.col("sum_len") >= 3 * F.col("n"))
+            & (F.col("sum_len") <= 10 * F.col("n"))
+        ).alias("r_wlen"),
+        (F.col("n_dist") * 10 >= 3 * F.col("n")).alias("r_dist"),
+        (F.col("n_stop") >= 2).alias("r_stop"),
+        (F.col("max_cnt") * 5 <= F.col("n")).alias("r_dom"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(~F.col("r_count"), 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(~F.col("r_wlen"), 1).otherwise(0)).alias("f2"),
+        F.sum(F.when(~F.col("r_dist"), 1).otherwise(0)).alias("f3"),
+        F.sum(F.when(~F.col("r_stop"), 1).otherwise(0)).alias("f4"),
+        F.sum(F.when(~F.col("r_dom"), 1).otherwise(0)).alias("f5"),
+        F.sum(
+            F.when(
+                F.col("r_count")
+                & F.col("r_wlen")
+                & F.col("r_dist")
+                & F.col("r_stop")
+                & F.col("r_dom"),
+                1,
+            ).otherwise(0)
+        ).alias("np"),
+    )
+    return agg.selectExpr(
+        """stack(6,
+            'fail_word_count', f1,
+            'fail_word_length', f2,
+            'fail_distinct_ratio', f3,
+            'fail_stopwords', f4,
+            'fail_dominance', f5,
+            'pass_all', np) AS (rule, n)""",
+        "n_docs",
+    ).selectExpr("rule", "CAST(n AS BIGINT) AS n", "n_docs").orderBy("rule")
+
+
 QUERIES = {
     "q177_constraint_audit": q177_constraint_audit,
+    "q185_gopher_rules": q185_gopher_rules,
 }
 
 ORACLES = {
+    "q185_gopher_rules": """
+WITH per AS (
+  SELECT LEN(STRING_SPLIT(text, ' ')) AS n,
+         LEN(REPLACE(text, ' ', '')) AS sum_len,
+         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_dist,
+         LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                            ['the','a','of','to','and'])) AS n_stop,
+         LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                  x -> LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       y -> y = x)))) AS max_cnt
+  FROM documents
+), flags AS (
+  SELECT (n >= 30 AND n <= 10000) AS r_count,
+         (sum_len >= 3*n AND sum_len <= 10*n) AS r_wlen,
+         (n_dist*10 >= 3*n) AS r_dist,
+         (n_stop >= 2) AS r_stop,
+         (max_cnt*5 <= n) AS r_dom
+  FROM per
+), agg AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(CASE WHEN NOT r_count THEN 1 ELSE 0 END) AS f1,
+         SUM(CASE WHEN NOT r_wlen THEN 1 ELSE 0 END) AS f2,
+         SUM(CASE WHEN NOT r_dist THEN 1 ELSE 0 END) AS f3,
+         SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS f4,
+         SUM(CASE WHEN NOT r_dom THEN 1 ELSE 0 END) AS f5,
+         SUM(CASE WHEN r_count AND r_wlen AND r_dist AND r_stop AND r_dom
+             THEN 1 ELSE 0 END) AS np
+  FROM flags
+)
+SELECT rule, CAST(n AS BIGINT) AS n, n_docs FROM (
+  SELECT 'fail_word_count' AS rule, f1 AS n, n_docs FROM agg
+  UNION ALL SELECT 'fail_word_length', f2, n_docs FROM agg
+  UNION ALL SELECT 'fail_distinct_ratio', f3, n_docs FROM agg
+  UNION ALL SELECT 'fail_stopwords', f4, n_docs FROM agg
+  UNION ALL SELECT 'fail_dominance', f5, n_docs FROM agg
+  UNION ALL SELECT 'pass_all', np, n_docs FROM agg
+) ORDER BY rule
+""",
     "q177_constraint_audit": """
 WITH u AS (
   SELECT 'unique_o_orderkey' AS check_name,

@@ -266,7 +266,43 @@ def q159_asof_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_b.join(agg_f, "user_id").orderBy("user_id")
 
 
+def q188_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted (time-decayed) engagement aggregation — the
+    batch twin of the streaming EWM (q72), keyed to the corpus horizon:
+    each event contributes ``value / (1 + age_days)`` where age is whole
+    days behind the table's max timestamp (1-row broadcast scalar). The
+    harmonic kernel is chosen deliberately over exp(): every term is a
+    RATIONAL of an IEEE double by a small integer — both engines compute
+    the identical double, so the per-row e6 rounding (then exact long
+    sums, any accumulation order) carries no transcendental-ulp risk at
+    all, unlike ln/exp scoring (cf. q181's separation audit). Scale: one
+    narrow map + one aggregate; the horizon is a broadcast scalar, not a
+    window over the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("__h"))
+    scored = ev.join(F.broadcast(horizon)).select(
+        "event_type",
+        F.round(
+            F.lit(1e6)
+            * F.col("value")
+            / (F.lit(1) + F.datediff(F.col("__h"), F.to_date("ts"))),
+            0,
+        )
+        .cast("long")
+        .alias("__d_e6"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__d_e6").cast("long").alias("sum_decayed_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "q188_time_decay_score": q188_time_decay_score,
     "q159_asof_event_join": q159_asof_event_join,
     "q112_percentile_bins": q112_percentile_bins,
     "q116_group_quantiles": q116_group_quantiles,
@@ -279,6 +315,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q188_time_decay_score": """
+WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS hd FROM events),
+s AS (
+  SELECT event_type,
+         CAST(ROUND(1e6 * value /
+              (1 + DATEDIFF('day', CAST(ts AS DATE), hd)), 0) AS BIGINT)
+           AS d_e6
+  FROM events, h
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(d_e6) AS BIGINT) AS sum_decayed_e6
+FROM s GROUP BY event_type ORDER BY event_type
+""",
     "q159_asof_event_join": """
 WITH c AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'

@@ -538,7 +538,63 @@ def q163_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_prio.unionByName(total).orderBy("o_orderpriority")
 
 
+def q184_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the MV stores MERGEABLE
+    PARTIALS (count, sum, min, max in exact integer cents) at
+    (priority, month) grain; an ingest batch is folded in by aggregating
+    ONLY the delta and merging partial-with-partial (counts add, sums
+    add, min of mins, max of maxs; avg derived at read time as an exact
+    integer rational) — cost ∝ |delta| + |MV|, never a re-read of the
+    base fact table. This is the same decomposable-aggregate algebra as
+    the hypertable rollup (q143) applied along the INGEST-TIME axis
+    rather than the time-grain axis. The base MV is eagerly materialized
+    (it is the 'stored' view — the merge plan reads the compact MV, not
+    base facts). The oracle recomputes the full aggregate from scratch:
+    any merge-algebra error (averaged averages, summed mins) mismatches.
+    At 100 TB the delta agg shuffles only the ingest batch and the MV
+    union is MV-sized — no scan of history."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = "1999-01-01"
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.select("o_orderpriority", month, cents.alias("__c")).groupBy(
+            "o_orderpriority", "month"
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum("__c").alias("sum_cents"),
+            F.min("__c").alias("min_cents"),
+            F.max("__c").alias("max_cents"),
+        )
+
+    base_mv = partials(
+        o.filter(F.col("o_orderdate") < F.lit(cutoff))
+    ).localCheckpoint(eager=True)  # the stored view
+    delta_mv = partials(o.filter(F.col("o_orderdate") >= F.lit(cutoff)))
+    merged = (
+        base_mv.unionByName(delta_mv)
+        .groupBy("o_orderpriority", "month")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.min("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "month",
+        "n",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        F.expr("(sum_cents * 10000) div n").alias("avg_cents_e4"),
+    ).orderBy("o_orderpriority", "month")
+
+
 QUERIES = {
+    "q184_incremental_mv": q184_incremental_mv,
     "q163_bitmap_distinct": q163_bitmap_distinct,
     "q161_zorder_skipping": q161_zorder_skipping,
     "q143_rollup_reuse": q143_rollup_reuse,
@@ -556,6 +612,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q184_incremental_mv": """
+WITH c AS (
+  SELECT o_orderpriority,
+         STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderpriority, month,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST((SUM(cents) * 10000) // COUNT(*) AS BIGINT) AS avg_cents_e4
+FROM c GROUP BY o_orderpriority, month
+ORDER BY o_orderpriority, month
+""",
     "q163_bitmap_distinct": """
 SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
 FROM orders GROUP BY o_orderpriority

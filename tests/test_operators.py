@@ -783,3 +783,43 @@ def test_global_index_matches_window_rank(spark):
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() > baseline
     gi.release()  # explicit contract (ADVICE r7) — the pin must be gone
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == baseline
+
+
+import pytest
+
+
+@pytest.mark.parametrize("tau", [0.5, 0.6, 0.75, 0.9])
+def test_prefix_filter_simjoin_exactness(spark, tau):
+    """PPJoin prefix filtering is EXACT: against the brute-force
+    inverted-index join (ngram_jaccard_pairs) on seeded random docs with
+    near-duplicate structure, the pair sets must be identical at every
+    threshold — a missed candidate (too-short prefix, over-eager size
+    filter) or phantom pair would diverge."""
+    import random
+
+    from pandas_streaming_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_simjoin,
+    )
+
+    rng = random.Random(20260814 + int(tau * 100))
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(60):
+        n = rng.randrange(5, 15)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.3:  # near-dup: perturb one word
+            dup = list(words)
+            dup[rng.randrange(len(dup))] = vocab[rng.randrange(len(vocab))]
+            rows.append((1000 + i, " ".join(dup)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_simjoin(df, k=3, threshold=tau).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, k=3, threshold=tau).collect()
+    }
+    assert got == want
