@@ -573,8 +573,15 @@ def prefix_filter_simjoin(
     b = prefix.select(
         F.col(id_col).alias("id_b"), "__sh", F.col("__n").alias("nb")
     )
+    # the candidate and verification joins are pinned SHUFFLE_HASH: on
+    # replica-heavy corpora the shingle/pair frames are hugely redundant,
+    # so their COMPRESSED shuffle bytes look broadcast-small to AQE while
+    # the in-memory hashed relation is 100x larger — observed as a
+    # broadcast OOM at the 100x replica axis. An explicit join hint takes
+    # precedence over AQE's broadcast conversion; dims this size were
+    # never broadcast-worthy anyway (both sides are data-scaled).
     cand = (
-        a.join(b, "__sh")
+        a.join(b.hint("shuffle_hash"), "__sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(  # same epsilon direction: never prune a borderline pair
             F.least("na", "nb")
@@ -586,8 +593,8 @@ def prefix_filter_simjoin(
     sha = sh.select(F.col(id_col).alias("id_a"), "__sh")
     shb = sh.select(F.col(id_col).alias("id_b"), "__sh")
     common = (
-        cand.join(sha, "id_a")
-        .join(shb, ["id_b", "__sh"])
+        cand.join(sha.hint("shuffle_hash"), "id_a")
+        .join(shb.hint("shuffle_hash"), ["id_b", "__sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )

@@ -26,11 +26,12 @@ from pandas_streaming_spark.operators.sketches import (
 
 
 # moved to warehouse.py in round 6 (module split); re-exported for compatibility
+# (q146_bm25 moved again to textq.py in the round-8 rebalance)
+from pandas_streaming_spark.queries.textq import q146_bm25  # noqa: F401
 from pandas_streaming_spark.queries.warehouse import (  # noqa: F401
     q143_rollup_reuse,
     q144_weighted_sample,
     q145_cohort_retention,
-    q146_bm25,
     q147_upsert_time_travel,
     q148_upsert_changes,
     q149_scd2_history,

@@ -101,11 +101,59 @@ def q187_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q122_iterable_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python streaming DataSource (§2.1 ``from_iterable``,
+    sources/pystream.py) under the correctness gate: a deterministic
+    synthetic sequence — NOT a table collect — streams through
+    micro-batches of 37 rows, aggregated per modulo group. The oracle
+    recomputes the same sequence with GENERATE_SERIES, so a drop,
+    duplication, or mis-batching in the source's offset accounting
+    cannot grade green. (The other pystream sources share this reader
+    contract; they are protocol-e2e-tested with real clients.)
+    Moved from streaming_q in the round-8 rebalance — it is an ingest
+    surface, not a replay-protocol query."""
+    from pandas_streaming_spark.queries.streaming_q import STATE_PARTITIONS
+    from pandas_streaming_spark.sources.pystream import from_iterable_stream
+    from pandas_streaming_spark.streaming.replay import run_stream_to_df
+
+    n = 1000
+    rows = [(i, i % 7, (i * i) % 101) for i in range(1, n + 1)]
+    stream = from_iterable_stream(
+        spark, rows, "i long, grp long, v long", batch_size=37
+    )
+    agg = stream.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("i").alias("sum_i"),
+        F.sum("v").alias("sum_v"),
+        F.max("i").alias("max_i"),
+    )
+    out = run_stream_to_df(
+        spark, agg, "complete", state_partitions=STATE_PARTITIONS,
+        trigger="drain",
+    )
+    return out.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_i").cast("long").alias("sum_i"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.col("max_i").cast("long").alias("max_i"),
+    ).orderBy("grp")
+
+
 QUERIES = {
     "q187_schema_evolution": q187_schema_evolution,
+    "q122_iterable_source": q122_iterable_source,
 }
 
 ORACLES = {
+    # no table involved: the oracle regenerates the synthetic sequence
+    "q122_iterable_source": """
+SELECT i % 7 AS grp, COUNT(*) AS n, CAST(SUM(i) AS BIGINT) AS sum_i,
+       CAST(SUM((i * i) % 101) AS BIGINT) AS sum_v, MAX(i) AS max_i
+FROM (SELECT UNNEST(GENERATE_SERIES(1, 1000)) AS i)
+GROUP BY 1
+ORDER BY grp
+""",
     "q187_schema_evolution": """
 WITH e AS (
   SELECT CASE WHEN o_orderkey % 2 = 1 THEN 0 ELSE 1 END AS epoch,

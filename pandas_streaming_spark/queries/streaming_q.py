@@ -426,41 +426,6 @@ def q117_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q122_iterable_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Python streaming DataSource (§2.1 ``from_iterable``,
-    sources/pystream.py) under the correctness gate: a deterministic
-    synthetic sequence — NOT a table collect — streams through
-    micro-batches of 37 rows, aggregated per modulo group. The oracle
-    recomputes the same sequence with GENERATE_SERIES, so a drop,
-    duplication, or mis-batching in the source's offset accounting
-    cannot grade green. (The other pystream sources share this reader
-    contract; they are protocol-e2e-tested with real clients.)"""
-    from pandas_streaming_spark.sources.pystream import from_iterable_stream
-
-    n = 1000
-    rows = [(i, i % 7, (i * i) % 101) for i in range(1, n + 1)]
-    stream = from_iterable_stream(
-        spark, rows, "i long, grp long, v long", batch_size=37
-    )
-    agg = stream.groupBy("grp").agg(
-        F.count("*").alias("n"),
-        F.sum("i").alias("sum_i"),
-        F.sum("v").alias("sum_v"),
-        F.max("i").alias("max_i"),
-    )
-    out = run_stream_to_df(
-        spark, agg, "complete", state_partitions=STATE_PARTITIONS,
-        trigger="drain",
-    )
-    return out.select(
-        "grp",
-        F.col("n").cast("long").alias("n"),
-        F.col("sum_i").cast("long").alias("sum_i"),
-        F.col("sum_v").cast("long").alias("sum_v"),
-        F.col("max_i").cast("long").alias("max_i"),
-    ).orderBy("grp")
-
-
 def q121_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EVENT-TIME TIMERS on transformWithStateInPandas
     (operators/stateful.py session_flush_tws): gap-sessionization where
@@ -663,7 +628,6 @@ QUERIES = {
     "q117_stream_rolling": q117_stream_rolling,
     "q119_dedup_within_watermark": q119_dedup_within_watermark,
     "q121_tws_session_timers": q121_tws_session_timers,
-    "q122_iterable_source": q122_iterable_source,
     "q142_stream_full_outer": q142_stream_full_outer,
     "q155_stream_hll": q155_stream_hll,
     "q158_stream_cms": q158_stream_cms,
@@ -804,16 +768,6 @@ ORACLES["q119_dedup_within_watermark"] = ORACLES["q46_stream_dedup"]
 # timer-finalized sessionization must produce the same per-user session
 # table as session_window — the q45 oracle verbatim
 ORACLES["q121_tws_session_timers"] = ORACLES["q45_stream_session"]
-
-# no table involved: the oracle regenerates the synthetic sequence
-ORACLES["q122_iterable_source"] = """
-SELECT i % 7 AS grp, COUNT(*) AS n, CAST(SUM(i) AS BIGINT) AS sum_i,
-       CAST(SUM((i * i) % 101) AS BIGINT) AS sum_v, MAX(i) AS max_i
-FROM (SELECT UNNEST(GENERATE_SERIES(1, 1000)) AS i)
-GROUP BY 1
-ORDER BY grp
-"""
-
 
 ORACLES["q117_stream_rolling"] = """
 SELECT user_id, event_id,

@@ -115,71 +115,6 @@ def q145_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: BM25 hyperparameters (standard Robertson defaults)
-_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 10
-
-
-def q146_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 document scoring — the retrieval-side sibling of q81's
-    TF-IDF: the 5 highest-DF corpus tokens act as the query, every
-    document is scored with Robertson BM25 (k1=1.2, b=0.75), top-10
-    returned. Plan: one token pass feeds tf/df/dl; query terms, df and
-    the 1-row avgdl aggregate all broadcast; the only data-sized
-    shuffles are the two token aggregations. Score emits at 1e-4
-    rounding; ranking ties (duplicate docs score identically) break on
-    doc_id."""
-    docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).where(F.col("token") != "")
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
-    query = df_.orderBy(F.col("df").desc(), "token").limit(5)
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
-    idf = (
-        query.crossJoin(F.broadcast(n_docs))
-        .select(
-            "token",
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-            ).alias("idf"),
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(idf), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(avgdl))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.col("idf")
-                * (F.col("tf") * (_BM25_K1 + 1))
-                / (
-                    F.col("tf")
-                    + _BM25_K1
-                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("score")
-        )
-    )
-    # rank on integer basis points, not the raw double: the raw per-doc
-    # sums differ by ULPs with aggregation order (identical replica docs
-    # at 10x got effectively-random rank order despite the doc_id
-    # tie-break, because no two raw scores ever compared equal)
-    scored = scored.withColumn(
-        "score_e4", F.round(F.col("score") * 1e4, 0).cast("long")
-    )
-    w = Window.orderBy(F.col("score_e4").desc(), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _BM25_TOPK)
-        .select("rank", "doc_id", F.col("score_e4").alias("bm25_e4"))
-        .orderBy("rank")
-    )
-
-
 def q147_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel on the q140 MERGE table: replay the events
     as 5 batches, then read VERSION 2 — the state after the first two
@@ -600,7 +535,6 @@ QUERIES = {
     "q143_rollup_reuse": q143_rollup_reuse,
     "q144_weighted_sample": q144_weighted_sample,
     "q145_cohort_retention": q145_cohort_retention,
-    "q146_bm25": q146_bm25,
     "q147_upsert_time_travel": q147_upsert_time_travel,
     "q148_upsert_changes": q148_upsert_changes,
     "q149_scd2_history": q149_scd2_history,
@@ -697,37 +631,6 @@ SELECT STRFTIME(active.cw, '%Y-%m-%d') AS cohort_week, week_n, n_active,
        CAST(n_active * 10000 // cohort_size AS BIGINT) AS retention_bp
 FROM active JOIN sizes ON active.cw = sizes.cw
 ORDER BY cohort_week, week_n
-""",
-    "q146_bm25": """
-WITH tok AS (
-  SELECT doc_id, t.token
-  FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS t(token)
-  WHERE t.token <> ''
-),
-tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-query AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 5),
-nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
-ad AS (SELECT AVG(dl) AS avgdl FROM dl),
-idf AS (
-  SELECT token, LN((nd.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
-  FROM query, nd
-),
-scored AS (
-  SELECT tf.doc_id,
-         SUM(idf.idf * (tf.tf * (1.2 + 1))
-             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl))) AS score
-  FROM tf JOIN idf ON tf.token = idf.token
-          JOIN dl ON tf.doc_id = dl.doc_id, ad
-  GROUP BY tf.doc_id
-)
-SELECT rank, doc_id, bm25_e4 FROM (
-  SELECT doc_id, CAST(ROUND(score * 1e4, 0) AS BIGINT) AS bm25_e4,
-         ROW_NUMBER() OVER (ORDER BY CAST(ROUND(score * 1e4, 0) AS BIGINT)
-                              DESC, doc_id) AS rank
-  FROM scored
-) WHERE rank <= 10 ORDER BY rank
 """,
     "q147_upsert_time_travel": """
 WITH ranked AS (
