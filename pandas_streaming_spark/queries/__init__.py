@@ -251,6 +251,9 @@ _EXTRAS = [
     "q186_group_split",
     "q187_schema_evolution",
     "q188_time_decay_score",
+    "q189_duplicated_spans",
+    "q190_pareto_front",
+    "q191_table_diff",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -478,7 +478,56 @@ ORDER BY user_id
 """)
 
 
+def q190_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front (skyline): orders not dominated on
+    (o_totalprice, o_orderdate) — no other order is strictly better on
+    one axis and >= on the other (maximize both; exact integer cents and
+    epoch-day, so dominance is integer comparison on both engines).
+
+    The engine form is the O(n log n) sweep, not the O(n²) dominance
+    join. Strict-on-one-axis dominance decomposes into exactly two
+    window maxima: p survives iff (a) its day BEATS the max day among
+    STRICTLY richer rows (a RANGE frame ``cents+1 .. ∞`` — dominated by
+    a richer-or-equal-day point otherwise), and (b) its day EQUALS the
+    max day within its own cents value (an equal-cents row with a
+    strictly later day dominates; exact duplicates tie the max and all
+    survive, correct under strict-on-one dominance). Both maxima are
+    integer comparisons — no float anywhere. At scale the global RANGE
+    window is the textbook candidate for a per-partition-front-then-
+    merge refinement (fronts are small by construction); the oracle is
+    the O(n²) NOT EXISTS brute force, so any sweep-logic error on any
+    tie pattern mismatches."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias("day"),
+    )
+    # DESC order + (unboundedPreceding, -1) ≡ "cents strictly greater",
+    # and unbounded-PRECEDING range frames run on Spark's accumulating
+    # O(n) window path; the equivalent ASC (1, unboundedFollowing) frame
+    # uses the re-scanning UnboundedFollowing frame — measured O(n²),
+    # ~100 s at the 10x axis for the same answer
+    w_richer = Window.orderBy(F.col("cents").desc()).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_equal = Window.partitionBy("cents")
+    front = (
+        pts.withColumn("__mx_richer", F.max("day").over(w_richer))
+        .withColumn("__mx_equal", F.max("day").over(w_equal))
+        .filter(
+            (F.col("__mx_richer").isNull() | (F.col("day") > F.col("__mx_richer")))
+            & (F.col("day") == F.col("__mx_equal"))
+        )
+    )
+    return (
+        front.select("o_orderkey", "cents", "day")
+        .orderBy(F.col("cents").desc(), F.col("day").desc(), "o_orderkey")
+    )
+
+
 QUERIES = {
+    "q190_pareto_front": q190_pareto_front,
     "q166_recursive_session": q166_recursive_session,
     "q14_count_distinct": q14_count_distinct,
     "q15_rollup": q15_rollup,
@@ -508,6 +557,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q190_pareto_front": """
+-- dominance is pointwise, so the O(n^2) NOT EXISTS runs over DISTINCT
+-- points (replica-scaled axes duplicate every point 10/100x; the full
+-- row form took ~2 min at 10x for identical semantics)
+WITH pts AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day
+  FROM orders
+), dpts AS (
+  SELECT DISTINCT cents, day FROM pts
+), front_pts AS (
+  SELECT cents, day FROM dpts p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dpts q
+    WHERE (q.cents >= p.cents AND q.day >= p.day)
+      AND (q.cents > p.cents OR q.day > p.day)
+  )
+)
+SELECT o_orderkey, cents, CAST(day AS INT) AS day
+FROM pts JOIN front_pts USING (cents, day)
+ORDER BY cents DESC, day DESC, o_orderkey
+""",
     "q166_recursive_session": """
 WITH RECURSIVE base AS (
   SELECT user_id, event_id, ts,

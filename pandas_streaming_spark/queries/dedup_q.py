@@ -99,6 +99,66 @@ def q183_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q189_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (span) dedup accounting — the Lee et al. 2022
+    'deduplicating training data' shape, at 5-gram granularity: a token
+    position is DUPLICATED if at least one 5-gram covering it also
+    occurs in some OTHER document. Per doc: token count, covered
+    (duplicated) token count, clean remainder — the exact bookkeeping a
+    substring-dedup pass needs before cutting spans. Distinct from
+    doc-level (q38/q50) and chunk-level (q104) dedup: the unit is the
+    token span.
+
+    Plan: positional 5-shingles (narrow explode), cross-doc-duplicated
+    shingle set via one countDistinct aggregate, one shingle-keyed join
+    back (shuffle-hash pinned — replica corpora make every shingle
+    'duplicated', the q183 compressed-broadcast trap), positions
+    covered via a 5-wide sequence explode + per-doc distinct. All
+    integers; no all-pairs stage anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("__t"))
+    sh = base.select(
+        "doc_id",
+        F.size("__t").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(__t) - 4, 0)),"
+                " i -> struct(i AS pos,"
+                " concat_ws(' ', slice(__t, i, 5)) AS sh))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.sh").alias("sh"))
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("sh")
+    )
+    covered = (
+        sh.join(dup.hint("shuffle_hash"), "sh")
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(pos, pos + 4)")).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_tokens"))
+    )
+    sizes = base.select("doc_id", F.size("__t").alias("n_tokens"))
+    return (
+        sizes.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_dup_tokens", F.lit(0)))
+            .cast("long")
+            .alias("n_clean_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q82_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster sizes: LSH candidate pairs (q50's graph) →
     connected components (iterative hash-to-min) → per-cluster doc count
@@ -259,6 +319,7 @@ QUERIES = {
     "q51_simhash": q51_simhash,
     "q52_ngram_jaccard": q52_ngram_jaccard,
     "q183_prefix_filter_simjoin": q183_prefix_filter_simjoin,
+    "q189_duplicated_spans": q189_duplicated_spans,
     "q82_dedup_clusters": q82_dedup_clusters,
     "q104_chunk_dedup_pipeline": q104_chunk_dedup_pipeline,
     "q109_lsh_audit": q109_lsh_audit,
@@ -268,6 +329,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    # positional 5-shingle grammar local to this oracle: llm._SHINGLES5
+    # deliberately drops positions, which span coverage needs
+    "q189_duplicated_spans": """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - 4, 0)),
+                i -> STRUCT_PACK(pos := i,
+                     sh := t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                           || t[i+3] || ' ' || t[i+4]))) AS g
+  FROM toks
+), flat AS (
+  SELECT doc_id, g.pos AS pos, g.sh AS sh FROM sh
+), dup AS (
+  SELECT sh FROM flat GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+), covered AS (
+  SELECT doc_id, COUNT(*) AS n_dup FROM (
+    SELECT DISTINCT doc_id, p
+    FROM flat JOIN dup USING (sh),
+         UNNEST(GENERATE_SERIES(pos, pos + 4)) AS u(p)
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(LEN(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(LEN(t.t) - COALESCE(c.n_dup, 0) AS BIGINT) AS n_clean_tokens
+FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id
+ORDER BY t.doc_id
+""",
     "q127_fuzzy_pairs": """
 WITH names AS (
   SELECT p_name, COUNT(*) AS cnt, SPLIT_PART(p_name, ' ', 1) AS blk

@@ -140,9 +140,89 @@ def q122_iterable_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grp")
 
 
+def q191_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-digest table reconciliation (anti-entropy between two
+    snapshots — the data-diff primitive for verifying a replicated or
+    migrated 100 TB table WITHOUT comparing rows): each snapshot folds
+    to 64 md5-bucket digests (row count + order-independent sum of
+    per-row 28-bit content hashes — integer sums, associative, any
+    partitioning); snapshots differ exactly in the buckets whose
+    (count, digest) pairs differ, and only those buckets would be
+    drilled row-level in a real sync. Snapshot B is a deterministic
+    mutation of A (price bump on key % 101 == 0, delete of
+    key % 997 == 0), so the differing-bucket set is fixture-stable and
+    the oracle re-derives it with the same md5 arithmetic. Scale: two
+    scans, two 64-row aggregates, one 64-row join — the exchange is
+    constant-size regardless of table size."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 997 != 0)
+        .withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("cents") + 100
+            ).otherwise(F.col("cents")),
+        )
+    )
+
+    def digests(df: DataFrame, n_tag: str, d_tag: str) -> DataFrame:
+        bucket = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 7),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(64),
+        )
+        rowh = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            df.select(bucket.alias("bucket"), rowh.alias("__h"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("long").alias(n_tag),
+                F.sum("__h").cast("long").alias(d_tag),
+            )
+        )
+
+    da = digests(o, "n_a", "dig_a")
+    db = digests(b, "n_b", "dig_b")
+    joined = da.join(db, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce("dig_a", F.lit(0)).cast("long").alias("dig_a"),
+        F.coalesce("dig_b", F.lit(0)).cast("long").alias("dig_b"),
+    )
+    return (
+        joined.filter(
+            (F.col("n_a") != F.col("n_b")) | (F.col("dig_a") != F.col("dig_b"))
+        )
+        .select("bucket", "n_a", "n_b")
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "q187_schema_evolution": q187_schema_evolution,
     "q122_iterable_source": q122_iterable_source,
+    "q191_table_diff": q191_table_diff,
 }
 
 ORACLES = {
@@ -153,6 +233,37 @@ SELECT i % 7 AS grp, COUNT(*) AS n, CAST(SUM(i) AS BIGINT) AS sum_i,
 FROM (SELECT UNNEST(GENERATE_SERIES(1, 1000)) AS i)
 GROUP BY 1
 ORDER BY grp
+""",
+    "q191_table_diff": """
+WITH a AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM a WHERE o_orderkey % 997 <> 0
+), da AS (
+  SELECT CAST(CONCAT('0x', SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 7))
+              AS BIGINT) % 64 AS bucket,
+         COUNT(*) AS n_a,
+         SUM(CAST(CONCAT('0x', SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || ':'
+             || CAST(cents AS VARCHAR)), 1, 7)) AS BIGINT)) AS dig_a
+  FROM a GROUP BY 1
+), db AS (
+  SELECT CAST(CONCAT('0x', SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 7))
+              AS BIGINT) % 64 AS bucket,
+         COUNT(*) AS n_b,
+         SUM(CAST(CONCAT('0x', SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || ':'
+             || CAST(cents AS VARCHAR)), 1, 7)) AS BIGINT)) AS dig_b
+  FROM b GROUP BY 1
+)
+SELECT bucket,
+       CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+FROM da FULL OUTER JOIN db USING (bucket)
+WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0)
+   OR COALESCE(dig_a, 0) <> COALESCE(dig_b, 0)
+ORDER BY bucket
 """,
     "q187_schema_evolution": """
 WITH e AS (
