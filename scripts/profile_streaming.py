@@ -64,11 +64,28 @@ def main() -> None:
 
     out: dict[str, object] = {"sf_dir": sf_dir, "n_events": n_events}
 
-    # a. the bench protocol
+    # a. the bench protocol (state_partitions=1, the streaming_q shape —
+    # omitting it measures 32 near-empty store commits per trigger
+    # instead of the protocol actually benched)
     d5 = write_replay_batches(spark, sf_dir, 5)
     out["protocol_k5_sec"] = timed(
         lambda: run_stream_to_df(
-            spark, tumbling(replay_events(spark, sf_dir, d5)), "complete"
+            spark, tumbling(replay_events(spark, sf_dir, d5)), "complete",
+            state_partitions=1,
+        ).collect()
+    )
+
+    # a2. catch-up: same 5-file split, availableNow batches the backlog
+    # into one trigger (bench's events_per_sec_catchup shape; catch-up
+    # state partitions per streaming_q.CATCHUP_STATE_PARTITIONS)
+    out["catchup_sec"] = timed(
+        lambda: run_stream_to_df(
+            spark,
+            tumbling(
+                replay_events(spark, sf_dir, d5, max_files_per_trigger=None)
+            ),
+            "complete",
+            state_partitions=4,
         ).collect()
     )
 
@@ -76,13 +93,16 @@ def main() -> None:
     d1 = write_replay_batches(spark, sf_dir, 1)
     out["k1_sec"] = timed(
         lambda: run_stream_to_df(
-            spark, tumbling(replay_events(spark, sf_dir, d1)), "complete"
+            spark, tumbling(replay_events(spark, sf_dir, d1)), "complete",
+            state_partitions=1,
         ).collect()
     )
 
     # c. k=5 with a no-op sink (no parquet spill, no final read)
     def noop_sink():
         chkpt = _fresh_dir("chkpt-prof")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
         q = (
             tumbling(replay_events(spark, sf_dir, d5))
             .writeStream.outputMode("complete")
@@ -96,6 +116,7 @@ def main() -> None:
             .start()
         )
         q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         import shutil
 
         shutil.rmtree(chkpt, ignore_errors=True)
@@ -105,6 +126,8 @@ def main() -> None:
     # d. passthrough (no agg, count-only sink): source + scheduling floor
     def passthrough():
         chkpt = _fresh_dir("chkpt-prof")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
         q = (
             replay_events(spark, sf_dir, d5)
             .writeStream.outputMode("append")
@@ -116,6 +139,7 @@ def main() -> None:
             .start()
         )
         q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         import shutil
 
         shutil.rmtree(chkpt, ignore_errors=True)
@@ -132,6 +156,7 @@ def main() -> None:
     p = out["protocol_k5_sec"]
     out["events_per_sec"] = {
         "protocol_k5": round(n_events / p),
+        "catchup": round(n_events / out["catchup_sec"]),
         "k1": round(n_events / out["k1_sec"]),
         "noop_sink_k5": round(n_events / out["noop_sink_k5_sec"]),
     }
