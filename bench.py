@@ -141,6 +141,11 @@ def main() -> None:
         "q180_global_index",         # two-phase distributed zipWithIndex
         "q181_bigram_lm_score",      # char-bigram LM perplexity filter
         "q182_rrf_hybrid",           # lexical+vector reciprocal rank fusion
+        "q183_prefix_filter_simjoin",  # exact PPJoin prefix-filtered simjoin
+        "q184_incremental_mv",       # MV partials merge, delta-sized cost
+        "q189_duplicated_spans",     # 5-gram span-dedup accounting
+        "q190_pareto_front",         # 2-D skyline, O(n) range-frame sweep
+        "q191_table_diff",           # bucket-digest snapshot reconciliation
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:
