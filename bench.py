@@ -146,6 +146,12 @@ def main() -> None:
         "q189_duplicated_spans",     # 5-gram span-dedup accounting
         "q190_pareto_front",         # 2-D skyline, O(n) range-frame sweep
         "q191_table_diff",           # bucket-digest snapshot reconciliation
+        "q192_pit_scd2_join",        # point-in-time SCD2 as-of lookup
+        "q193_sorted_neighborhood",  # SNM blocking via distributed rank
+        "q194_corpus_divergence",    # exact TV-distance corpus drift
+        "q195_funnel_window",        # 24h conversion-window funnel
+        "q196_negative_pairs",       # hash-indexed contrastive negatives
+        "q198_robust_outliers",      # median/MAD robust outlier gate
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -609,3 +609,51 @@ def prefix_filter_simjoin(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key,
+    window: int,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, "object"]:
+    """Sorted-neighborhood method (SNM) candidate generation — the
+    third classic dedup blocker next to LSH (probabilistic buckets) and
+    prefix filtering (exact): sort the corpus once by a blocking ``key``
+    expression, then pair each record with its ``window`` successors in
+    rank order. Near-duplicates whose edits don't disturb the key sort
+    adjacently, so candidates = O(n * window) regardless of how hot any
+    single key value is — SNM's advantage over hash blocking on skewed
+    blocks.
+
+    The global rank comes from :func:`~pandas_streaming_spark.operators.
+    indexing.global_index` (range-partition + local row_number + offset
+    broadcast — no single-task sort), with ``id_col`` as the tiebreak so
+    the order is total. Pairing is ``window`` equi-joins folded into
+    one: ranks are exploded with offsets ``1..window`` and hash-joined
+    back on rank — no range join, no window-function self-scan.
+
+    Returns ``(pairs, release)``: pairs ``(id_a, id_b)`` with
+    ``id_a < id_b``, and the index pin's release hook — callers
+    materialize downstream results, then call ``release()``
+    (see indexing.GlobalIndex).
+    """
+    from pandas_streaming_spark.operators.indexing import global_index
+
+    keyed = df.select(F.col(id_col), key.alias("__snk"))
+    gi = global_index(keyed, ["__snk", id_col], "__rank")
+    idx = gi.df.select(id_col, "__rank")
+    probes = idx.select(
+        F.col(id_col).alias("__id_l"),
+        F.explode(
+            F.sequence(F.col("__rank") + 1, F.col("__rank") + window)
+        ).alias("__rank"),
+    )
+    pairs = probes.join(
+        idx.withColumnRenamed(id_col, "__id_r").hint("shuffle_hash"),
+        "__rank",
+    ).select(
+        F.least("__id_l", "__id_r").alias("id_a"),
+        F.greatest("__id_l", "__id_r").alias("id_b"),
+    )
+    return pairs, gi.release

@@ -440,3 +440,63 @@ def funnel_stream(events_stream: DataFrame, stages: list[str]) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    delta_col: str,
+    floor: int,
+    cap: int,
+) -> DataFrame:
+    """Two-sided clamped (saturating) running balance per key — the
+    canonical NON-ASSOCIATIVE scan no window frame can express:
+    ``bal_i = min(cap, max(floor, bal_{i-1} + delta_i))`` from
+    ``bal_0 = 0`` (inventory with stockout floor and shelf cap, bounded
+    credit balances, token buckets). Emits every input row with its
+    post-clamp ``bal`` and a ``clipped`` flag (-1 floor hit, +1 cap
+    hit, 0 pass-through) so callers can aggregate stockout/overflow
+    accounting without a second scan.
+
+    Plan: one shuffle on the key, then an Arrow-batched ordered scan
+    per key (``applyInPandas``) — parallelism is key cardinality, and
+    per-key state is one integer. The saturating-add maps
+    ``x -> min(hi, max(lo, x + a))`` are in fact closed under
+    composition (the (a, lo, hi) triples form a monoid), so a
+    segmented parallel scan exists in principle; Spark exposes no
+    generic scan primitive, so the keyed sequential pass is the
+    idiomatic plan and the monoid note is the 100-TB escape hatch
+    (mapPartitions over sorted-within-partition runs + a driver-side
+    fixup of the tiny per-partition carry table).
+
+    Deltas must be exact integers (cents/units) — a float delta would
+    accumulate representation error over the scan.
+    """
+    out_schema = StructType(
+        [f for f in df.schema.fields]
+        + [StructField("bal", LongType()), StructField("clipped", LongType())]
+    )
+    cols = list(df.columns)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        bal = 0
+        bals: list[int] = []
+        clipped: list[int] = []
+        for d in pdf[delta_col].astype("int64"):
+            raw = bal + int(d)
+            if raw < floor:
+                bal, c = floor, -1
+            elif raw > cap:
+                bal, c = cap, 1
+            else:
+                bal, c = raw, 0
+            bals.append(bal)
+            clipped.append(c)
+        pdf = pdf[cols].copy()
+        pdf["bal"] = pd.Series(bals, dtype="int64")
+        pdf["clipped"] = pd.Series(clipped, dtype="int64")
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(scan, schema=out_schema)

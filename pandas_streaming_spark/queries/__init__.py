@@ -254,6 +254,13 @@ _EXTRAS = [
     "q189_duplicated_spans",
     "q190_pareto_front",
     "q191_table_diff",
+    "q192_pit_scd2_join",
+    "q193_sorted_neighborhood",
+    "q194_corpus_divergence",
+    "q195_funnel_window",
+    "q196_negative_pairs",
+    "q197_phrase_search",
+    "q198_robust_outliers",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

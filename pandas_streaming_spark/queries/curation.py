@@ -154,7 +154,79 @@ def q186_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_split.unionByName(leak).orderBy("split")
 
 
+def q196_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair generation for contrastive training
+    (anchor, k=3 negatives per doc): negatives are drawn by CONTENT-FREE
+    hash indexing — negative j for (anchor rank i, draw k) is
+    ``md5(i:k) mod (N-1)``, shifted past i so a doc never pairs with
+    itself — over the distributed global rank
+    (operators/indexing.global_index; doc_id order, no single-task
+    sort). Seeded-RNG sampling could never grade cross-engine; md5
+    arithmetic makes the duckdb oracle compute IDENTICAL pair
+    membership (same contract as q74's content-addressed sampling).
+    The corpus size N rides a 1-row broadcast; pairing is one hash join
+    back on rank. Graded as the full (anchor_doc_id, draw, neg_doc_id)
+    list. Scale: output is k·N rows by construction; the join key is
+    the dense rank, so the exchange is uniform — no hot key no matter
+    how skewed doc_ids are."""
+    from pandas_streaming_spark.operators.indexing import global_index
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    gi = global_index(d, ["doc_id"], "rank")
+    idx = gi.df
+    n = idx.agg(F.count("*").cast("long").alias("__n"))
+    draws = (
+        idx.join(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("anchor_doc_id"),
+            F.col("rank"),
+            F.col("__n"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("draw"),
+        )
+        .withColumn(
+            "__h",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("rank").cast("string"),
+                            F.col("draw").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .withColumn("__j0", F.pmod(F.col("__h"), F.col("__n") - 1))
+        .withColumn(
+            "rank_neg",
+            F.when(F.col("__j0") >= F.col("rank"), F.col("__j0") + 1).otherwise(
+                F.col("__j0")
+            ),
+        )
+    )
+    out = (
+        draws.join(
+            idx.select(
+                F.col("rank").alias("rank_neg"),
+                F.col("doc_id").alias("neg_doc_id"),
+            ).hint("shuffle_hash"),
+            "rank_neg",
+        )
+        .select("anchor_doc_id", "draw", "neg_doc_id")
+        .orderBy("anchor_doc_id", "draw")
+        .localCheckpoint(eager=True)
+    )
+    gi.release()
+    return out
+
+
 QUERIES = {
+    "q196_negative_pairs": q196_negative_pairs,
     "q186_group_split": q186_group_split,
     "q74_deterministic_sample": q74_deterministic_sample,
     "q75_hash_split": q75_hash_split,
@@ -165,6 +237,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    # ranks re-derived with the window form (small-data plan); identical
+    # md5 draw arithmetic => identical pair membership
+    "q196_negative_pairs": """
+WITH idx AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rank
+  FROM documents
+), n AS (SELECT COUNT(*) AS n FROM documents),
+draws AS (
+  SELECT i.doc_id AS anchor_doc_id, i.rank, d.draw,
+         CAST(CONCAT('0x', SUBSTR(MD5(CAST(i.rank AS VARCHAR) || ':'
+              || CAST(d.draw AS VARCHAR)), 1, 7)) AS BIGINT)
+           % (n.n - 1) AS j0
+  FROM idx i
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS draw) d
+  CROSS JOIN n
+)
+SELECT dr.anchor_doc_id, CAST(dr.draw AS INT) AS draw, x.doc_id AS neg_doc_id
+FROM draws dr
+JOIN idx x ON x.rank = CASE WHEN dr.j0 >= dr.rank THEN dr.j0 + 1 ELSE dr.j0 END
+ORDER BY anchor_doc_id, draw
+""",
     "q186_group_split": f"""
 WITH b AS (
   SELECT source, n_chars, {_BUCKET_SQL.format(id="source")} AS bucket

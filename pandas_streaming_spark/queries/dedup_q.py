@@ -99,6 +99,79 @@ def q183_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q193_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (operators/dedup.py
+    sorted_neighborhood_pairs): block by sorting on the first 16 chars
+    of the text (doc_id tiebreak), pair each doc with its 5 rank-
+    successors via the distributed global_index (no single-task sort),
+    then verify candidates with EXACT 3-word-shingle Jaccard — the
+    threshold is the integer cross-multiplication ``10*common >=
+    6*union`` so no float division is graded. The oracle mirrors the
+    SAME SNM semantics with a ROW_NUMBER window (small-data plan): what
+    is graded is the deterministic blocking+verification pipeline, not
+    SNM's recall (a blocker, like LSH, can miss pairs whose edits hit
+    the key prefix — recall vs brute force is q109/q52's axis).
+    Scale: candidates are O(n*window) by construction — skew-immune
+    where hash blocking floods on hot keys; one range exchange for the
+    rank, hash joins for pairing and verification."""
+    from pandas_streaming_spark.operators.dedup import (
+        _exploded_shingles,
+        sorted_neighborhood_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand, release = sorted_neighborhood_pairs(
+        d, key=F.substring("text", 1, 16), window=5
+    )
+    sh = (
+        _exploded_shingles(d, "doc_id", "text", 3)
+        .select("doc_id", F.col("__sh").alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("__n"))
+    common = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), "sh").hint(
+                "shuffle_hash"
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), "sh").hint(
+                "shuffle_hash"
+            ),
+            ["id_b", "sh"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("__n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("__n").alias("nb")),
+            "id_b",
+        )
+        .filter(
+            10 * F.col("common")
+            >= 6 * (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("common").cast("long").alias("n_common"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+        )
+        .orderBy("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    release()
+    return out
+
+
 def q189_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level (span) dedup accounting — the Lee et al. 2022
     'deduplicating training data' shape, at 5-gram granularity: a token
@@ -319,6 +392,7 @@ QUERIES = {
     "q51_simhash": q51_simhash,
     "q52_ngram_jaccard": q52_ngram_jaccard,
     "q183_prefix_filter_simjoin": q183_prefix_filter_simjoin,
+    "q193_sorted_neighborhood": q193_sorted_neighborhood,
     "q189_duplicated_spans": q189_duplicated_spans,
     "q82_dedup_clusters": q82_dedup_clusters,
     "q104_chunk_dedup_pipeline": q104_chunk_dedup_pipeline,
@@ -329,6 +403,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    # SNM mirrored with the window form (small-data plan, same
+    # semantics): rank by (16-char key, doc_id), neighbor pairs within
+    # 5 ranks, exact 3-shingle Jaccard by integer cross-multiplication
+    "q193_sorted_neighborhood": """
+WITH rn AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY SUBSTR(text, 1, 16), doc_id) AS rn
+  FROM documents
+), cand AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+         GREATEST(a.doc_id, b.doc_id) AS id_b
+  FROM rn a JOIN rn b ON b.rn - a.rn BETWEEN 1 AND 5
+), toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS common
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.id_a
+JOIN sz sb ON sb.doc_id = i.id_b
+WHERE 10 * i.common >= 6 * (sa.n + sb.n - i.common)
+ORDER BY id_a, id_b
+""",
     # positional 5-shingle grammar local to this oracle: llm._SHINGLES5
     # deliberately drops positions, which span coverage needs
     "q189_duplicated_spans": """

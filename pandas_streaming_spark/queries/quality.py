@@ -159,12 +159,87 @@ def q185_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("rule", "CAST(n AS BIGINT) AS n", "n_docs").orderBy("rule")
 
 
+def q198_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screening per group — median/MAD (median absolute
+    deviation), the quality gate that survives the heavy tails that
+    break mean/stddev z-scores: per market segment, the median account
+    balance, the MAD, and how many customers sit more than 3 MADs out.
+    Cross-engine exactness without tolerance: balances are integer
+    CENTS, so every interpolated median is on the exact 0.5-cent binary
+    grid ((a+b)/2 of int64s), deviations land on the same grid, the MAD
+    on the 0.25 grid — Spark's ``percentile`` and duckdb's
+    ``quantile_cont`` compute bit-identical doubles and the strict
+    ``> 3*MAD`` comparison cannot straddle an ulp. Plan: three
+    aggregate passes over the segment key (median → MAD → outlier
+    count), each tiny stats frame broadcast back — exact nested
+    medians need re-passes by definition; at 100 TB the medians would
+    swap to the GK/t-digest sketch (q118's audit contract) if
+    approximation were acceptable."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    med = c.groupBy("c_mktsegment").agg(
+        F.percentile("cents", 0.5).alias("med_cents"),
+        F.count("*").cast("long").alias("n"),
+    )
+    dev = c.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        "med_cents",
+        "n",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("__dev"),
+    )
+    mad = dev.groupBy("c_mktsegment", "med_cents", "n").agg(
+        F.percentile("__dev", 0.5).alias("mad_cents")
+    )
+    return (
+        dev.select("c_mktsegment", "__dev")
+        .join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment", "n", "med_cents", "mad_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("__dev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select("c_mktsegment", "n", "med_cents", "mad_cents", "n_outliers")
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q177_constraint_audit": q177_constraint_audit,
     "q185_gopher_rules": q185_gopher_rules,
+    "q198_robust_outliers": q198_robust_outliers,
 }
 
 ORACLES = {
+    # quantile_cont == Spark percentile: both interpolate (a+b)/2 on
+    # exact int64 cent values -> bit-identical doubles
+    "q198_robust_outliers": """
+WITH c AS (
+  SELECT c_mktsegment, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), med AS (
+  SELECT c_mktsegment, QUANTILE_CONT(cents, 0.5) AS med_cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY c_mktsegment
+), dev AS (
+  SELECT c.c_mktsegment, med.med_cents, med.n,
+         ABS(c.cents - med.med_cents) AS d
+  FROM c JOIN med USING (c_mktsegment)
+), mad AS (
+  SELECT c_mktsegment, med_cents, n, QUANTILE_CONT(d, 0.5) AS mad_cents
+  FROM dev GROUP BY c_mktsegment, med_cents, n
+)
+SELECT dev.c_mktsegment, mad.n, mad.med_cents, mad.mad_cents,
+       CAST(SUM(CASE WHEN dev.d > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (c_mktsegment)
+GROUP BY dev.c_mktsegment, mad.n, mad.med_cents, mad.mad_cents
+ORDER BY dev.c_mktsegment
+""",
     "q185_gopher_rules": """
 WITH per AS (
   SELECT LEN(STRING_SPLIT(text, ' ')) AS n,

@@ -457,7 +457,99 @@ def q146_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q194_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift detection: EXACT total-variation distance between
+    the unigram distributions of two sub-corpora (doc_id parity split —
+    the shape of a train-vs-heldout or old-crawl-vs-new-crawl drift
+    check). TV = Σ|c1/N1 − c2/N2| / 2 is graded as its INTEGER
+    numerator ``drift_e = |c1·N2 − c2·N1|`` on the common denominator
+    N1·N2 — every per-term value and the grand total are exact BIGINTs,
+    so (unlike KL, which needs ln) no transcendental or division ever
+    reaches the grade. Output: the 20 most-drifted terms
+    (tie-broken by term) plus a ``__TOTAL__`` row carrying the
+    full-vocabulary numerator and the two corpus sizes. Scale: one
+    token explode + one map-side-combined (term) aggregate; corpus
+    sizes ride a 1-row broadcast. At 100 TB the c·N products would move
+    to decimal(38,0) (duckdb: HUGEINT); at graded scales c·N tops out
+    near 1e13 (sf0.1 at the 100x replica), 500x inside int64."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    per_term = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    totals = per_term.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    scored = per_term.join(F.broadcast(totals)).select(
+        "term",
+        "c1",
+        "c2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        .cast("long")
+        .alias("drift_e"),
+    )
+    top = (
+        scored.orderBy(F.desc("drift_e"), "term")
+        .limit(20)
+        .select("term", "c1", "c2", "drift_e")
+    )
+    total_row = (
+        scored.agg(F.sum("drift_e").cast("long").alias("drift_e"))
+        .join(F.broadcast(totals))
+        .select(
+            F.lit("__TOTAL__").alias("term"),
+            F.col("n1").alias("c1"),
+            F.col("n2").alias("c2"),
+            "drift_e",
+        )
+    )
+    return top.unionByName(total_row).orderBy(F.desc("drift_e"), "term")
+
+
+def q197_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — the inverted-index-with-positions
+    query class (exact phrase match, not bag-of-words): every document
+    containing the bigram phrase "sort merge" as ADJACENT tokens, with
+    its occurrence count. Pure higher-order array expressions (filter
+    over token positions) — shuffle-free, whole-stage-codegen'd, zero
+    UDFs; duckdb mirrors with list lambdas, so the positional adjacency
+    semantics (not substring matching — 'sort merged' must not hit) are
+    what's graded. Scale: a narrow scan + per-row expression; a corpus-
+    scale phrase index would materialize (term, doc, pos) once and
+    semi-join — that plan is q113's inverted-index shape; this entry
+    grades the positional predicate itself."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    hits = F.when(
+        F.size(t) < 2, F.lit(0)
+    ).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: (F.element_at(t, i) == "sort")
+                & (F.element_at(t, i + 1) == "merge"),
+            )
+        )
+    )
+    return (
+        d.select("doc_id", "source", hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "q194_corpus_divergence": q194_corpus_divergence,
+    "q197_phrase_search": q197_phrase_search,
     "q146_bm25": q146_bm25,
     "q181_bigram_lm_score": q181_bigram_lm_score,
     "q40_top_tokens": q40_top_tokens,
@@ -479,6 +571,45 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q194_corpus_divergence": """
+WITH tok AS (
+  SELECT doc_id % 2 AS side, UNNEST(STRING_SPLIT(text, ' ')) AS term
+  FROM documents
+), per_term AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM tok GROUP BY term
+), tot AS (
+  SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM per_term
+), scored AS (
+  SELECT term, c1, c2,
+         CAST(ABS(c1 * n2 - c2 * n1) AS BIGINT) AS drift_e
+  FROM per_term, tot
+), top AS (
+  SELECT term, c1, c2, drift_e FROM scored
+  ORDER BY drift_e DESC, term LIMIT 20
+), total AS (
+  SELECT '__TOTAL__' AS term, CAST(n1 AS BIGINT) AS c1,
+         CAST(n2 AS BIGINT) AS c2,
+         (SELECT CAST(SUM(drift_e) AS BIGINT) FROM scored) AS drift_e
+  FROM tot
+)
+SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM total)
+ORDER BY drift_e DESC, term
+""",
+    "q197_phrase_search": """
+SELECT doc_id, source, n_hits FROM (
+  SELECT doc_id, source,
+         CAST(LEN(LIST_FILTER(RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+              i -> STRING_SPLIT(text, ' ')[i] = 'sort'
+                   AND STRING_SPLIT(text, ' ')[i+1] = 'merge'))
+              AS BIGINT) AS n_hits
+  FROM documents
+)
+WHERE n_hits > 0
+ORDER BY doc_id
+""",
     "q146_bm25": """
 WITH tok AS (
   SELECT doc_id, t.token

@@ -301,7 +301,71 @@ def q188_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q192_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) dimension lookup — the warehouse twin of the
+    event as-of join (q11/q159): every order is joined to the customer
+    tier that was VALID AT ``o_orderdate``, against a two-epoch slowly-
+    changing dimension (per customer: an initial tier from 1995-01-01
+    and a deterministic re-tier at ``1996-01-01 + (c_custkey % 1500)
+    days``). The engine runs the honest general mechanism — a backward
+    inclusive as-of join on ``valid_from`` through
+    ``operators/asof.asof_join_auto`` (cost-gated plain vs time-bucketed
+    plan, 180-day buckets at scale) — while the oracle re-derives the
+    tier from the closed-form epoch rule, so an off-by-one at a validity
+    boundary (an order ON the re-tier date belongs to the NEW tier:
+    exact matches advance) mismatches. Graded per tier: orders, distinct
+    customers, exact cents. Scale: the dim is 2 rows/key but the as-of
+    plan never assumes that; parallelism = keys x time-buckets."""
+    from pandas_streaming_spark.operators.asof import asof_join_auto
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    dim = c.select(
+        F.col("c_custkey"),
+        F.to_timestamp(F.lit("1995-01-01")).alias("valid_from"),
+        F.concat(F.lit("t"), (F.col("c_custkey") % 3).cast("string")).alias(
+            "tier"
+        ),
+    ).unionByName(
+        c.select(
+            F.col("c_custkey"),
+            F.timestamp_seconds(
+                F.unix_timestamp(F.to_timestamp(F.lit("1996-01-01")))
+                + (F.col("c_custkey") % 1500) * 86400
+            ).alias("valid_from"),
+            F.concat(
+                F.lit("t"), ((F.col("c_custkey") + 1) % 3).cast("string")
+            ).alias("tier"),
+        )
+    )
+    j = asof_join_auto(
+        o.withColumnRenamed("o_custkey", "c_custkey"),
+        dim,
+        key="c_custkey",
+        left_time="o_orderdate",
+        right_time="valid_from",
+        value_cols=["tier"],
+        bucket_seconds=180 * 86400.0,
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("tier")
+    )
+
+
 QUERIES = {
+    "q192_pit_scd2_join": q192_pit_scd2_join,
     "q188_time_decay_score": q188_time_decay_score,
     "q159_asof_event_join": q159_asof_event_join,
     "q112_percentile_bins": q112_percentile_bins,
@@ -315,6 +379,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the oracle resolves the SCD2 epoch with the closed-form rule (an
+    # order on/after the per-customer re-tier date takes the new tier),
+    # independent of the engine's as-of mechanism
+    "q192_pit_scd2_join": """
+WITH o AS (
+  SELECT o_custkey AS c_custkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+t AS (
+  SELECT c_custkey, o_orderdate, cents,
+         CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                   + INTERVAL ((c_custkey % 1500)) DAY
+              THEN 't' || CAST((c_custkey + 1) % 3 AS VARCHAR)
+              ELSE 't' || CAST(c_custkey % 3 AS VARCHAR)
+         END AS tier
+  FROM o
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY tier ORDER BY tier
+""",
     "q188_time_decay_score": """
 WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS hd FROM events),
 s AS (

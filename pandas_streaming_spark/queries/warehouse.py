@@ -528,7 +528,30 @@ def q184_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "month")
 
 
+def q195_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel — q94's ordered-stage funnel with the
+    constraint every product analytics tool adds: each stage must land
+    within 24 h of the user's previous stage time (first-touch: the
+    stage-(k−1) anchor is the earliest qualifying event; an expired
+    window ends the chain rather than re-opening on later repeats).
+    Same ONE-shuffle chained-running-min plan as q94
+    (operators/funnel.py) — the gap is one extra integer-microsecond
+    predicate per stage, not a per-stage self-join; the oracle states
+    the semantics as the explicit 4-level join chain, so the window
+    plan's equivalence to the definitional form is what's graded.
+    Boundary exactness: both engines compare epoch MICROSECONDS as
+    integers (a seconds-double comparison rounds)."""
+    from pandas_streaming_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase"],
+        max_gap_seconds=86400.0,
+    )
+
+
 QUERIES = {
+    "q195_funnel_window": q195_funnel_window,
     "q184_incremental_mv": q184_incremental_mv,
     "q163_bitmap_distinct": q163_bitmap_distinct,
     "q161_zorder_skipping": q161_zorder_skipping,
@@ -546,6 +569,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    # definitional join-chain form; epoch_us comparison mirrors the
+    # engine's integer-microsecond window predicate exactly
+    "q195_funnel_window": """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'view' AND e.ts > t1.t
+    AND epoch_us(e.ts) <= epoch_us(t1.t) + 86400000000
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'click' AND e.ts > t2.t
+    AND epoch_us(e.ts) <= epoch_us(t2.t) + 86400000000
+  GROUP BY e.user_id
+), t4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN t3 ON e.user_id = t3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t3.t
+    AND epoch_us(e.ts) <= epoch_us(t3.t) + 86400000000
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage_no, 'signup' AS stage, (SELECT COUNT(*) FROM t1) AS n_users
+UNION ALL
+SELECT 2, 'view', (SELECT COUNT(*) FROM t2)
+UNION ALL
+SELECT 3, 'click', (SELECT COUNT(*) FROM t3)
+UNION ALL
+SELECT 4, 'purchase', (SELECT COUNT(*) FROM t4)
+ORDER BY stage_no
+""",
     "q184_incremental_mv": """
 WITH c AS (
   SELECT o_orderpriority,

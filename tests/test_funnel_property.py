@@ -55,3 +55,39 @@ def test_funnel_matches_python_reference(spark, rows):
     out = funnel_counts(spark.createDataFrame(pdf), STAGES).collect()
     got = {r["stage"]: r["n_users"] for r in out}
     assert got == _py_funnel(rows)
+
+
+def _py_funnel_gap(rows: list[tuple[int, int, str]], gap: int) -> dict[str, int]:
+    """Reference for the conversion-window variant: stage k must land in
+    (t_{k-1}, t_{k-1} + gap]; the anchor is first-touch and never
+    re-opens."""
+    counts = dict.fromkeys(STAGES, 0)
+    for u in {r[0] for r in rows}:
+        ev = [(t, s) for (uu, t, s) in rows if uu == u]
+        prev = None
+        for stage in STAGES:
+            cand = [
+                t for (t, s) in ev
+                if s == stage
+                and (prev is None or (prev < t <= prev + gap))
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[stage] += 1
+    return counts
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(ROW, min_size=1, max_size=24))
+def test_funnel_gap_matches_python_reference(spark, rows):
+    pdf = pd.DataFrame(
+        [(u, _ts(t), s) for (u, t, s) in rows],
+        columns=["user_id", "ts", "event_type"],
+    )
+    out = funnel_counts(
+        spark.createDataFrame(pdf), STAGES, max_gap_seconds=3.0
+    ).collect()
+    got = {r["stage"]: r["n_users"] for r in out}
+    assert got == _py_funnel_gap(rows, 3)

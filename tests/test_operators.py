@@ -823,3 +823,37 @@ def test_prefix_filter_simjoin_exactness(spark, tau):
         for r in ngram_jaccard_pairs(df, k=3, threshold=tau).collect()
     }
     assert got == want
+
+
+def test_sorted_neighborhood_pairs_reference(spark):
+    """SNM candidates == the definitional rank-window pairs: sort by
+    (key, id), every pair within 5 ranks — checked against a pure-Python
+    enumeration on ids deliberately uncorrelated with the sort key, and
+    the index pin is released through the returned hook."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pandas_streaming_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = random.Random(20260815)
+    rows = [
+        (i * 7 + 3, f"k{rng.randrange(40):02d}") for i in range(200)
+    ]  # 40 key values over 200 ids: heavy ties, id tiebreak matters
+    df = spark.createDataFrame(rows, "doc_id long, txt string").repartition(8)
+    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    pairs, release = sorted_neighborhood_pairs(
+        df, key=F.col("txt"), window=5, id_col="doc_id"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    order = [i for i, _ in sorted(rows, key=lambda r: (r[1], r[0]))]
+    expect = {
+        (min(order[i], order[j]), max(order[i], order[j]))
+        for i in range(len(order))
+        for j in range(i + 1, min(i + 6, len(order)))
+    }
+    assert got == expect
+    release()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == baseline
