@@ -152,6 +152,12 @@ def main() -> None:
         "q195_funnel_window",        # 24h conversion-window funnel
         "q196_negative_pairs",       # hash-indexed contrastive negatives
         "q198_robust_outliers",      # median/MAD robust outlier gate
+        "q199_clamped_balance",      # non-associative saturating scan
+        "q200_copurchase_pairs",     # basket pair co-occurrence
+        "q201_rolling_distinct",     # exact sliding-window distinct
+        "q203_pmi_collocations",     # integer-fraction PMI lift
+        "q204_attribution_last_touch",  # lookback-window attribution
+        "q205_quota_allocation",     # telescoped greedy allocation
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

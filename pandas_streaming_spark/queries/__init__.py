@@ -261,6 +261,14 @@ _EXTRAS = [
     "q196_negative_pairs",
     "q197_phrase_search",
     "q198_robust_outliers",
+    "q199_clamped_balance",
+    "q200_copurchase_pairs",
+    "q201_rolling_distinct",
+    "q202_weighted_median",
+    "q203_pmi_collocations",
+    "q204_attribution_last_touch",
+    "q205_quota_allocation",
+    "q206_srm_check",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

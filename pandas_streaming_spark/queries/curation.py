@@ -225,8 +225,110 @@ def q196_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q203_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — adjacent-bigram lift (the PMI ranking
+    statistic) with support >= 5. PMI = ln(c_xy*N / (c_x*c_y)) needs a
+    transcendental, so the GRADE carries the exact integer FRACTION
+    instead: ``lift_num = c_xy * N`` and ``lift_den = c_x * c_y`` (ln is
+    monotone, so consumers rank by cross-multiplying fractions — no
+    float ever enters the contract; same exactness move as q194's
+    TV-distance numerator). Plan: one token explode for unigram counts,
+    one adjacent-pair explode (zip of the two slice views — no
+    positional self-join) for bigram counts, the corpus size on a 1-row
+    broadcast, two vocabulary-sized hash joins to attach c_x/c_y. At
+    graded scales c_xy*N tops out ~1e13 (500x inside int64); at 100 TB
+    the products move to decimal(38,0) like q194."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    uni = (
+        d.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("long").alias("__n"))
+    bg = (
+        d.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))).alias(
+                        "w1"
+                    ),
+                    F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias(
+                        "w2"
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    return (
+        bg.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .join(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (F.col("c_xy") * F.col("__n")).cast("long").alias("lift_num"),
+            (F.col("c_x") * F.col("c_y")).cast("long").alias("lift_den"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+def q206_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch detector — the first gate every
+    experimentation platform runs before reading a metric: users are
+    hash-split 50/50 into arms (the q75 md5-bucket assignment, so
+    membership is content-addressed and both engines compute it
+    identically), and per event_type the arm counts are screened with
+    the two-arm chi-square ``(n_a - n_b)^2 / (n_a + n_b)`` — graded as
+    its exact integer NUMERATOR against ``16 * (n_a + n_b)``
+    (chi-square > 16 ~ p < 6e-5, the standard SRM alarm), so no
+    division or float threshold enters the contract (q194/q203's
+    integer-fraction move). Scale: one map-side-combined aggregate over
+    5 groups; the hash assignment is a per-row expression."""
+    from pandas_streaming_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", hash_bucket("user_id", 2).alias("arm")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b")))
+            .cast("long")
+            .alias("srm_num"),
+            (
+                (F.col("n_a") - F.col("n_b"))
+                * (F.col("n_a") - F.col("n_b"))
+                > 16 * (F.col("n_a") + F.col("n_b"))
+            ).alias("srm_alarm"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q196_negative_pairs": q196_negative_pairs,
+    "q203_pmi_collocations": q203_pmi_collocations,
+    "q206_srm_check": q206_srm_check,
     "q186_group_split": q186_group_split,
     "q74_deterministic_sample": q74_deterministic_sample,
     "q75_hash_split": q75_hash_split,
@@ -237,6 +339,47 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same md5-bucket arm assignment, chi-square numerator vs 16*(n_a+n_b)
+    "q206_srm_check": """
+WITH b AS (
+  SELECT event_type,
+         CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 7))
+              AS BIGINT) % 2 AS arm
+  FROM events
+), c AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM b GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       CAST((n_a - n_b) * (n_a - n_b) AS BIGINT) AS srm_num,
+       (n_a - n_b) * (n_a - n_b) > 16 * (n_a + n_b) AS srm_alarm
+FROM c ORDER BY event_type
+""",
+    # same integer-fraction contract; bigrams via the positional-lambda
+    # pattern (q189/q193), unigrams via a plain unnest
+    "q203_pmi_collocations": """
+WITH toks AS (
+  SELECT STRING_SPLIT(text, ' ') AS t FROM documents
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w
+), n AS (SELECT SUM(c) AS n FROM uni),
+bg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0))) s(i)
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT bg.w1, bg.w2, bg.c_xy, ux.c AS c_x, uy.c AS c_y,
+       CAST(bg.c_xy * n.n AS BIGINT) AS lift_num,
+       CAST(ux.c * uy.c AS BIGINT) AS lift_den
+FROM bg
+JOIN uni ux ON ux.w = bg.w1
+JOIN uni uy ON uy.w = bg.w2
+CROSS JOIN n
+ORDER BY w1, w2
+""",
     # ranks re-derived with the window form (small-data plan); identical
     # md5 draw arithmetic => identical pair membership
     "q196_negative_pairs": """

@@ -364,8 +364,146 @@ def q192_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q199_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saturating (two-sided clamped) running balance — the canonical
+    NON-ASSOCIATIVE scan (``bal_i = min(cap, max(0, bal_{i-1} + d_i))``)
+    that no window frame can express, via
+    :func:`operators.stateful.clamped_running_balance` (one key shuffle
+    + Arrow-batched per-key ordered scan; see the operator docstring for
+    the saturating-add-monoid 100-TB escape hatch). Per user: purchases
+    credit ``+ROUND(value*100)`` cents, clicks debit the same, clamp to
+    [0, 10000]; graded per user as final balance + floor/cap hit counts
+    — any drift anywhere in the scan order corrupts every later row, so
+    the grade covers the whole trajectory. The oracle is the
+    DEFINITIONAL recursive CTE (one step per rank) — what's graded is
+    the scan semantics, engine-independent. Order is total (ts,
+    event_id), deltas exact integers — a float delta would accumulate
+    representation error over the scan."""
+    from pandas_streaming_spark.operators.stateful import (
+        clamped_running_balance,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(-F.round(F.col("value") * 100).cast("long"))
+            .alias("delta"),
+        )
+    )
+    walk = clamped_running_balance(
+        ev, "user_id", ["ts", "event_id"], "delta", floor=0, cap=10_000
+    )
+    return (
+        walk.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_steps"),
+            F.max_by("bal", F.struct("ts", "event_id")).alias("final_cents"),
+            F.sum(F.when(F.col("clipped") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_floor"),
+            F.sum(F.when(F.col("clipped") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q201_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct active users per day. Distinct is
+    NOT mergeable from per-day partials, so the exact linear-cost plan
+    is the window EXPLODE: each distinct (user, day) activity row serves
+    the 7 window-end days it falls into — a constant 7x row expansion
+    into one map-side-combinable aggregate, instead of a 7-way per-day
+    self-join (7 shuffles) or a quadratic day x history rescan. Days
+    past the corpus max are dropped via a 1-row broadcast bound. At
+    100 TB the exactness requirement is usually relaxed and this becomes
+    per-day HLL sketches merged over the trailing window (the
+    q141/q155/q156 family) — this entry grades the exact baseline those
+    sketches are audited against."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    mx = ev.agg(F.max(F.to_date("ts")).alias("__mx"))
+    return (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("day"),
+        )
+        .join(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("__mx"))
+        .groupBy(F.col("day").cast("timestamp").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("day")
+    )
+
+
+def q204_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's cents are
+    credited to the channel (event_type) of the user's most recent
+    preceding non-purchase event within 1 h, else 'direct'. ONE window
+    per user — ``last(non-purchase, ignoreNulls)`` over rows
+    ``(unboundedPreceding, -1)`` in total (ts, event_id) order — where
+    the naive spec is a per-purchase correlated lookback (a self-join
+    that explodes on active users). The 1 h recency gate compares epoch
+    MICROSECONDS as integers (q195's boundary rule: a seconds-double
+    comparison rounds; an event exactly 1 h before still attributes).
+    Scale: one key-partitioned window + one tiny channel aggregate —
+    the window state is a single struct, and parallelism is user
+    cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("ts").alias("pts"), F.col("event_type").alias("pt")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("__prev", prev)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("__prev").isNotNull()
+                & (
+                    F.unix_micros(F.col("ts"))
+                    - F.unix_micros(F.col("__prev.pts"))
+                    <= 3_600_000_000
+                ),
+                F.col("__prev.pt"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
 QUERIES = {
     "q192_pit_scd2_join": q192_pit_scd2_join,
+    "q199_clamped_balance": q199_clamped_balance,
+    "q201_rolling_distinct": q201_rolling_distinct,
+    "q204_attribution_last_touch": q204_attribution_last_touch,
     "q188_time_decay_score": q188_time_decay_score,
     "q159_asof_event_join": q159_asof_event_join,
     "q112_percentile_bins": q112_percentile_bins,
@@ -379,6 +517,73 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the definitional one-step-per-rank recursive walk; LEAST/GREATEST
+    # on exact BIGINTs, so every step is engine-identical
+    "q199_clamped_balance": """
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT)
+              ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS delta
+  FROM events WHERE event_type IN ('purchase', 'click')
+), walk AS (
+  SELECT user_id, rn, delta AS raw,
+         LEAST(10000, GREATEST(0, delta)) AS bal
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, w.bal + e.delta AS raw,
+         LEAST(10000, GREATEST(0, w.bal + e.delta)) AS bal
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CAST(MAX(CASE WHEN rn = mx THEN bal END) AS BIGINT) AS final_cents,
+       CAST(SUM(CASE WHEN raw < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_floor,
+       CAST(SUM(CASE WHEN raw > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_cap
+FROM (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mx FROM walk)
+GROUP BY user_id ORDER BY user_id
+""",
+    # same 7x window-explode form; DATE + i arithmetic in both engines
+    "q201_rolling_distinct": """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), mx AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events),
+ex AS (
+  SELECT ud.user_id, ud.d + CAST(s.i AS INTEGER) AS day
+  FROM ud CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 6)) AS i) s
+  CROSS JOIN mx
+  WHERE ud.d + CAST(s.i AS INTEGER) <= mx.m
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ex GROUP BY 1 ORDER BY 1
+""",
+    # same spec, duckdb's IGNORE-NULLS window; the two LAST_VALUE calls
+    # share one filter so they read the same attributed row
+    "q204_attribution_last_touch": """
+WITH w AS (
+  SELECT event_type, value, ts,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_ts,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_type
+  FROM events
+)
+SELECT CASE WHEN prev_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(prev_ts) <= 3600000000
+            THEN prev_type ELSE 'direct' END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM w WHERE event_type = 'purchase'
+GROUP BY channel ORDER BY channel
+""",
     # the oracle resolves the SCD2 epoch with the closed-form rule (an
     # order on/after the per-customer re-tier date takes the new tier),
     # independent of the engine's as-of mechanism

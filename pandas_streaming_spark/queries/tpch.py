@@ -10,7 +10,7 @@ left to ``autoBroadcastJoinThreshold`` + AQE so plans stay correct when a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandas_streaming_spark.catalog import load_table
@@ -301,8 +301,132 @@ def q73_decimal_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q200_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair co-occurrence (the support-counting core of
+    frequent-itemset mining): part pairs ordered together, counted over
+    orders, support >= 2. Plan: DISTINCT (order, part) first, then a
+    self equi-join ON the order key with ``p1 < p2`` — the candidate
+    count is sum(C(k_o, 2)) with the per-order basket k_o schema-bounded
+    (<= 7 lineitems), i.e. LINEAR in orders, never the all-pairs part x
+    part square; the order key is uniform so the join exchange has no
+    hot key, and the pair aggregate is map-side combinable. Unbounded
+    baskets at 100 TB get a per-basket top-k cap before the self-join
+    (the standard A-priori guard). Output ordered (n_orders DESC, p1,
+    p2) — exact integers, total order."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+        .join(
+            li.select("l_orderkey", F.col("l_partkey").alias("p2")).hint(
+                "shuffle_hash"
+            ),
+            "l_orderkey",
+        )
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "p1", "p2")
+    )
+
+
+def q202_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median per group — quantity-weighted median
+    line price per return flag: the smallest price whose cumulative
+    weight reaches half the group total (``2*cumw >= totw``). Plan:
+    collapse to DISTINCT price first (groupBy price -> weight sum, so
+    the window sort runs on the price-vocabulary cardinality, not the
+    row count), one running-sum window per group, pick the first
+    crossing. All arithmetic on exact integers (cents x integer
+    quantity), so the crossing comparison is cross-engine exact — no
+    interpolation policy needed (lower-median convention). The oracle
+    states the identical running-sum definition."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round("l_quantity").cast("long").alias("w"),
+    )
+    per_price = li.groupBy("l_returnflag", "cents").agg(
+        F.sum("w").alias("pw")
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("cents")
+    tot = Window.partitionBy("l_returnflag")
+    crossed = per_price.select(
+        "l_returnflag",
+        "cents",
+        F.sum("pw").over(win).alias("cumw"),
+        F.sum("pw").over(tot).alias("totw"),
+    ).filter(2 * F.col("cumw") >= F.col("totw"))
+    return (
+        crossed.groupBy("l_returnflag")
+        .agg(
+            F.min("cents").alias("med_cents"),
+            F.max("totw").cast("long").alias("tot_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q205_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quota allocation — each part has a 100-unit budget,
+    consumed by its lineitems in (shipdate, orderkey, linenumber)
+    order; a line gets ``min(requested, remaining)``. Looks like a
+    sequential scan, but one-sided allocation TELESCOPES:
+    ``sum(allocated through i) = min(cum_requested_i, B)``, so
+    ``allocated_i = min(S_i, B) - min(S_{i-1}, B)`` — one running-sum
+    window per part, fully associative, no applyInPandas. (The
+    two-sided clamp q199 is the op where this telescoping fails and the
+    keyed scan is forced — this pair documents the boundary.) Graded
+    per part: line counts by fill class and exact allocated/requested
+    units. Scale: one key-partitioned window; per-part line counts are
+    schema-bounded, and the aggregate is map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity").cast("long").alias("q"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    b = F.lit(100)
+    s = F.sum("q").over(w)
+    alloc = F.least(s, b) - F.least(s - F.col("q"), b)
+    return (
+        li.withColumn("__a", alloc)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("__a") == F.col("q"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_full"),
+            F.sum(
+                F.when(
+                    (F.col("__a") > 0) & (F.col("__a") < F.col("q")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_partial"),
+            F.sum(F.when(F.col("__a") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero"),
+            F.sum("__a").cast("long").alias("alloc_units"),
+            F.sum("q").cast("long").alias("req_units"),
+        )
+        .orderBy("partkey")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q200_copurchase_pairs": q200_copurchase_pairs,
+    "q202_weighted_median": q202_weighted_median,
+    "q205_quota_allocation": q205_quota_allocation,
     "q02_projection_filter": q02_projection_filter,
     "q03_broadcast_join": q03_broadcast_join,
     "q04_star_join_revenue": q04_star_join_revenue,
@@ -321,6 +445,60 @@ QUERIES = {
 }
 
 ORACLES = {
+    # identical telescoped prefix-sum form (the greedy fold and this
+    # closed form are provably equal for one-sided budgets)
+    "q205_quota_allocation": """
+WITH li AS (
+  SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT))
+           OVER (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber) AS s
+  FROM lineitem
+), a AS (
+  SELECT l_partkey, q, LEAST(s, 100) - LEAST(s - q, 100) AS a FROM li
+)
+SELECT l_partkey AS partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN a = q THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+       CAST(SUM(CASE WHEN a > 0 AND a < q THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_partial,
+       CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(SUM(a) AS BIGINT) AS alloc_units,
+       CAST(SUM(q) AS BIGINT) AS req_units
+FROM a GROUP BY l_partkey ORDER BY partkey
+""",
+    "q200_copurchase_pairs": """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY n_orders DESC, p1, p2
+""",
+    # identical running-sum lower-median definition on exact integers
+    "q202_weighted_median": """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(ROUND(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+), pp AS (
+  SELECT l_returnflag, cents, SUM(w) AS pw
+  FROM li GROUP BY 1, 2
+), run AS (
+  SELECT l_returnflag, cents,
+         SUM(pw) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cumw,
+         SUM(pw) OVER (PARTITION BY l_returnflag) AS totw
+  FROM pp
+)
+SELECT l_returnflag, MIN(cents) AS med_cents,
+       CAST(MAX(totw) AS BIGINT) AS tot_weight
+FROM run WHERE 2 * cumw >= totw
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
     "q01_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,

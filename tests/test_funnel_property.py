@@ -91,3 +91,24 @@ def test_funnel_gap_matches_python_reference(spark, rows):
     ).collect()
     got = {r["stage"]: r["n_users"] for r in out}
     assert got == _py_funnel_gap(rows, 3)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    qs=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+    budget=st.integers(min_value=0, max_value=120),
+)
+def test_quota_allocation_telescopes(qs, budget):
+    """q205's load-bearing identity: the greedy fold min(q, remaining)
+    equals the closed form min(S_i, B) - min(S_{i-1}, B) for every
+    prefix — i.e. one-sided allocation is window-expressible. (Pure
+    Python: this is the algebra the query plan relies on, independent
+    of Spark.)"""
+    remaining = budget
+    s = 0
+    for q in qs:
+        greedy = min(q, max(0, remaining))
+        closed = min(s + q, budget) - min(s, budget)
+        assert greedy == closed
+        remaining -= greedy
+        s += q

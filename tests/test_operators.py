@@ -857,3 +857,38 @@ def test_sorted_neighborhood_pairs_reference(spark):
     assert got == expect
     release()
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == baseline
+
+
+def test_clamped_running_balance_reference(spark):
+    """The saturating scan == the pure-Python fold, under adversarial
+    partitioning (repartition(7) destroys input order, ts ties resolved
+    by the id tiebreak), including per-row clipped flags."""
+    import random
+
+    from pandas_streaming_spark.operators.stateful import (
+        clamped_running_balance,
+    )
+
+    rng = random.Random(20260815)
+    rows = []
+    for i in range(300):
+        # ts collisions on purpose: i // 3 repeats each ts three times
+        rows.append((i % 5, i // 3, i, rng.randrange(-40, 41)))
+    df = spark.createDataFrame(
+        rows, "k long, ts long, rid long, delta long"
+    ).repartition(7)
+    out = clamped_running_balance(
+        df, "k", ["ts", "rid"], "delta", floor=0, cap=60
+    ).collect()
+    got = {(r["k"], r["rid"]): (r["bal"], r["clipped"]) for r in out}
+    expect = {}
+    for k in range(5):
+        bal = 0
+        for _, ts, rid, d in sorted(
+            (r for r in rows if r[0] == k), key=lambda r: (r[1], r[2])
+        ):
+            raw = bal + d
+            bal = min(60, max(0, raw))
+            c = -1 if raw < 0 else (1 if raw > 60 else 0)
+            expect[(k, rid)] = (bal, c)
+    assert got == expect
