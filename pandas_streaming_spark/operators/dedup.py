@@ -640,6 +640,11 @@ def sorted_neighborhood_pairs(
     """
     from pandas_streaming_spark.operators.indexing import global_index
 
+    if window < 1:
+        # F.sequence(rank+1, rank+window) with window=0 would produce a
+        # DESCENDING sequence (Spark defaults the step to -1 when
+        # start > stop) and yield spurious pairs instead of none
+        raise ValueError(f"sorted_neighborhood_pairs: window must be >= 1, got {window}")
     keyed = df.select(F.col(id_col), key.alias("__snk"))
     gi = global_index(keyed, ["__snk", id_col], "__rank")
     idx = gi.df.select(id_col, "__rank")

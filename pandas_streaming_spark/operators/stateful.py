@@ -23,6 +23,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -30,8 +31,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    ByteType,
     DoubleType,
+    IntegerType,
     LongType,
+    ShortType,
     StructField,
     StructType,
 )
@@ -474,9 +478,35 @@ def clamped_running_balance(
     generic scan primitive, so the keyed in-partition pass is the
     idiomatic plan.
 
+    Inside each Arrow batch the scan runs the VECTORIZED kernel
+    (:func:`_clamped_scan_numpy`): per round, every key segment's
+    candidate balances are a segmented cumsum from the segment's last
+    clip anchor (pure numpy), the first out-of-band row per segment is
+    clamped, and the round repeats from there — O(batch) numpy work per
+    round, rounds = max clips per key. A clip-dense tail past 64 rounds
+    falls back to the per-row reference loop
+    (:func:`_clamped_scan_reference`), which is also the differential
+    twin the property test compares against.
+
     Deltas must be exact integers (cents/units) — a float delta would
-    accumulate representation error over the scan.
+    accumulate representation error over the scan; the operator REJECTS
+    non-integral delta dtypes and NULL deltas loudly rather than
+    truncating (ADVICE r8).
     """
+    if "bal" in df.columns or "clipped" in df.columns:
+        raise ValueError(
+            "clamped_running_balance: input already has a 'bal' or "
+            "'clipped' column; the appended output fields would collide "
+            "— rename the input column first"
+        )
+    dt = df.schema[delta_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"clamped_running_balance: delta column {delta_col!r} must "
+            f"be an integral type (exact-integer contract; a float "
+            f"delta would accumulate representation error over the "
+            f"scan), got {dt.simpleString()}"
+        )
     out_schema = StructType(
         [f for f in df.schema.fields]
         + [StructField("bal", LongType()), StructField("clipped", LongType())]
@@ -490,24 +520,17 @@ def clamped_running_balance(
         for pdf in pdfs:
             if pdf.empty:
                 continue
+            if pdf[delta_col].isna().any():
+                raise ValueError(
+                    f"clamped_running_balance: NULL in delta column "
+                    f"{delta_col!r}; the exact-integer scan has no "
+                    "null semantics — filter or fill upstream"
+                )
             keys = pdf[key_col].to_numpy()
-            deltas = pdf[delta_col].to_numpy()
-            n = len(pdf)
-            bals = [0] * n
-            clipped = [0] * n
-            for i in range(n):
-                k = keys[i]
-                if k != cur_key:
-                    cur_key, bal = k, 0
-                raw = bal + int(deltas[i])
-                if raw < floor:
-                    bal, c = floor, -1
-                elif raw > cap:
-                    bal, c = cap, 1
-                else:
-                    bal, c = raw, 0
-                bals[i] = bal
-                clipped[i] = c
+            deltas = pdf[delta_col].to_numpy(dtype=np.int64)
+            bals, clipped, cur_key, bal = _clamped_scan_numpy(
+                keys, deltas, floor, cap, cur_key, bal
+            )
             out = pdf.copy()
             out["bal"] = pd.Series(bals, dtype="int64")
             out["clipped"] = pd.Series(clipped, dtype="int64")
@@ -518,3 +541,103 @@ def clamped_running_balance(
         .sortWithinPartitions(key_col, *order_cols)
         .mapInPandas(scan, schema=out_schema)
     )
+
+
+def _clamped_scan_reference(keys, deltas, floor, cap, cur_key, bal):
+    """Per-row reference implementation of the clamped scan — the
+    differential twin for :func:`_clamped_scan_numpy` (pinned equal by
+    the property test) and the exact fallback for clip-dense segments.
+    Returns ``(bals, clipped, last_key, last_bal)``."""
+    n = len(keys)
+    bals = np.empty(n, np.int64)
+    clipped = np.empty(n, np.int64)
+    for i in range(n):
+        k = keys[i]
+        if k != cur_key:
+            cur_key, bal = k, 0
+        raw = bal + int(deltas[i])
+        if raw < floor:
+            bal, c = floor, -1
+        elif raw > cap:
+            bal, c = cap, 1
+        else:
+            bal, c = raw, 0
+        bals[i] = bal
+        clipped[i] = c
+    return bals, clipped, cur_key, bal
+
+
+def _clamped_scan_numpy(keys, deltas, floor, cap, cur_key, bal, max_rounds=64):
+    """Vectorized clamped scan over one Arrow batch (VERDICT r8 item 8:
+    the per-row Python constant was the next 100 TB bottleneck).
+
+    Round structure: each key segment carries a clip ANCHOR (position +
+    post-clip value; initially the segment start with value 0, or the
+    cross-batch carry). Candidate balances for ALL rows at once are
+    ``anchor_val + (cumsum - cumsum_before_anchor)`` — a segmented
+    cumsum, pure numpy. The first row per segment whose candidate
+    leaves ``[floor, cap]`` is clamped and becomes the new anchor; rows
+    before it are final. Rounds repeat until no segment violates, so
+    total work is O(n · max_clips_per_key) numpy ops with zero per-row
+    Python. Segments still unconverged after ``max_rounds``
+    (adversarially clip-dense) finish on the exact reference loop."""
+    n = len(keys)
+    new_seg = np.empty(n, dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new_seg)
+    ends = np.append(starts[1:], n)
+    seg_of = np.cumsum(new_seg) - 1  # 0-based segment id per row
+    nseg = len(starts)
+
+    S = np.cumsum(deltas, dtype=np.int64)
+    Sx = S - deltas  # exclusive prefix sum
+
+    anchor_pos = starts.copy()
+    anchor_val = np.zeros(nseg, dtype=np.int64)
+    if keys[0] == cur_key:
+        anchor_val[0] = bal
+
+    bals = np.empty(n, dtype=np.int64)
+    clipped = np.zeros(n, dtype=np.int64)
+    done = np.zeros(n, dtype=bool)
+    idxs = np.arange(n)
+    active = np.ones(nseg, dtype=bool)
+
+    for _ in range(max_rounds):
+        if not active.any():
+            break
+        # candidate balance for every pending row: anchor value plus
+        # deltas accumulated since that segment's anchor. anchor_pos can
+        # be n for a segment whose final row clipped (inactive; its rows
+        # are all done and masked below) — clamp the index
+        prop = S + (anchor_val - Sx[np.minimum(anchor_pos, n - 1)])[seg_of]
+        pending = ~done
+        viol = pending & ((prop < floor) | (prop > cap))
+        cand = np.where(viol, idxs, n)
+        first = np.minimum.reduceat(cand, starts)  # per-seg first violation (n = none)
+        fin = pending & (idxs < first[seg_of])  # in-band rows before the clip
+        bals[fin] = prop[fin]
+        done[fin] = True
+        hit = first < n
+        if hit.any():
+            p = first[hit]
+            under = prop[p] < floor
+            cv = np.where(under, floor, cap).astype(np.int64)
+            bals[p] = cv
+            clipped[p] = np.where(under, -1, 1)
+            done[p] = True
+            anchor_val[hit] = cv
+            anchor_pos[hit] = p + 1
+        active = hit.copy()
+        active[hit] = anchor_pos[hit] < ends[hit]
+
+    if not done.all():  # clip-dense tail: exact fallback per segment
+        for s in np.flatnonzero(active):
+            a, e = anchor_pos[s], ends[s]
+            sb, sc, _, _ = _clamped_scan_reference(
+                keys[a:e], deltas[a:e], floor, cap, keys[a], int(anchor_val[s])
+            )
+            bals[a:e] = sb
+            clipped[a:e] = sc
+    return bals, clipped, keys[n - 1], int(bals[n - 1])

@@ -66,7 +66,17 @@ def _evolved_layout(spark: SparkSession, sf_dir: str) -> str:
             try:
                 os.rename(tmp, out_dir)
             except OSError:
-                return tmp
+                # lost the race twice: another writer owns out_dir now.
+                # Its rename is atomic and the marker rides inside the
+                # renamed tree, so re-check it; never hand back the
+                # uncached tmp path (no marker, never cleaned up).
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(marker):
+                    raise RuntimeError(
+                        f"evolved-layout cache unavailable at {out_dir}: "
+                        "rename failed twice and no competing writer "
+                        "left a valid _OK marker"
+                    )
         else:
             shutil.rmtree(tmp, ignore_errors=True)
     return out_dir

@@ -404,7 +404,14 @@ def q146_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row avgdl aggregate all broadcast; the only data-sized
     shuffles are the two token aggregations. Score emits at 1e-4
     rounding; ranking ties (duplicate docs score identically) break on
-    doc_id."""
+    doc_id.
+
+    Rounding-separation audit (ADVICE r8, mirrors q181): each doc sums
+    at most 5 float terms, so reassociation drift across engines/runs
+    is bounded by a few ulps of the scaled score (~1e-10 at the 1e4
+    scale); the query fails fast if ANY per-doc scaled score sits
+    within 1e-6 of a .5 boundary, turning a would-be silent
+    cross-engine hash flip into a loud fixture error."""
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tok = docs.select(
@@ -444,7 +451,21 @@ def q146_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank on integer basis points, not the raw double: the raw per-doc
     # sums differ by ULPs with aggregation order (identical replica docs
     # at 10x got effectively-random rank order despite the doc_id
-    # tie-break, because no two raw scores ever compared equal)
+    # tie-break, because no two raw scores ever compared equal).
+    # Materialize once — the separation audit and the ranking both read
+    # it, and the frame is one row per doc (tiny next to the token pass)
+    scored = scored.localCheckpoint(eager=True)
+    scaled = F.col("score") * F.lit(1e4)
+    min_sep = scored.agg(
+        F.min(F.abs(scaled - F.floor(scaled) - F.lit(0.5))).alias("d")
+    ).first()["d"]
+    if min_sep is not None and min_sep < 1e-6:
+        raise ValueError(
+            f"q146 fixture violates rounding separation: a BM25 score "
+            f"sits {min_sep:.2e} from a .5e-4 boundary (< 1e-6); "
+            "accumulation-order ulp drift could flip the grade — "
+            "regenerate the fixture or coarsen the quantization"
+        )
     scored = scored.withColumn(
         "score_e4", F.round(F.col("score") * 1e4, 0).cast("long")
     )

@@ -8,6 +8,9 @@ Usage:
                                                           # 3 shuffle partitions
                                                           # (driver/verify shape)
     python scripts/sweep.py /root/testdata/sf0.1          # tuned local[32]
+    python scripts/sweep.py <sf_dir> small q146,q199      # only entries whose
+                                                          # name starts with a
+                                                          # listed prefix
 
 The `small` mode is the partitioning-invariance axis: a plain un-tuned
 SparkSession with tiny parallelism must produce byte-identical graded
@@ -25,6 +28,7 @@ sys.path.insert(0, REPO)
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     small = len(sys.argv) > 2 and sys.argv[2] == "small"
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 
     if small:
         os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
@@ -53,6 +57,8 @@ def main() -> int:
     con = duckdb_connect(sf_dir)
     fails = 0
     for name, fn in qs.items():
+        if only and not any(name.startswith(p) for p in only):
+            continue
         try:
             if name not in osql:
                 print(name, "rows-only:", fn(spark, sf_dir).count(), flush=True)

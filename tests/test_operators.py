@@ -892,3 +892,65 @@ def test_clamped_running_balance_reference(spark):
             c = -1 if raw < 0 else (1 if raw > 60 else 0)
             expect[(k, rid)] = (bal, c)
     assert got == expect
+
+
+def test_clamped_scan_numpy_differential():
+    """The vectorized kernel == the per-row reference loop on random
+    multi-key batches spanning the whole clip-density spectrum (wide
+    band: clips rare; tight band floor=0/cap=3: clips almost every row,
+    which also exercises the max_rounds fallback), plus cross-batch
+    carry hand-off."""
+    import random
+
+    import numpy as np
+
+    from pandas_streaming_spark.operators.stateful import (
+        _clamped_scan_numpy,
+        _clamped_scan_reference,
+    )
+
+    rng = random.Random(20260815)
+    for trial in range(40):
+        n = rng.randrange(1, 120)
+        keys = np.array(sorted(rng.randrange(4) for _ in range(n)), dtype=np.int64)
+        deltas = np.array([rng.randrange(-9, 10) for _ in range(n)], dtype=np.int64)
+        floor, cap = (0, 3) if trial % 2 else (-20, 20)
+        carry_key = 0 if trial % 3 == 0 else object()
+        carry_bal = rng.randrange(floor, cap + 1)
+        # low max_rounds on half the trials forces the fallback path
+        mr = 1 if trial % 4 == 0 else 64
+        got = _clamped_scan_numpy(keys, deltas, floor, cap, carry_key, carry_bal, max_rounds=mr)
+        ref = _clamped_scan_reference(keys, deltas, floor, cap, carry_key, carry_bal)
+        assert list(got[0]) == list(ref[0]), f"bals diverge (trial {trial})"
+        assert list(got[1]) == list(ref[1]), f"clipped diverge (trial {trial})"
+        assert got[2] == ref[2] and got[3] == ref[3]
+
+
+def test_clamped_running_balance_rejects_bad_input(spark):
+    """ADVICE r8: float deltas and output-column collisions fail loudly."""
+    import pytest
+
+    from pandas_streaming_spark.operators.stateful import (
+        clamped_running_balance,
+    )
+
+    fdf = spark.createDataFrame([(1, 1, 1.5)], "k long, ts long, delta double")
+    with pytest.raises(ValueError, match="integral type"):
+        clamped_running_balance(fdf, "k", ["ts"], "delta", floor=0, cap=10)
+    cdf = spark.createDataFrame([(1, 1, 1, 0)], "k long, ts long, delta long, bal long")
+    with pytest.raises(ValueError, match="collide"):
+        clamped_running_balance(cdf, "k", ["ts"], "delta", floor=0, cap=10)
+
+
+def test_sorted_neighborhood_rejects_bad_window(spark):
+    """ADVICE r8: window=0 would build a DESCENDING F.sequence and emit
+    spurious pairs; the operator must refuse instead."""
+    import pytest
+
+    from pandas_streaming_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, F.col("text"), window=0)
