@@ -327,6 +327,89 @@ def kmeans_step(
     ).withColumnRenamed("label", "assigned_label")
 
 
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication: cluster the corpus, then
+    drop near-duplicates *within each cluster* (Abbas et al. 2023 — the
+    classic LLM-curation embedding dedup; reference semantics, Spark-first
+    plan). Three stages, all DataFrame ops:
+
+    1. **Cluster** — :func:`assign_to_centroids` against the exact
+       fixed-point label centroids (content-addressed: centroids are a
+       pure function of the data, so both engines derive identical
+       clusters — the q196 determinism move applied to k-means).
+    2. **Candidate pairs** — self-join *within the assigned cluster only*
+       (shuffle key = cluster id); a pair is a semantic duplicate when
+       raw cosine >= ``threshold`` (raw-double compare, the q42 policy —
+       both engines fold the same doubles in index order, so no rounding
+       boundary enters the predicate).
+    3. **Keep rule** — per SemDeDup, the member *farthest from the
+       centroid* survives each duplicate pair (keeps the diverse tail of
+       the cluster): x is dropped iff some in-cluster neighbor y has
+       pair-cosine >= threshold AND (y.cent_sim < x.cent_sim, integer
+       ``sim_e4`` compare; ties to the smaller id). Pairwise dominance,
+       not transitive closure — deterministic and order-free.
+
+    Output: one row per vector — (id, assigned_label, cent_sim_e4,
+    kept 1/0), the audit-friendly form (filter kept=1 for the survivor
+    corpus).
+
+    Scale shape: candidates are bounded per cluster — with k chosen so
+    clusters hold ~10-50k members, the within-cluster quadratic stays
+    ~1e8-2e9 cosine kernels per cluster cell, embarrassingly parallel and
+    never all-pairs over the corpus (the SemDeDup design point: k grows
+    with n). The assignment is localCheckpointed so the broadcast+window
+    E-step runs once, not once per join branch.
+    """
+    assigned = assign_to_centroids(
+        embeddings, None, id_col, label_col, vec_col, keep_vec=True
+    ).localCheckpoint(eager=False)
+    a = assigned.select(
+        F.col(id_col).alias("__a_id"),
+        F.col("assigned_label").alias("__cl"),
+        F.col("sim_e4").alias("__a_cent"),
+        F.col(vec_col).alias("__a_vec"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__b_id"),
+        F.col("assigned_label").alias("__cl"),
+        F.col("sim_e4").alias("__b_cent"),
+        F.col(vec_col).alias("__b_vec"),
+    )
+    dropped = (
+        a.join(b, "__cl")
+        .filter(F.col("__a_id") != F.col("__b_id"))
+        .filter(vec_cosine("__a_vec", "__b_vec") >= F.lit(float(threshold)))
+        .filter(
+            (F.col("__b_cent") < F.col("__a_cent"))
+            | (
+                (F.col("__b_cent") == F.col("__a_cent"))
+                & (F.col("__b_id") < F.col("__a_id"))
+            )
+        )
+        .select(F.col("__a_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["__a_id"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("assigned_label"),
+            F.col("sim_e4").alias("cent_sim_e4"),
+            F.when(F.col("__a_id").isNull(), 1).otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
 def quantize_int8(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -269,6 +269,7 @@ _EXTRAS = [
     "q204_attribution_last_touch",
     "q205_quota_allocation",
     "q206_srm_check",
+    "q207_semdedup",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -544,6 +544,51 @@ FROM topl FULL OUTER JOIN topv ON topl.doc_id = topv.doc_id
 ORDER BY rrf_e6 DESC, doc_id
 LIMIT 10
 """,
+    "q207_semdedup": f"""
+WITH comps AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS c_label,
+         LIST(CAST(centroid_e6 AS DOUBLE) / 1000000.0 ORDER BY dim) AS cvec
+  FROM (
+    SELECT label, dim,
+           CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS centroid_e6
+    FROM comps GROUP BY label, dim
+  ) GROUP BY label
+),
+sims AS (
+  SELECT e.vec_id, c.c_label, {_cos("e.embedding", "c.cvec")} AS sim
+  FROM embeddings e CROSS JOIN cent c
+),
+r AS (
+  SELECT vec_id, c_label, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC NULLS LAST, c_label) AS rn
+  FROM sims
+),
+assigned AS (
+  SELECT vec_id, c_label AS cl,
+         CAST(ROUND(10000.0 * sim, 0) AS BIGINT) AS cent_e4
+  FROM r WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM assigned x
+  JOIN assigned y ON x.cl = y.cl AND x.vec_id <> y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE {_cos('ex.embedding', 'ey.embedding')} >= 0.3
+    AND (y.cent_e4 < x.cent_e4
+         OR (y.cent_e4 = x.cent_e4 AND y.vec_id < x.vec_id))
+)
+SELECT a.vec_id, a.cl AS assigned_label, a.cent_e4 AS cent_sim_e4,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+""",
     "q39_similarity_topk": f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,

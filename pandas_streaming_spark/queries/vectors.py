@@ -228,8 +228,23 @@ def q182_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf
 
 
+def q207_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators.similarity.semdedup, VERDICT r8
+    item 5): cluster on exact fixed-point label centroids, drop
+    within-cluster members with cosine >= 0.3 to a neighbor nearer the
+    centroid (the paper's keep-farthest-from-centroid rule). One row per
+    vector with the kept flag; the oracle re-derives cluster membership,
+    centroid sims, and the dominance rule from scratch."""
+    from pandas_streaming_spark.operators.similarity import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), threshold=0.3).orderBy(
+        "vec_id"
+    )
+
+
 QUERIES = {
     "q182_rrf_hybrid": q182_rrf_hybrid,
+    "q207_semdedup": q207_semdedup,
     "q39_similarity_topk": q39_similarity_topk,
     "q42_similarity_join": q42_similarity_join,
     "q57_ann_bucketed": q57_ann_bucketed,

@@ -954,3 +954,59 @@ def test_sorted_neighborhood_rejects_bad_window(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(df, F.col("text"), window=0)
+
+
+def test_semdedup_dominance_rule(spark):
+    """semdedup == the brute-force definition on a hand-checkable frame:
+    two separated clusters; within a cluster, a member is dropped iff a
+    cosine>=tau neighbor sits strictly nearer the centroid (ties to the
+    smaller id — the SemDeDup keep-farthest rule)."""
+    import itertools
+    import math
+
+    from pandas_streaming_spark.operators.similarity import semdedup
+
+    # cluster A hugs +x (ids 0-2 nearly parallel => dups), cluster B hugs
+    # +y with one oblique member that clears tau with nobody
+    rows = [
+        (0, "a", [1.0, 0.00, 0.0]),
+        (1, "a", [1.0, 0.02, 0.0]),
+        (2, "a", [1.0, -0.02, 0.0]),
+        (3, "b", [0.0, 1.0, 0.0]),
+        (4, "b", [0.0, 1.0, 0.05]),
+        (5, "b", [0.6, 0.0, 0.8]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    tau = 0.9
+    got = {
+        r["vec_id"]: (r["assigned_label"], r["kept"])
+        for r in semdedup(df, threshold=tau).collect()
+    }
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v)))
+
+    # brute force: centroids in e6 fixed point per the operator contract
+    cents = {}
+    for lab in ("a", "b"):
+        vs = [v for _, l, v in rows if l == lab]
+        cents[lab] = [
+            round(round(sum(round(1e6 * x[i]) for x in vs) / len(vs))) / 1e6
+            for i in range(3)
+        ]
+    assign = {}
+    for i, _, v in rows:
+        best = max(cents, key=lambda l: (cos(v, cents[l]), -ord(l)))
+        assign[i] = (best, round(1e4 * cos(v, cents[best])))
+    for i, _, v in rows:
+        cl, ce = assign[i]
+        dominated = any(
+            cos(v, w) >= tau
+            and (assign[j][1] < ce or (assign[j][1] == ce and j < i))
+            for j, _, w in rows
+            if j != i and assign[j][0] == cl
+        )
+        assert got[i] == (cl, 0 if dominated else 1), f"vec {i}"
