@@ -306,6 +306,25 @@ def main() -> None:
                 },
             }
 
+            # End-to-end curation-pipeline headline at 10x (VERDICT r8
+            # item 6): dedup -> exact near-dup simjoin -> Gopher gates ->
+            # leakage-safe split -> 512-token packing, each stage
+            # boundary materialized so per-stage seconds are honest.
+            # The closest local rehearsal of the 100 TB curation build;
+            # graded twin is q208 at sf0.01.
+            try:
+                from pandas_streaming_spark.queries.curation import (
+                    run_curation_pipeline,
+                )
+
+                result["pipeline_10x"] = run_curation_pipeline(
+                    spark, scaled_dir
+                )
+            except Exception as e:
+                result["pipeline_10x"] = {
+                    "error": f"{type(e).__name__}: {e}"[:200]
+                }
+
             # Streaming throughput at 10x events (same k=5 protocol):
             # the sf0.1 number is floor-bound by ~5 x ~250 ms of
             # per-trigger engine latency (planning + offset/commit WAL +

@@ -270,6 +270,7 @@ _EXTRAS = [
     "q205_quota_allocation",
     "q206_srm_check",
     "q207_semdedup",
+    "q208_curation_pipeline",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",
