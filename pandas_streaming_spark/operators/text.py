@@ -246,6 +246,114 @@ def pack_sequences(
     )
 
 
+def pack_bins(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    budget: int = 512,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Whole-document next-fit bin packing: documents are placed in
+    ``id_col`` order into fixed ``budget``-token bins WITHOUT splitting;
+    a doc that would overflow the open bin closes it and opens the next,
+    and an oversized doc (> budget) occupies a bin alone. The complement
+    of :func:`pack_sequences`' concat-and-chop — the SFT/eval packing
+    discipline where examples must stay intact.
+
+    Bin fill is a saturate-and-reset recurrence (non-associative: the
+    wasted tail capacity of a closed bin depends on every earlier doc),
+    so no window frame expresses it. Same partition-stream shape as
+    ``clamped_running_balance``: hash-repartition on the group column,
+    sort within partitions on (group, id), ONE ``mapInPandas`` per
+    partition with the (fill, bin) carry crossing Arrow batches. Inside
+    a batch each group's bin boundaries come from an inclusive prefix
+    sum + one ``np.searchsorted`` per BIN (first index whose running
+    fill exceeds the open bin's remaining capacity) — O(bins · log n)
+    C calls, no per-row Python loop.
+
+    Output: input columns + ``bin`` (0-based per group) + ``fill``
+    (open-bin token count through this doc). Rejects pre-existing
+    bin/fill columns and non-positive budgets loudly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if budget < 1:
+        raise ValueError(f"pack_bins: budget must be >= 1, got {budget}")
+    for c in ("bin", "fill"):
+        if c in df.columns:
+            raise ValueError(
+                f"pack_bins: input already has a {c!r} column; the "
+                "appended output fields would collide — rename it first"
+            )
+    out_schema = StructType(
+        [f for f in df.schema.fields]
+        + [StructField("bin", LongType()), StructField("fill", LongType())]
+    )
+    grp = partition_by
+
+    def scan(pdfs):
+        cur_key = object()  # sentinel != any real group value
+        fill = 0
+        bin_id = 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n = pdf[n_tokens_col].to_numpy(dtype="int64")
+            if (n < 0).any():
+                raise ValueError("pack_bins: negative token count")
+            keys = (
+                pdf[grp].to_numpy()
+                if grp is not None
+                else np.zeros(len(pdf), dtype="int64")
+            )
+            bins = np.empty(len(pdf), dtype="int64")
+            fills = np.empty(len(pdf), dtype="int64")
+            # group segment boundaries within the sorted batch
+            seg_starts = [0] + [
+                i for i in range(1, len(pdf)) if keys[i] != keys[i - 1]
+            ]
+            seg_starts.append(len(pdf))
+            for s, e in zip(seg_starts, seg_starts[1:]):
+                if keys[s] != cur_key:
+                    cur_key, fill, bin_id = keys[s], 0, 0
+                P = np.cumsum(n[s:e])  # inclusive prefix within segment
+                i = 0
+                m = e - s
+                base = 0  # P-space tokens before current position
+                while i < m:
+                    # docs i..j-1 fit in the open bin (fill before i)
+                    j = int(
+                        np.searchsorted(P, base - fill + budget, side="right")
+                    )
+                    if j <= i:  # doc i alone overflows the open bin
+                        if fill > 0:  # close it, retry with an empty bin
+                            bin_id += 1
+                            fill = 0
+                            continue
+                        j = i + 1  # oversized doc: its own bin
+                    bins[s + i : s + j] = bin_id
+                    fills[s + i : s + j] = P[i:j] - base + fill
+                    fill = int(P[j - 1] - base + fill)
+                    base = int(P[j - 1])
+                    i = j
+                    if i < m:  # overflow stopped the fill: close the bin
+                        bin_id += 1
+                        fill = 0
+            out = pdf.copy()
+            out["bin"] = bins
+            out["fill"] = fills
+            yield out
+
+    parted = (
+        df.repartition(F.col(grp)).sortWithinPartitions(grp, id_col)
+        if grp is not None
+        else df.coalesce(1).sortWithinPartitions(id_col)
+    )
+    return parted.mapInPandas(scan, schema=out_schema)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

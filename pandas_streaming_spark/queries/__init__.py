@@ -271,6 +271,13 @@ _EXTRAS = [
     "q206_srm_check",
     "q207_semdedup",
     "q208_curation_pipeline",
+    "q209_pack_bins",
+    "q210_rfm_segments",
+    "q213_yoy_revenue",
+    "q214_kmv_distinct",
+    "q215_vocab_coverage",
+    "q216_temperature_weights",
+    "q219_cusum_drift",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -526,8 +526,67 @@ def q180_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q214_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch, k=64 — the third
+    mergeable cardinality sketch next to HLL (q141) and bitmap (q163),
+    and the one with a closed-form unbiased estimator: hash every
+    member to a uniform fraction, keep the k smallest per group,
+    estimate = (k-1)/h_k. The hash is md5's first 15 hex digits over
+    16^15 (exact in a double's 53-bit mantissa, and computable verbatim
+    in duckdb — the content-addressed determinism move again). Groups
+    with < k members report their exact count (standard KMV fallback).
+    Estimate graded alongside the exact distinct and the error in bp.
+    Scale: the per-group top-k is a rank window over the DISTINCT
+    member frame; a production form replaces the window with a
+    map-side-combinable fixed-k min-heap UDAF, but the candidate frame
+    is already |distinct members|, not |rows|."""
+    k = 64
+    scale = float(16**15)
+    ev = load_table(spark, sf_dir, "events")
+    members = ev.select("event_type", "user_id").distinct()
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(scale)
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("__h").asc(), "user_id")
+    ranked = members.withColumn("__h", h).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    per = ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__hk"),
+    )
+    est = F.when(
+        F.col("__hk").isNotNull(),
+        F.round(F.lit(float(k - 1)) / F.col("__hk"), 0).cast("long"),
+    ).otherwise(F.col("n_exact"))
+    return (
+        per.select(
+            "event_type",
+            "n_exact",
+            est.alias("kmv_est"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            "kmv_est",
+            F.round(
+                F.lit(1e4)
+                * (F.col("kmv_est") - F.col("n_exact"))
+                / F.col("n_exact"),
+                0,
+            )
+            .cast("long")
+            .alias("err_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q180_global_index": q180_global_index,
+    "q214_kmv_distinct": q214_kmv_distinct,
     "q160_hll_native_audit": q160_hll_native_audit,
     "q130_regression_stats": q130_regression_stats,
     "q131_mode_bitagg": q131_mode_bitagg,
@@ -675,6 +734,36 @@ FROM {prev} ORDER BY rank_e6 DESC, node
 
 
 ORACLES = {
+    # identical md5-fraction hash, rank window, (k-1)/h_k estimator
+    "q214_kmv_distinct": """
+WITH members AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), h AS (
+  SELECT event_type, user_id,
+         CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS hf
+  FROM members
+), r AS (
+  SELECT event_type, hf,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY hf, user_id) AS rn
+  FROM h
+), per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         MAX(CASE WHEN rn = 64 THEN hf END) AS hk
+  FROM r GROUP BY event_type
+), e AS (
+  SELECT event_type, n_exact,
+         CASE WHEN hk IS NOT NULL
+              THEN CAST(ROUND(63.0 / hk, 0) AS BIGINT)
+              ELSE n_exact END AS kmv_est
+  FROM per
+)
+SELECT event_type, n_exact, kmv_est,
+       CAST(ROUND(1e4 * (kmv_est - n_exact) / n_exact, 0) AS BIGINT)
+         AS err_bp
+FROM e ORDER BY event_type
+""",
     "q180_global_index": """
 WITH t AS (
   SELECT o_orderpriority,

@@ -527,8 +527,81 @@ def run_curation_pipeline(
     }
 
 
+def q209_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document next-fit bin packing (operators/text.pack_bins):
+    512-token bins per source shard, docs never split — the SFT-side
+    twin of q85's concat-and-chop. Graded per source: docs, tokens,
+    bins used, and utilization in basis points (tokens may exceed
+    bins*budget only via oversized solo docs). The oracle walks the
+    definitional recurrence as a recursive CTE."""
+    from pandas_streaming_spark.operators.text import pack_bins
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    packed = pack_bins(docs, "doc_id", "n_tok", budget=512, partition_by="source")
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            (F.max("bin") + 1).cast("long").alias("n_bins"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_bins",
+            F.round(
+                F.lit(1e4) * F.col("n_tokens") / (F.col("n_bins") * 512), 0
+            )
+            .cast("long")
+            .alias("util_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def q216_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source resampling weights (the multilingual /
+    multi-domain mixing move: weight ∝ n^alpha with alpha=0.5 flattens
+    the source distribution): per-source doc counts -> sqrt in exact
+    integer micro-units FIRST (sqrt is a correctly-rounded IEEE op both
+    engines agree on; rounding to int immediately means the cross-source
+    SUM is exact integer arithmetic, immune to float accumulation
+    order) -> weight in ppm as the rounded ratio of two exact integers.
+    Scale: one map-side-combined count per source + a broadcast-sized
+    weight frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_toks")
+    )
+    s = n.select(
+        "source",
+        "n_toks",
+        F.round(F.lit(1e6) * F.sqrt(F.col("n_toks")), 0)
+        .cast("long")
+        .alias("s_e6"),
+    )
+    tot = s.agg(F.sum("s_e6").alias("__tot"))
+    return (
+        s.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_toks",
+            "s_e6",
+            F.round(F.lit(1e6) * F.col("s_e6") / F.col("__tot"), 0)
+            .cast("long")
+            .alias("w_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q196_negative_pairs": q196_negative_pairs,
+    "q209_pack_bins": q209_pack_bins,
+    "q216_temperature_weights": q216_temperature_weights,
     "q203_pmi_collocations": q203_pmi_collocations,
     "q206_srm_check": q206_srm_check,
     "q186_group_split": q186_group_split,
@@ -542,6 +615,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the definitional next-fit recurrence as a recursive CTE: fill
+    # saturates at 512 and resets; oversized docs occupy a bin alone
+    "q209_pack_bins": """
+WITH RECURSIVE t AS (
+  SELECT source, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT source, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.n,
+         CASE WHEN w.fill + t.n > 512 THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.fill + t.n > 512 THEN t.n ELSE w.fill + t.n END
+  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+       CAST(ROUND(1e4 * SUM(n) / ((MAX(bin) + 1) * 512), 0) AS BIGINT)
+         AS util_bp
+FROM walk GROUP BY source ORDER BY source
+""",
+    # sqrt to integer micro-units FIRST so the cross-source sum is exact
+    "q216_temperature_weights": """
+WITH n AS (
+  SELECT source, CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_toks
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, n_toks,
+         CAST(ROUND(1e6 * SQRT(n_toks), 0) AS BIGINT) AS s_e6
+  FROM n
+)
+SELECT source, n_toks, s_e6,
+       CAST(ROUND(1e6 * s_e6 / (SELECT SUM(s_e6) FROM s), 0) AS BIGINT)
+         AS w_ppm
+FROM s ORDER BY source
+""",
     # the full 5-stage pipeline re-derived: dedup window, shingle-join
     # exact Jaccard with the pairwise keep-min rule, Gopher gate battery,
     # md5 source-split buckets (train = [10, 90)), per-source telescoped

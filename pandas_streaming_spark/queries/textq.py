@@ -568,8 +568,62 @@ def q197_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q215_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve — the tokenizer-design question "how
+    much of the corpus does a top-V vocab cover": token frequencies
+    ranked (count desc, token asc — a total order), cumulative share at
+    rank checkpoints in basis points, plus the smallest vocab covering
+    90% (integer cross-multiplication cum*10 >= tot*9, no float in the
+    threshold). Scale: the window runs over the DISTINCT-token frame —
+    data-reduced to |vocab| rows by the groupBy, so the global sort is
+    over a frame thousands of times smaller than the corpus (real
+    corpora: millions of rows — still one executor's work)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wr = Window.orderBy(F.col("cnt").desc(), "tok")
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.sum("cnt")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("__tot"),
+        F.count("*").cast("long").alias("__v"),
+    )
+    s = ranked.join(F.broadcast(tot))
+    covs = s.filter(F.col("rank").isin(5, 10, 20, 30)).select(
+        F.concat(F.lit("cov_bp_at_"), F.lpad(F.col("rank").cast("string"), 2, "0"))
+        .alias("metric"),
+        F.round(F.lit(1e4) * F.col("cum") / F.col("__tot"), 0)
+        .cast("long")
+        .alias("value"),
+    )
+    v90 = (
+        s.filter(F.col("cum") * 10 >= F.col("__tot") * 9)
+        .agg(F.min("rank").alias("value"))
+        .select(F.lit("v_at_90pct").alias("metric"), "value")
+    )
+    base = tot.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("vocab_size").alias("metric"), F.col("__v").alias("value")),
+                F.struct(F.lit("total_tokens").alias("metric"), F.col("__tot").alias("value")),
+            )
+        ).alias("s")
+    ).select("s.metric", "s.value")
+    return covs.unionByName(v90).unionByName(base).orderBy("metric")
+
+
 QUERIES = {
     "q194_corpus_divergence": q194_corpus_divergence,
+    "q215_vocab_coverage": q215_vocab_coverage,
     "q197_phrase_search": q197_phrase_search,
     "q146_bm25": q146_bm25,
     "q181_bigram_lm_score": q181_bigram_lm_score,
@@ -592,6 +646,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same (cnt desc, tok) total order; 90% gate by cross-multiplication
+    "q215_vocab_coverage": """
+WITH counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+  ) GROUP BY tok
+), ranked AS (
+  SELECT cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM counts
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v
+  FROM counts
+)
+SELECT metric, value FROM (
+  SELECT 'cov_bp_at_' || LPAD(CAST(rank AS VARCHAR), 2, '0') AS metric,
+         CAST(ROUND(1e4 * cum / tot.t, 0) AS BIGINT) AS value
+  FROM ranked, tot WHERE rank IN (5, 10, 20, 30)
+  UNION ALL
+  SELECT 'v_at_90pct', CAST(MIN(rank) AS BIGINT)
+  FROM ranked, tot WHERE cum * 10 >= tot.t * 9
+  UNION ALL
+  SELECT 'vocab_size', v FROM tot
+  UNION ALL
+  SELECT 'total_tokens', t FROM tot
+) ORDER BY metric
+""",
     "q194_corpus_divergence": """
 WITH tok AS (
   SELECT doc_id % 2 AS side, UNNEST(STRING_SPLIT(text, ' ')) AS term

@@ -499,8 +499,57 @@ def q204_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q219_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user (Page 1954's sequential
+    change-point statistic, the standard production-monitoring form):
+    ``s_i = max(0, s_{i-1} + (x_i - slack))`` over purchase cents with
+    slack=5000; an alarm row is any step with s >= 20000. The recurrence
+    is the clamped scan with floor=0 and an unreachable cap, so it
+    REUSES :func:`operators.stateful.clamped_running_balance` unchanged
+    (deltas bounded by 10^4 cents x 10^4 rows per user << 2^62) — the
+    generality the non-associative scan operator was built for. Graded
+    per user: steps, final statistic, max statistic, alarm-step count,
+    floor-reset count; any scan-order drift corrupts every later value.
+    Oracle: the definitional recursive CTE."""
+    from pandas_streaming_spark.operators.stateful import (
+        clamped_running_balance,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.round(F.col("value") * 100).cast("long") - F.lit(5000)).alias(
+                "delta"
+            ),
+        )
+    )
+    walk = clamped_running_balance(
+        ev, "user_id", ["ts", "event_id"], "delta", floor=0, cap=1 << 60
+    )
+    return (
+        walk.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_steps"),
+            F.max_by("bal", F.struct("ts", "event_id")).alias("final_stat"),
+            F.max("bal").cast("long").alias("max_stat"),
+            F.sum(F.when(F.col("bal") >= 20_000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_alarms"),
+            F.sum(F.when(F.col("clipped") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_resets"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q192_pit_scd2_join": q192_pit_scd2_join,
+    "q219_cusum_drift": q219_cusum_drift,
     "q199_clamped_balance": q199_clamped_balance,
     "q201_rolling_distinct": q201_rolling_distinct,
     "q204_attribution_last_touch": q204_attribution_last_touch,
@@ -519,6 +568,33 @@ QUERIES = {
 ORACLES = {
     # the definitional one-step-per-rank recursive walk; LEAST/GREATEST
     # on exact BIGINTs, so every step is engine-identical
+    # definitional recursive CTE; cap unreachable so only the floor
+    # clamp appears (GREATEST) — mirrors the engine's 1<<60 cap exactly
+    "q219_cusum_drift": """
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         CAST(ROUND(value * 100) AS BIGINT) - 5000 AS delta
+  FROM events WHERE event_type = 'purchase'
+), walk AS (
+  SELECT user_id, rn, delta AS raw,
+         GREATEST(0, delta) AS bal
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, w.bal + e.delta AS raw,
+         GREATEST(0, w.bal + e.delta) AS bal
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CAST(MAX(CASE WHEN rn = mx THEN bal END) AS BIGINT) AS final_stat,
+       CAST(MAX(bal) AS BIGINT) AS max_stat,
+       CAST(SUM(CASE WHEN bal >= 20000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       CAST(SUM(CASE WHEN raw < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+FROM (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mx FROM walk)
+GROUP BY user_id ORDER BY user_id
+""",
     "q199_clamped_balance": """
 WITH RECURSIVE ev AS (
   SELECT user_id, ts, event_id,

@@ -1010,3 +1010,52 @@ def test_semdedup_dominance_rule(spark):
             if j != i and assign[j][0] == cl
         )
         assert got[i] == (cl, 0 if dominated else 1), f"vec {i}"
+
+
+def test_pack_bins_nextfit_reference(spark):
+    """pack_bins == the definitional next-fit loop, including oversized
+    docs (own bin) and a tight budget that forces frequent closes."""
+    import random
+
+    from pandas_streaming_spark.operators.text import pack_bins
+
+    rng = random.Random(20260815)
+    rows = []
+    for g in ("a", "b", "c"):
+        for i in range(60):
+            # mix tiny docs with occasional oversized (> budget) ones;
+            # group b STARTS oversized (the bin-0 edge: first doc always
+            # takes bin 0 even when it alone exceeds the budget)
+            n = 25 if (g == "b" and i == 0) else rng.choice([1, 3, 7, 12, 25])
+            rows.append((g, i, n))
+    df = spark.createDataFrame(rows, "src string, doc_id long, n long")
+    got = {
+        (r["src"], r["doc_id"]): (r["bin"], r["fill"])
+        for r in pack_bins(
+            df, "doc_id", "n", budget=20, partition_by="src"
+        ).collect()
+    }
+    for g in ("a", "b", "c"):
+        fill, b, first = 0, 0, True
+        for _, i, n in sorted(r for r in rows if r[0] == g):
+            if first:
+                fill, first = n, False
+            elif fill + n > 20:
+                b += 1
+                fill = n
+            else:
+                fill += n
+            assert got[(g, i)] == (b, fill), f"{g}/{i}"
+
+
+def test_pack_bins_rejects_bad_input(spark):
+    import pytest
+
+    from pandas_streaming_spark.operators.text import pack_bins
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="budget"):
+        pack_bins(df, "doc_id", "n", budget=0)
+    df2 = spark.createDataFrame([(1, 1, 0)], "doc_id long, n long, bin long")
+    with pytest.raises(ValueError, match="collide"):
+        pack_bins(df2, "doc_id", "n", budget=10)
