@@ -273,11 +273,16 @@ _EXTRAS = [
     "q208_curation_pipeline",
     "q209_pack_bins",
     "q210_rfm_segments",
+    "q211_bpe_merge_step",
+    "q212_share_of_parent",
     "q213_yoy_revenue",
     "q214_kmv_distinct",
     "q215_vocab_coverage",
     "q216_temperature_weights",
+    "q217_split_leakage",
+    "q218_mmr_rerank",
     "q219_cusum_drift",
+    "q220_skew_report",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -584,9 +584,71 @@ def q214_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q220_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the report an engineer runs BEFORE
+    choosing a partitioning (the repo's own salting/AQE-skew machinery
+    q88/q183 is the cure; this is the diagnosis): for each candidate
+    key, the key cardinality, hottest key and its share (bp), and the
+    Gini concentration in ppm computed from the rank formula
+    G = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc) over counts sorted (cnt, key) —
+    every term an exact integer, so the grade has no float accumulation.
+    Scale: each report is one map-side-combined groupBy to the key-count
+    frame, then a window + aggregate over |keys| rows, not |rows|."""
+    reports = []
+    for label, tbl, colname in (
+        ("events.user_id", "events", "user_id"),
+        ("events.event_type", "events", "event_type"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ):
+        c = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.col(colname).cast("string").alias("k"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        w = Window.orderBy("cnt", "k")
+        ranked = c.withColumn("i", F.row_number().over(w).cast("long"))
+        agg = ranked.agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(F.col("i") * F.col("cnt")).cast("long").alias("__ws"),
+            F.max("cnt").cast("long").alias("max_count"),
+            F.min_by(
+                "k", F.struct((-F.col("cnt")).alias("a"), F.col("k").alias("b"))
+            ).alias("top_key"),
+        )
+        reports.append(
+            agg.select(
+                F.lit(label).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                "max_count",
+                "top_key",
+                F.round(F.lit(1e4) * F.col("max_count") / F.col("n_rows"), 0)
+                .cast("long")
+                .alias("max_share_bp"),
+                F.round(
+                    F.lit(1e6)
+                    * (
+                        2 * F.col("__ws")
+                        - (F.col("n_keys") + 1) * F.col("n_rows")
+                    )
+                    / (F.col("n_keys") * F.col("n_rows")),
+                    0,
+                )
+                .cast("long")
+                .alias("gini_ppm"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("key_col")
+
+
 QUERIES = {
     "q180_global_index": q180_global_index,
     "q214_kmv_distinct": q214_kmv_distinct,
+    "q220_skew_report": q220_skew_report,
     "q160_hll_native_audit": q160_hll_native_audit,
     "q130_regression_stats": q130_regression_stats,
     "q131_mode_bitagg": q131_mode_bitagg,
@@ -733,7 +795,37 @@ FROM {prev} ORDER BY rank_e6 DESC, node
 """
 
 
+_SKEW_ONE = """
+SELECT '{label}' AS key_col,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_count,
+       (SELECT k FROM (
+          SELECT CAST({col} AS VARCHAR) AS k, COUNT(*) AS c
+          FROM {tbl} GROUP BY 1
+        ) ORDER BY c DESC, k LIMIT 1) AS top_key,
+       CAST(ROUND(1e4 * MAX(cnt) / SUM(cnt), 0) AS BIGINT) AS max_share_bp,
+       CAST(ROUND(1e6 * (2 * SUM(i * cnt) - (COUNT(*) + 1) * SUM(cnt))
+                  / (COUNT(*) * SUM(cnt)), 0) AS BIGINT) AS gini_ppm
+FROM (
+  SELECT k, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt, k) AS BIGINT) AS i
+  FROM (
+    SELECT CAST({col} AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM {tbl} GROUP BY 1
+  )
+)
+"""
+
 ORACLES = {
+    # identical rank-formula Gini over (cnt, key)-sorted key counts
+    "q220_skew_report": (
+        _SKEW_ONE.format(label="events.event_type", col="event_type", tbl="events")
+        + " UNION ALL "
+        + _SKEW_ONE.format(label="events.user_id", col="user_id", tbl="events")
+        + " UNION ALL "
+        + _SKEW_ONE.format(label="orders.o_custkey", col="o_custkey", tbl="orders")
+        + " ORDER BY key_col"
+    ),
     # identical md5-fraction hash, rank window, (k-1)/h_k estimator
     "q214_kmv_distinct": """
 WITH members AS (

@@ -598,9 +598,56 @@ def q216_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q217_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit — the measurement that justifies
+    q186's group-level split: distinct 5-gram leakage from test into
+    train under (a) the leakage-safe BY-SOURCE split and (b) a naive
+    BY-ROW split, same 80/10/10 hash buckets. One row per strategy:
+    distinct test grams, how many also occur in train, leakage in ppm
+    (rounded ratio of exact integers). Scale: each side is one distinct
+    over the gram stream + a gram-keyed semi-join — the q90
+    decontamination plan applied to the split audit."""
+    from pandas_streaming_spark.functions import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def audit(split_col: str, label: str) -> DataFrame:
+        s = hash_split(docs, split_col, {"train": 80, "val": 10, "test": 10})
+        grams = s.select(
+            "split", F.explode(shingles(F.col("text"), 5)).alias("g")
+        )
+        train_g = (
+            grams.filter(F.col("split") == "train").select("g").distinct()
+        )
+        test_g = grams.filter(F.col("split") == "test").select("g").distinct()
+        leaked = test_g.join(train_g, "g", "left_semi")
+        n_test = test_g.agg(F.count("*").cast("long").alias("n_test_grams"))
+        n_leak = leaked.agg(F.count("*").cast("long").alias("n_leaked"))
+        return (
+            n_test.join(n_leak)
+            .select(
+                F.lit(label).alias("strategy"),
+                "n_test_grams",
+                "n_leaked",
+                F.round(
+                    F.lit(1e6) * F.col("n_leaked") / F.col("n_test_grams"), 0
+                )
+                .cast("long")
+                .alias("leak_ppm"),
+            )
+        )
+
+    return (
+        audit("source", "by_source")
+        .unionByName(audit("doc_id", "by_doc"))
+        .orderBy("strategy")
+    )
+
+
 QUERIES = {
     "q196_negative_pairs": q196_negative_pairs,
     "q209_pack_bins": q209_pack_bins,
+    "q217_split_leakage": q217_split_leakage,
     "q216_temperature_weights": q216_temperature_weights,
     "q203_pmi_collocations": q203_pmi_collocations,
     "q206_srm_check": q206_srm_check,
@@ -614,7 +661,53 @@ QUERIES = {
     "q208_curation_pipeline": q208_curation_pipeline,
 }
 
+_LEAK_ONE = """
+SELECT '{label}' AS strategy,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tg_{label}) AS n_test_grams,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tg_{label}
+        WHERE g IN (SELECT g FROM trg_{label})) AS n_leaked,
+       CAST(ROUND(1e6 * (SELECT COUNT(*) FROM tg_{label}
+                         WHERE g IN (SELECT g FROM trg_{label}))
+                  / (SELECT COUNT(*) FROM tg_{label}), 0) AS BIGINT)
+         AS leak_ppm
+"""
+
+_LEAK_GRAMS = """
+sp_{label} AS (
+  SELECT text,
+         CASE WHEN {bucket} < 10 THEN 'test'
+              WHEN {bucket} < 90 THEN 'train'
+              ELSE 'val' END AS split
+  FROM documents
+),
+g_{label} AS (
+  SELECT split, UNNEST(LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LEN(tk) - 4, 0)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                || tk[i+3] || ' ' || tk[i+4])) AS g
+  FROM (SELECT split, STRING_SPLIT(text, ' ') AS tk FROM sp_{label})
+),
+tg_{label} AS (SELECT DISTINCT g FROM g_{label} WHERE split = 'test'),
+trg_{label} AS (SELECT DISTINCT g FROM g_{label} WHERE split = 'train')
+"""
+
 ORACLES = {
+    # same md5 bucket split, 5-gram distinct sets, semi-join leakage
+    "q217_split_leakage": (
+        "WITH "
+        + _LEAK_GRAMS.format(
+            label="by_source", bucket=_BUCKET_SQL.format(id="source")
+        )
+        + ", "
+        + _LEAK_GRAMS.format(
+            label="by_doc", bucket=_BUCKET_SQL.format(id="doc_id")
+        )
+        + " SELECT * FROM ("
+        + _LEAK_ONE.format(label="by_source")
+        + " UNION ALL "
+        + _LEAK_ONE.format(label="by_doc")
+        + ") ORDER BY strategy"
+    ),
     # the definitional next-fit recurrence as a recursive CTE: fill
     # saturates at 512 and resets; oversized docs occupy a bin alone
     "q209_pack_bins": """

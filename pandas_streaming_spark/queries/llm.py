@@ -544,6 +544,52 @@ FROM topl FULL OUTER JOIN topv ON topl.doc_id = topv.doc_id
 ORDER BY rrf_e6 DESC, doc_id
 LIMIT 10
 """,
+    "q218_mmr_rerank": (lambda: (
+        f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id,
+         CAST(ROUND(10000.0 * {_cos('e.embedding', 'q.qe')}, 0) AS BIGINT)
+           AS rel_e4
+  FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY rel_e4 DESC, vec_id LIMIT 20
+),
+pr AS (
+  SELECT a.vec_id AS aa, b.vec_id AS bb,
+         CAST(ROUND(10000.0 * {_cos('ea.embedding', 'eb.embedding')}, 0)
+              AS BIGINT) AS p
+  FROM cand a JOIN embeddings ea ON ea.vec_id = a.vec_id
+       JOIN cand b ON b.vec_id <> a.vec_id
+       JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+s1 AS (
+  SELECT vec_id, CAST(1 AS BIGINT) AS step,
+         CAST(2 * rel_e4 AS BIGINT) AS mmr_2e4
+  FROM cand ORDER BY rel_e4 DESC, vec_id LIMIT 1
+), sel1 AS (SELECT vec_id FROM s1)"""
+        + "".join(
+            f""",
+m{t} AS (
+  SELECT c.vec_id, CAST(2 * c.rel_e4 - MAX(p.p) AS BIGINT) AS mmr_2e4
+  FROM cand c JOIN pr p ON p.aa = c.vec_id
+       AND p.bb IN (SELECT vec_id FROM sel{t - 1})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  GROUP BY c.vec_id, c.rel_e4
+),
+s{t} AS (
+  SELECT vec_id, CAST({t} AS BIGINT) AS step, mmr_2e4
+  FROM m{t} ORDER BY mmr_2e4 DESC, vec_id LIMIT 1
+),
+sel{t} AS (SELECT vec_id FROM sel{t - 1} UNION SELECT vec_id FROM s{t})"""
+            for t in range(2, 6)
+        )
+        + """
+SELECT step, vec_id, mmr_2e4 FROM (
+  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5
+) ORDER BY step
+"""
+    ))(),
     "q207_semdedup": f"""
 WITH comps AS (
   SELECT label, generate_subscripts(embedding, 1) AS dim,

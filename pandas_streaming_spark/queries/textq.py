@@ -621,8 +621,71 @@ def q215_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covs.unionByName(v90).unionByName(base).orderBy("metric")
 
 
+def q211_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge iteration — the training step of byte-pair-encoding
+    tokenizers (Sennrich et al. 2016): count adjacent character pairs
+    across the corpus (frequency-weighted, overlapping positions, the
+    reference counting rule), pick the winner (count desc, pair asc),
+    and apply the merge as leftmost non-overlapping replacement. Graded:
+    top-5 pairs with the winner's effect (symbols before/after) as
+    constant audit columns — REPLACE's leftmost-non-overlap semantics
+    agree across engines, so 'aaa' under winner 'aa' merges exactly
+    once in both. Scale: BPE training operates on the WORD-FREQUENCY
+    table, not the corpus — everything after the first groupBy is
+    vocabulary-sized (the reason real BPE trainers scale at all)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    # adjacent char pairs with multiplicity (overlapping positions)
+    pairs = vocab.select(
+        "f",
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("cnt"))
+    w5 = Window.orderBy(F.col("cnt").desc(), "pair")
+    top5 = (
+        counts.withColumn("rank", F.row_number().over(w5).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+    winner = top5.filter(F.col("rank") == 1).select(
+        F.col("pair").alias("__win")
+    )
+    effect = (
+        vocab.join(F.broadcast(winner))
+        .select(
+            (F.col("f") * F.length("w")).alias("__sym"),
+            (
+                F.col("f")
+                * (F.length("w") - F.length(F.replace(F.col("w"), F.col("__win"))))
+                / 2
+            ).alias("__merged"),
+        )
+        .agg(
+            F.sum("__sym").cast("long").alias("n_sym_before"),
+            (F.sum("__sym") - F.sum("__merged")).cast("long").alias("n_sym_after"),
+        )
+    )
+    return (
+        top5.join(F.broadcast(effect))
+        .select("rank", "pair", "cnt", "n_sym_before", "n_sym_after")
+        .orderBy("rank")
+    )
+
+
 QUERIES = {
     "q194_corpus_divergence": q194_corpus_divergence,
+    "q211_bpe_merge_step": q211_bpe_merge_step,
     "q215_vocab_coverage": q215_vocab_coverage,
     "q197_phrase_search": q197_phrase_search,
     "q146_bm25": q146_bm25,
@@ -646,6 +709,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    # frequency-weighted overlapping pair counts over the word-frequency
+    # table; REPLACE is leftmost-non-overlap in both engines
+    "q211_bpe_merge_step": """
+WITH vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+  ) GROUP BY w
+), pairs AS (
+  SELECT f, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 1),
+                   i -> SUBSTR(w, CAST(i AS INT), 2))) AS pair
+  FROM vocab WHERE LEN(w) >= 2
+), counts AS (
+  SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+), top5 AS (
+  SELECT pair, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+  FROM counts QUALIFY rank <= 5
+), win AS (SELECT pair AS wp FROM top5 WHERE rank = 1),
+eff AS (
+  SELECT CAST(SUM(f * LEN(w)) AS BIGINT) AS n_sym_before,
+         CAST(SUM(f * LEN(w))
+              - SUM(f * (LEN(w) - LEN(REPLACE(w, win.wp, ''))) / 2)
+              AS BIGINT) AS n_sym_after
+  FROM vocab, win
+)
+SELECT rank, pair, cnt, n_sym_before, n_sym_after
+FROM top5, eff ORDER BY rank
+""",
     # same (cnt desc, tok) total order; 90% gate by cross-multiplication
     "q215_vocab_coverage": """
 WITH counts AS (

@@ -242,9 +242,83 @@ def q207_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q218_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diverse re-ranking (Carbonell &
+    Goldstein 1998) — the RAG diversity pass: from the top-20 cosine
+    candidates for vec 0, greedily select 5, each step maximizing
+    ``rel − λ·max_sim_to_selected`` with λ=0.5. Scored ENTIRELY in
+    integers: relevance and pair sims are e4-rounded first, and with
+    λ=1/2 the objective doubles to ``2·rel_e4 − max_pair_e4`` — no
+    float enters a comparison, so greedy ties are exact cross-engine
+    (tie → smaller vec_id). The 5 steps unroll into the plan (loop
+    builds the plan, not data); candidates and the 20×19 pair-sim frame
+    are localCheckpointed once. Scale: everything after the top-k cut
+    is k-sized — MMR cost is independent of corpus size by design."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = (
+        cosine_topk(emb, query_id=0, k=21)
+        .filter(F.col("vec_id") != 0)
+        .limit(20)
+        .select("vec_id", F.col("sim_e4").alias("rel_e4"))
+        .localCheckpoint(eager=False)
+    )
+    from pandas_streaming_spark.functions import vec_cosine
+
+    ce = cand.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = ce.select(
+        F.col("vec_id").alias("__a"), F.col("embedding").alias("__ea")
+    )
+    b = ce.select(
+        F.col("vec_id").alias("__b"), F.col("embedding").alias("__eb")
+    )
+    pairs = (
+        a.join(b, F.col("__a") != F.col("__b"))
+        .select(
+            "__a",
+            "__b",
+            F.round(F.lit(10000.0) * vec_cosine("__ea", "__eb"), 0)
+            .cast("long")
+            .alias("__p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = (
+        cand.orderBy(F.col("rel_e4").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            F.lit(1).cast("long").alias("step"),
+            (2 * F.col("rel_e4")).cast("long").alias("mmr_2e4"),
+        )
+    )
+    for t in range(2, 6):
+        chosen = sel.select("vec_id")
+        mx = (
+            pairs.join(
+                chosen.select(F.col("vec_id").alias("__b")), "__b"
+            )
+            .groupBy("__a")
+            .agg(F.max("__p").alias("__mp"))
+        )
+        pick = (
+            cand.join(chosen, "vec_id", "left_anti")
+            .join(mx, cand["vec_id"] == mx["__a"])
+            .select(
+                "vec_id",
+                F.lit(t).cast("long").alias("step"),
+                (2 * F.col("rel_e4") - F.col("__mp")).cast("long").alias("mmr_2e4"),
+            )
+            .orderBy(F.col("mmr_2e4").desc(), "vec_id")
+            .limit(1)
+        )
+        sel = sel.unionByName(pick)
+    return sel.select("step", "vec_id", "mmr_2e4").orderBy("step")
+
+
 QUERIES = {
     "q182_rrf_hybrid": q182_rrf_hybrid,
     "q207_semdedup": q207_semdedup,
+    "q218_mmr_rerank": q218_mmr_rerank,
     "q39_similarity_topk": q39_similarity_topk,
     "q42_similarity_join": q42_similarity_join,
     "q57_ann_bucketed": q57_ann_bucketed,

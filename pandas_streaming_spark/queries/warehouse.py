@@ -622,9 +622,50 @@ def q213_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q212_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy shares — the classic OLAP drill
+    metric: per-nation revenue with its share of the region (bp) and of
+    the grand total (bp), plus rank within region. One star join to the
+    data-reduced nation grain, then two partition-sum windows over the
+    25-row aggregate (window input is |nations|, not |orders|); shares
+    are rounded ratios of exact integer cents."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wt = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        "cents",
+        F.round(F.lit(1e4) * F.col("cents") / F.sum("cents").over(wr), 0)
+        .cast("long")
+        .alias("region_share_bp"),
+        F.round(F.lit(1e4) * F.col("cents") / F.sum("cents").over(wt), 0)
+        .cast("long")
+        .alias("total_share_bp"),
+        F.rank()
+        .over(Window.partitionBy("r_name").orderBy(F.col("cents").desc(), "n_name"))
+        .cast("long")
+        .alias("rank_in_region"),
+    ).orderBy("r_name", "rank_in_region", "n_name")
+
+
 QUERIES = {
     "q195_funnel_window": q195_funnel_window,
     "q210_rfm_segments": q210_rfm_segments,
+    "q212_share_of_parent": q212_share_of_parent,
     "q213_yoy_revenue": q213_yoy_revenue,
     "q184_incremental_mv": q184_incremental_mv,
     "q163_bitmap_distinct": q163_bitmap_distinct,
@@ -643,6 +684,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    # two partition sums over the nation-grain aggregate; bp of exact cents
+    "q212_share_of_parent": """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, cents,
+       CAST(ROUND(1e4 * cents / SUM(cents) OVER (PARTITION BY r_name), 0)
+            AS BIGINT) AS region_share_bp,
+       CAST(ROUND(1e4 * cents / SUM(cents) OVER (), 0) AS BIGINT)
+         AS total_share_bp,
+       CAST(RANK() OVER (PARTITION BY r_name ORDER BY cents DESC, n_name)
+            AS BIGINT) AS rank_in_region
+FROM rev ORDER BY r_name, rank_in_region, n_name
+""",
     # NTILE under the same (metric, custkey) total order; both engines
     # use floor-balanced buckets
     "q210_rfm_segments": """
