@@ -191,6 +191,20 @@ def main() -> None:
         "q203_pmi_collocations",     # integer-fraction PMI lift
         "q204_attribution_last_touch",  # lookback-window attribution
         "q205_quota_allocation",     # telescoped greedy allocation
+        "q207_semdedup",             # cluster-then-dedup on embeddings
+        "q208_curation_pipeline",    # 5-stage graded pipeline summary
+        "q209_pack_bins",            # whole-doc next-fit bin packing
+        "q210_rfm_segments",         # NTILE quartile segmentation
+        "q211_bpe_merge_step",       # BPE pair counts + merge effect
+        "q212_share_of_parent",      # percent-of-parent drill shares
+        "q213_yoy_revenue",          # month-minus-12 equi-join growth
+        "q214_kmv_distinct",         # k-minimum-values sketch
+        "q215_vocab_coverage",       # coverage curve + 90% vocab
+        "q216_temperature_weights",  # n^0.5 source mixing weights
+        "q217_split_leakage",        # group- vs row-split gram leakage
+        "q218_mmr_rerank",           # integer-objective MMR top-5
+        "q219_cusum_drift",          # CUSUM via the clamped scan
+        "q220_skew_report",          # hottest-key share + Gini ppm
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

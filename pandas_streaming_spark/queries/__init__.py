@@ -283,6 +283,8 @@ _EXTRAS = [
     "q218_mmr_rerank",
     "q219_cusum_drift",
     "q220_skew_report",
+    "q221_kmv_set_ops",
+    "q222_temperature_mix",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

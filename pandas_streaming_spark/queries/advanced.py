@@ -645,10 +645,101 @@ def q220_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("key_col")
 
 
+def q221_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the theta-sketch use case q156 covers
+    for HLL, on the k-minimum-values sketch (q214): click-audience and
+    buy-audience sketches (parity-cut memberships — see below), union
+    estimated from the k smallest hashes
+    of the union, intersection via the standard KMV rho-rule (the
+    fraction of the union's k-sample present in BOTH sets scales the
+    union estimate — Beyer et al. 2007). Every hash is the q214
+    md5-fraction, so the duckdb oracle reproduces the sketches
+    verbatim; exact counts ride along as the audit. Scale: one distinct
+    per-user flag aggregate, then all windows run over the |users|
+    frame."""
+    k = 64
+    scale = float(16**15)
+    ev = load_table(spark, sf_dir, "events")
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            # parity-defined audiences: every user has every event type
+            # at this fixture's density, so membership flags must cut
+            # INSIDE the counts to stay ~50/50 at any SF (odd click
+            # count / odd purchase count — deterministic, scale-stable)
+            (F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+             % 2).cast("int").alias("in_a"),
+            (F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+             % 2).cast("int").alias("in_b"),
+        )
+        .filter((F.col("in_a") == 1) | (F.col("in_b") == 1))
+        .withColumn(
+            "hf",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(scale),
+        )
+    ).localCheckpoint(eager=False)
+
+    def est(df: DataFrame, label: str) -> DataFrame:
+        w = Window.orderBy(F.col("hf").asc(), "user_id")
+        r = df.withColumn("__rn", F.row_number().over(w))
+        return r.agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.max(F.when(F.col("__rn") == k, F.col("hf"))).alias("__hk"),
+            F.sum(
+                F.when(
+                    (F.col("__rn") <= k)
+                    & (F.col("in_a") == 1)
+                    & (F.col("in_b") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("__m"),
+        ).select(
+            F.lit(label).alias("audience"),
+            "n_exact",
+            F.when(
+                F.col("__hk").isNotNull(),
+                F.round(F.lit(float(k - 1)) / F.col("__hk"), 0).cast("long"),
+            )
+            .otherwise(F.col("n_exact"))
+            .alias("kmv_est"),
+            F.col("__m").alias("k_both"),
+        )
+
+    a = est(flags.filter(F.col("in_a") == 1), "click")
+    b = est(flags.filter(F.col("in_b") == 1), "purchase")
+    u = est(flags, "union")
+    inter = u.select(
+        F.lit("intersection").alias("audience"),
+        F.lit(None).cast("long").alias("n_exact"),
+        F.round(F.col("k_both") * F.col("kmv_est") / F.lit(float(k)), 0)
+        .cast("long")
+        .alias("kmv_est"),
+        F.col("k_both"),
+    )
+    inter_exact = flags.filter(
+        (F.col("in_a") == 1) & (F.col("in_b") == 1)
+    ).agg(F.count("*").cast("long").alias("__n"))
+    inter = inter.join(F.broadcast(inter_exact)).select(
+        "audience", F.col("__n").alias("n_exact"), "kmv_est", "k_both"
+    )
+    return a.unionByName(b).unionByName(u).unionByName(inter).orderBy(
+        "audience"
+    )
+
+
 QUERIES = {
     "q180_global_index": q180_global_index,
     "q214_kmv_distinct": q214_kmv_distinct,
     "q220_skew_report": q220_skew_report,
+    "q221_kmv_set_ops": q221_kmv_set_ops,
     "q160_hll_native_audit": q160_hll_native_audit,
     "q130_regression_stats": q130_regression_stats,
     "q131_mode_bitagg": q131_mode_bitagg,
@@ -816,7 +907,56 @@ FROM (
 )
 """
 
+_KMV_FLAGS = """
+flags AS (
+  SELECT * FROM (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) % 2
+                AS INT) AS in_a,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) % 2
+                AS INT) AS in_b,
+           CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) / 1152921504606846976.0 AS hf
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY user_id
+  ) WHERE in_a = 1 OR in_b = 1
+)
+"""
+
+_KMV_EST = """
+SELECT '{label}' AS audience,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CASE WHEN MAX(CASE WHEN rn = 64 THEN hf END) IS NOT NULL
+            THEN CAST(ROUND(63.0 / MAX(CASE WHEN rn = 64 THEN hf END), 0)
+                      AS BIGINT)
+            ELSE CAST(COUNT(*) AS BIGINT) END AS kmv_est,
+       CAST(SUM(CASE WHEN rn <= 64 AND in_a = 1 AND in_b = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS k_both
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY hf, user_id) AS rn
+      FROM flags WHERE {where})
+"""
+
 ORACLES = {
+    # same md5-fraction sketches; intersection via the KMV rho-rule
+    "q221_kmv_set_ops": (
+        "WITH "
+        + _KMV_FLAGS
+        + ", eu AS ("
+        + _KMV_EST.format(label="union", where="1=1")
+        + ") SELECT * FROM ("
+        + _KMV_EST.format(label="click", where="in_a = 1")
+        + " UNION ALL "
+        + _KMV_EST.format(label="purchase", where="in_b = 1")
+        + " UNION ALL SELECT * FROM eu"
+        + """ UNION ALL
+SELECT 'intersection',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM flags
+        WHERE in_a = 1 AND in_b = 1),
+       CAST(ROUND(eu.k_both * eu.kmv_est / 64.0, 0) AS BIGINT),
+       eu.k_both
+FROM eu
+) ORDER BY audience"""
+    ),
     # identical rank-formula Gini over (cnt, key)-sorted key counts
     "q220_skew_report": (
         _SKEW_ONE.format(label="events.event_type", col="event_type", tbl="events")

@@ -644,10 +644,72 @@ def q217_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q222_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature-flattened corpus MIX — q216's n^0.5
+    weights turned into an actual per-source quota and a deterministic
+    pick: quota_s = round(target · w_ppm/1e6) docs (target = 40% of the
+    corpus), members chosen by (md5(doc_id), doc_id) rank within the
+    source — content-addressed, so the oracle computes IDENTICAL
+    membership and a re-run after ingesting more data keeps prior picks
+    stable within each source's rank prefix. Graded per source: quota,
+    docs kept (min(quota, available)), tokens kept. Scale: one weight
+    frame broadcast back onto the docs, one per-source rank window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    n = docs.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("n_toks"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    s = n.select(
+        "source",
+        "n_docs",
+        F.round(F.lit(1e6) * F.sqrt(F.col("n_toks")), 0)
+        .cast("long")
+        .alias("s_e6"),
+    )
+    tot = s.agg(F.sum("s_e6").alias("__tot"))
+    target = docs.agg(
+        F.round(F.count("*") * 0.4, 0).cast("long").alias("__target")
+    )
+    quotas = (
+        s.join(F.broadcast(tot))
+        .join(F.broadcast(target))
+        .select(
+            "source",
+            F.round(
+                F.col("__target") * F.col("s_e6") / F.col("__tot"), 0
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    picked = (
+        docs.join(F.broadcast(quotas), "source")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("quota"))
+    )
+    return (
+        picked.groupBy("source", "quota")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_tok").cast("long").alias("toks_kept"),
+        )
+        .select("source", "quota", "n_kept", "toks_kept")
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q196_negative_pairs": q196_negative_pairs,
     "q209_pack_bins": q209_pack_bins,
     "q217_split_leakage": q217_split_leakage,
+    "q222_temperature_mix": q222_temperature_mix,
     "q216_temperature_weights": q216_temperature_weights,
     "q203_pmi_collocations": q203_pmi_collocations,
     "q206_srm_check": q206_srm_check,
@@ -692,6 +754,33 @@ trg_{label} AS (SELECT DISTINCT g FROM g_{label} WHERE split = 'train')
 """
 
 ORACLES = {
+    # same sqrt-e6 weights -> quota -> md5-rank pick within source
+    "q222_temperature_mix": """
+WITH t AS (
+  SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+  FROM documents
+), n AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_toks FROM t GROUP BY source
+), s AS (
+  SELECT source, CAST(ROUND(1e6 * SQRT(n_toks), 0) AS BIGINT) AS s_e6 FROM n
+), quotas AS (
+  SELECT source,
+         CAST(ROUND((SELECT ROUND(COUNT(*) * 0.4, 0) FROM t)
+                    * s_e6 / (SELECT SUM(s_e6) FROM s), 0) AS BIGINT)
+           AS quota
+  FROM s
+), picked AS (
+  SELECT t.source, q.quota, t.n_tok,
+         ROW_NUMBER() OVER (PARTITION BY t.source
+                            ORDER BY MD5(CAST(t.doc_id AS VARCHAR)),
+                                     t.doc_id) AS rn
+  FROM t JOIN quotas q ON t.source = q.source
+)
+SELECT source, quota, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS toks_kept
+FROM picked WHERE rn <= quota
+GROUP BY source, quota ORDER BY source
+""",
     # same md5 bucket split, 5-gram distinct sets, semi-join leakage
     "q217_split_leakage": (
         "WITH "
