@@ -1059,3 +1059,23 @@ def test_pack_bins_rejects_bad_input(spark):
     df2 = spark.createDataFrame([(1, 1, 0)], "doc_id long, n long, bin long")
     with pytest.raises(ValueError, match="collide"):
         pack_bins(df2, "doc_id", "n", budget=10)
+
+
+def test_curation_pipeline_staged_matches_graded(spark, sf_dir):
+    """run_curation_pipeline's materialized per-stage counts == the
+    graded q208 summary on the same data (the bench harness and the
+    oracle-graded query must describe the same pipeline)."""
+    from pandas_streaming_spark.queries.curation import (
+        q208_curation_pipeline,
+        run_curation_pipeline,
+    )
+
+    staged = run_curation_pipeline(spark, sf_dir)
+    graded = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in q208_curation_pipeline(spark, sf_dir).collect()
+    }
+    for stage in ("1_raw", "2_exact_dedup", "3_neardup", "4_gates",
+                  "5_split_train"):
+        assert staged["counts"][stage] == graded[stage][0], stage
+    assert staged["counts"]["6_pack"] == graded["6_packed"][0]
