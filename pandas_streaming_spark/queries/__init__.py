@@ -285,6 +285,9 @@ _EXTRAS = [
     "q220_skew_report",
     "q221_kmv_set_ops",
     "q222_temperature_mix",
+    "q223_join_cardinality",
+    "q224_quarantine_routing",
+    "q225_contingency_deviation",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

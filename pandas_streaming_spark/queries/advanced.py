@@ -735,11 +735,124 @@ def q221_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q223_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output cardinality prediction from per-key histograms — the
+    pre-join planning question ("will this M:N join explode?") answered
+    exactly: |A ⋈ B| = Σ_k c_A(k)·c_B(k). Demonstrated on the genuinely
+    many-to-many click×purchase self-join per user; graded as the top-5
+    contributing keys plus a __TOTAL__ row where the prediction sits
+    beside the ACTUAL joined count — they must be equal (the identity
+    is the self-check). Scale: two map-side-combined count aggregates +
+    a key-frame join; the histogram frames are |keys|-sized, so the
+    prediction costs nothing compared to running the join blind."""
+    ev = load_table(spark, sf_dir, "events")
+    ca = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c_click"))
+    )
+    cb = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c_purchase"))
+    )
+    contrib = ca.join(cb, "user_id").select(
+        F.col("user_id").cast("string").alias("key"),
+        "c_click",
+        "c_purchase",
+        (F.col("c_click") * F.col("c_purchase")).cast("long").alias("contrib"),
+    )
+    top5 = (
+        contrib.orderBy(F.col("contrib").desc(), "key")
+        .limit(5)
+        .withColumn("actual_rows", F.lit(None).cast("long"))
+    )
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("__ea")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("__eb")
+    )
+    actual = a.join(b, "user_id").agg(
+        F.count("*").cast("long").alias("actual_rows")
+    )
+    total = (
+        contrib.agg(
+            F.sum("c_click").cast("long").alias("c_click"),
+            F.sum("c_purchase").cast("long").alias("c_purchase"),
+            F.sum("contrib").cast("long").alias("contrib"),
+        )
+        .join(F.broadcast(actual))
+        .select(
+            F.lit("__TOTAL__").alias("key"),
+            "c_click",
+            "c_purchase",
+            "contrib",
+            "actual_rows",
+        )
+    )
+    return top5.unionByName(total).orderBy(
+        F.col("key") == "__TOTAL__", F.col("contrib").desc(), "key"
+    )
+
+
+def q225_contingency_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R×C contingency-table independence deviations (the general form
+    of q206's 2-arm SRM gate): event_type × md5-assigned 3-arm split,
+    each cell graded as the EXACT integer deviation |O·N − R·C| beside
+    its observed/marginal counts — the chi-square numerator per cell
+    without squaring (|dev| stays inside int64 at any SF where O·N
+    does; the squared form overflows at ~1e9-row tables). No float
+    anywhere in the grade. Scale: one counts aggregate + two tiny
+    marginal frames broadcast back onto the |R·C| cell frame."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 7),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(3),
+            ).alias("arm"),
+        )
+        .groupBy("event_type", "arm")
+        .agg(F.count("*").cast("long").alias("observed"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("observed").alias("r_tot"))
+    ct = cells.groupBy("arm").agg(F.sum("observed").alias("c_tot"))
+    n = cells.agg(F.sum("observed").alias("n_tot"))
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "arm")
+        .join(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("arm").cast("long").alias("arm"),
+            "observed",
+            F.col("r_tot").cast("long").alias("r_tot"),
+            F.col("c_tot").cast("long").alias("c_tot"),
+            F.col("n_tot").cast("long").alias("n_tot"),
+            F.abs(
+                F.col("observed") * F.col("n_tot")
+                - F.col("r_tot") * F.col("c_tot")
+            )
+            .cast("long")
+            .alias("dev"),
+        )
+        .orderBy("event_type", "arm")
+    )
+
+
 QUERIES = {
     "q180_global_index": q180_global_index,
     "q214_kmv_distinct": q214_kmv_distinct,
     "q220_skew_report": q220_skew_report,
     "q221_kmv_set_ops": q221_kmv_set_ops,
+    "q223_join_cardinality": q223_join_cardinality,
+    "q225_contingency_deviation": q225_contingency_deviation,
     "q160_hll_native_audit": q160_hll_native_audit,
     "q130_regression_stats": q130_regression_stats,
     "q131_mode_bitagg": q131_mode_bitagg,
@@ -937,6 +1050,59 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY hf, user_id) AS rn
 """
 
 ORACLES = {
+    # histogram-product identity: predicted == actual joined count
+    "q223_join_cardinality": """
+WITH ca AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), cb AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), contrib AS (
+  SELECT CAST(ca.user_id AS VARCHAR) AS key, c_click, c_purchase,
+         CAST(c_click * c_purchase AS BIGINT) AS contrib
+  FROM ca JOIN cb USING (user_id)
+), top5 AS (
+  SELECT key, c_click, c_purchase, contrib,
+         CAST(NULL AS BIGINT) AS actual_rows
+  FROM contrib ORDER BY contrib DESC, key LIMIT 5
+), actual AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+  FROM (SELECT user_id FROM events WHERE event_type = 'click') a
+  JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') b
+    USING (user_id)
+), total AS (
+  SELECT '__TOTAL__' AS key,
+         CAST(SUM(c_click) AS BIGINT) AS c_click,
+         CAST(SUM(c_purchase) AS BIGINT) AS c_purchase,
+         CAST(SUM(contrib) AS BIGINT) AS contrib,
+         (SELECT actual_rows FROM actual) AS actual_rows
+  FROM contrib
+)
+SELECT * FROM (
+  SELECT * FROM top5 UNION ALL SELECT * FROM total
+) ORDER BY key = '__TOTAL__', contrib DESC, key
+""",
+    # same md5 3-arm assignment; |O*N - R*C| exact per cell
+    "q225_contingency_deviation": """
+WITH cells AS (
+  SELECT event_type,
+         CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 7))
+              AS BIGINT) % 3 AS arm,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS r_tot
+          FROM cells GROUP BY event_type),
+ct AS (SELECT arm, CAST(SUM(observed) AS BIGINT) AS c_tot
+       FROM cells GROUP BY arm),
+n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_tot FROM cells)
+SELECT c.event_type, CAST(c.arm AS BIGINT) AS arm, c.observed,
+       rt.r_tot, ct.c_tot, n.n_tot,
+       CAST(ABS(c.observed * n.n_tot - rt.r_tot * ct.c_tot) AS BIGINT)
+         AS dev
+FROM cells c JOIN rt USING (event_type) JOIN ct USING (arm) CROSS JOIN n
+ORDER BY event_type, arm
+""",
     # same md5-fraction sketches; intersection via the KMV rho-rule
     "q221_kmv_set_ops": (
         "WITH "

@@ -208,13 +208,73 @@ def q198_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q224_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite ROUTING (the Great-Expectations/dbt-test
+    quarantine pattern; q177 grades the summary, this grades the row
+    disposition): each order passes a prioritized rule battery and is
+    routed valid/quarantine with FIRST-failed-rule attribution —
+    r1 missing customer (RI), r2 negative customer balance, r3 price
+    cap, r4 pending status. One left join to the customer dim + narrow
+    flags; graded as (disposition, first_failed_rule) counts and exact
+    cents, so a mis-routed row or wrong attribution order flips the
+    grade. Scale: the dim join is broadcastable; everything else is a
+    narrow map + one tiny aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
+    first = (
+        F.when(F.col("c_custkey").isNull(), "r1_missing_customer")
+        .when(F.col("c_acctbal") < 0, "r2_negative_acctbal")
+        .when(F.col("o_totalprice") >= 450000, "r3_price_cap")
+        .when(F.col("o_orderstatus") == "P", "r4_pending_status")
+    )
+    return (
+        j.select(
+            F.when(first.isNull(), "valid")
+            .otherwise("quarantine")
+            .alias("disposition"),
+            F.coalesce(first, F.lit("none")).alias("first_failed_rule"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("disposition", "first_failed_rule")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("disposition", "first_failed_rule")
+    )
+
+
 QUERIES = {
+    "q224_quarantine_routing": q224_quarantine_routing,
     "q177_constraint_audit": q177_constraint_audit,
     "q185_gopher_rules": q185_gopher_rules,
     "q198_robust_outliers": q198_robust_outliers,
 }
 
 ORACLES = {
+    # same priority CASE; broadcastable dim join re-derived
+    "q224_quarantine_routing": """
+WITH j AS (
+  SELECT o.o_totalprice, o.o_orderstatus, c.c_custkey, c.c_acctbal
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), r AS (
+  SELECT o_totalprice,
+         CASE WHEN c_custkey IS NULL THEN 'r1_missing_customer'
+              WHEN c_acctbal < 0 THEN 'r2_negative_acctbal'
+              WHEN o_totalprice >= 450000 THEN 'r3_price_cap'
+              WHEN o_orderstatus = 'P' THEN 'r4_pending_status'
+         END AS first
+  FROM j
+)
+SELECT CASE WHEN first IS NULL THEN 'valid' ELSE 'quarantine' END
+         AS disposition,
+       COALESCE(first, 'none') AS first_failed_rule,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM r GROUP BY 1, 2 ORDER BY disposition, first_failed_rule
+""",
     # quantile_cont == Spark percentile: both interpolate (a+b)/2 on
     # exact int64 cent values -> bit-identical doubles
     "q198_robust_outliers": """
