@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pandas_streaming_spark.queries import (
     advanced,
     analytic,
+    diagnostics,
     quality,
     curation,
     dedup_q,
@@ -55,7 +56,7 @@ _ALL_ORACLES: dict[str, str] = {}
 for mod in (
     tpch, analytic, timeseries, scalarfn, llm, dedup_q, textq, vectors,
     streaming_q, kafka_q, stream_upsert_q, udf_q, curation, advanced, warehouse,
-    quality, ingest,
+    quality, ingest, diagnostics,
 ):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLES.update({k: v for k, v in mod.ORACLES.items() if v is not None})

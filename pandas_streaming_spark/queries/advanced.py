@@ -28,6 +28,15 @@ from pandas_streaming_spark.operators.sketches import (
 # moved to warehouse.py in round 6 (module split); re-exported for compatibility
 # (q146_bm25 moved again to textq.py in the round-8 rebalance)
 from pandas_streaming_spark.queries.textq import q146_bm25  # noqa: F401
+# round-9 rebalance: diagnostics/sketch-algebra entries moved to
+# diagnostics.py; re-exported for compatibility
+from pandas_streaming_spark.queries.diagnostics import (  # noqa: F401
+    q214_kmv_distinct,
+    q220_skew_report,
+    q221_kmv_set_ops,
+    q223_join_cardinality,
+    q225_contingency_deviation,
+)
 from pandas_streaming_spark.queries.warehouse import (  # noqa: F401
     q143_rollup_reuse,
     q144_weighted_sample,
@@ -526,333 +535,10 @@ def q180_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def q214_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV (k-minimum-values) distinct sketch, k=64 — the third
-    mergeable cardinality sketch next to HLL (q141) and bitmap (q163),
-    and the one with a closed-form unbiased estimator: hash every
-    member to a uniform fraction, keep the k smallest per group,
-    estimate = (k-1)/h_k. The hash is md5's first 15 hex digits over
-    16^15 (exact in a double's 53-bit mantissa, and computable verbatim
-    in duckdb — the content-addressed determinism move again). Groups
-    with < k members report their exact count (standard KMV fallback).
-    Estimate graded alongside the exact distinct and the error in bp.
-    Scale: the per-group top-k is a rank window over the DISTINCT
-    member frame; a production form replaces the window with a
-    map-side-combinable fixed-k min-heap UDAF, but the candidate frame
-    is already |distinct members|, not |rows|."""
-    k = 64
-    scale = float(16**15)
-    ev = load_table(spark, sf_dir, "events")
-    members = ev.select("event_type", "user_id").distinct()
-    h = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("double")
-        / F.lit(scale)
-    )
-    w = Window.partitionBy("event_type").orderBy(F.col("__h").asc(), "user_id")
-    ranked = members.withColumn("__h", h).withColumn(
-        "__rn", F.row_number().over(w)
-    )
-    per = ranked.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_exact"),
-        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__hk"),
-    )
-    est = F.when(
-        F.col("__hk").isNotNull(),
-        F.round(F.lit(float(k - 1)) / F.col("__hk"), 0).cast("long"),
-    ).otherwise(F.col("n_exact"))
-    return (
-        per.select(
-            "event_type",
-            "n_exact",
-            est.alias("kmv_est"),
-        )
-        .select(
-            "event_type",
-            "n_exact",
-            "kmv_est",
-            F.round(
-                F.lit(1e4)
-                * (F.col("kmv_est") - F.col("n_exact"))
-                / F.col("n_exact"),
-                0,
-            )
-            .cast("long")
-            .alias("err_bp"),
-        )
-        .orderBy("event_type")
-    )
-
-
-def q220_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle-key skew diagnostics — the report an engineer runs BEFORE
-    choosing a partitioning (the repo's own salting/AQE-skew machinery
-    q88/q183 is the cure; this is the diagnosis): for each candidate
-    key, the key cardinality, hottest key and its share (bp), and the
-    Gini concentration in ppm computed from the rank formula
-    G = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc) over counts sorted (cnt, key) —
-    every term an exact integer, so the grade has no float accumulation.
-    Scale: each report is one map-side-combined groupBy to the key-count
-    frame, then a window + aggregate over |keys| rows, not |rows|."""
-    reports = []
-    for label, tbl, colname in (
-        ("events.user_id", "events", "user_id"),
-        ("events.event_type", "events", "event_type"),
-        ("orders.o_custkey", "orders", "o_custkey"),
-    ):
-        c = (
-            load_table(spark, sf_dir, tbl)
-            .groupBy(F.col(colname).cast("string").alias("k"))
-            .agg(F.count("*").cast("long").alias("cnt"))
-        )
-        w = Window.orderBy("cnt", "k")
-        ranked = c.withColumn("i", F.row_number().over(w).cast("long"))
-        agg = ranked.agg(
-            F.count("*").cast("long").alias("n_keys"),
-            F.sum("cnt").cast("long").alias("n_rows"),
-            F.sum(F.col("i") * F.col("cnt")).cast("long").alias("__ws"),
-            F.max("cnt").cast("long").alias("max_count"),
-            F.min_by(
-                "k", F.struct((-F.col("cnt")).alias("a"), F.col("k").alias("b"))
-            ).alias("top_key"),
-        )
-        reports.append(
-            agg.select(
-                F.lit(label).alias("key_col"),
-                "n_rows",
-                "n_keys",
-                "max_count",
-                "top_key",
-                F.round(F.lit(1e4) * F.col("max_count") / F.col("n_rows"), 0)
-                .cast("long")
-                .alias("max_share_bp"),
-                F.round(
-                    F.lit(1e6)
-                    * (
-                        2 * F.col("__ws")
-                        - (F.col("n_keys") + 1) * F.col("n_rows")
-                    )
-                    / (F.col("n_keys") * F.col("n_rows")),
-                    0,
-                )
-                .cast("long")
-                .alias("gini_ppm"),
-            )
-        )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("key_col")
-
-
-def q221_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV sketch SET ALGEBRA — the theta-sketch use case q156 covers
-    for HLL, on the k-minimum-values sketch (q214): click-audience and
-    buy-audience sketches (parity-cut memberships — see below), union
-    estimated from the k smallest hashes
-    of the union, intersection via the standard KMV rho-rule (the
-    fraction of the union's k-sample present in BOTH sets scales the
-    union estimate — Beyer et al. 2007). Every hash is the q214
-    md5-fraction, so the duckdb oracle reproduces the sketches
-    verbatim; exact counts ride along as the audit. Scale: one distinct
-    per-user flag aggregate, then all windows run over the |users|
-    frame."""
-    k = 64
-    scale = float(16**15)
-    ev = load_table(spark, sf_dir, "events")
-    flags = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy("user_id")
-        .agg(
-            # parity-defined audiences: every user has every event type
-            # at this fixture's density, so membership flags must cut
-            # INSIDE the counts to stay ~50/50 at any SF (odd click
-            # count / odd purchase count — deterministic, scale-stable)
-            (F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-             % 2).cast("int").alias("in_a"),
-            (F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-             % 2).cast("int").alias("in_b"),
-        )
-        .filter((F.col("in_a") == 1) | (F.col("in_b") == 1))
-        .withColumn(
-            "hf",
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(scale),
-        )
-    ).localCheckpoint(eager=False)
-
-    def est(df: DataFrame, label: str) -> DataFrame:
-        w = Window.orderBy(F.col("hf").asc(), "user_id")
-        r = df.withColumn("__rn", F.row_number().over(w))
-        return r.agg(
-            F.count("*").cast("long").alias("n_exact"),
-            F.max(F.when(F.col("__rn") == k, F.col("hf"))).alias("__hk"),
-            F.sum(
-                F.when(
-                    (F.col("__rn") <= k)
-                    & (F.col("in_a") == 1)
-                    & (F.col("in_b") == 1),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("__m"),
-        ).select(
-            F.lit(label).alias("audience"),
-            "n_exact",
-            F.when(
-                F.col("__hk").isNotNull(),
-                F.round(F.lit(float(k - 1)) / F.col("__hk"), 0).cast("long"),
-            )
-            .otherwise(F.col("n_exact"))
-            .alias("kmv_est"),
-            F.col("__m").alias("k_both"),
-        )
-
-    a = est(flags.filter(F.col("in_a") == 1), "click")
-    b = est(flags.filter(F.col("in_b") == 1), "purchase")
-    u = est(flags, "union")
-    inter = u.select(
-        F.lit("intersection").alias("audience"),
-        F.lit(None).cast("long").alias("n_exact"),
-        F.round(F.col("k_both") * F.col("kmv_est") / F.lit(float(k)), 0)
-        .cast("long")
-        .alias("kmv_est"),
-        F.col("k_both"),
-    )
-    inter_exact = flags.filter(
-        (F.col("in_a") == 1) & (F.col("in_b") == 1)
-    ).agg(F.count("*").cast("long").alias("__n"))
-    inter = inter.join(F.broadcast(inter_exact)).select(
-        "audience", F.col("__n").alias("n_exact"), "kmv_est", "k_both"
-    )
-    return a.unionByName(b).unionByName(u).unionByName(inter).orderBy(
-        "audience"
-    )
-
-
-def q223_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-output cardinality prediction from per-key histograms — the
-    pre-join planning question ("will this M:N join explode?") answered
-    exactly: |A ⋈ B| = Σ_k c_A(k)·c_B(k). Demonstrated on the genuinely
-    many-to-many click×purchase self-join per user; graded as the top-5
-    contributing keys plus a __TOTAL__ row where the prediction sits
-    beside the ACTUAL joined count — they must be equal (the identity
-    is the self-check). Scale: two map-side-combined count aggregates +
-    a key-frame join; the histogram frames are |keys|-sized, so the
-    prediction costs nothing compared to running the join blind."""
-    ev = load_table(spark, sf_dir, "events")
-    ca = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.count("*").cast("long").alias("c_click"))
-    )
-    cb = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.count("*").cast("long").alias("c_purchase"))
-    )
-    contrib = ca.join(cb, "user_id").select(
-        F.col("user_id").cast("string").alias("key"),
-        "c_click",
-        "c_purchase",
-        (F.col("c_click") * F.col("c_purchase")).cast("long").alias("contrib"),
-    )
-    top5 = (
-        contrib.orderBy(F.col("contrib").desc(), "key")
-        .limit(5)
-        .withColumn("actual_rows", F.lit(None).cast("long"))
-    )
-    a = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("__ea")
-    )
-    b = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("__eb")
-    )
-    actual = a.join(b, "user_id").agg(
-        F.count("*").cast("long").alias("actual_rows")
-    )
-    total = (
-        contrib.agg(
-            F.sum("c_click").cast("long").alias("c_click"),
-            F.sum("c_purchase").cast("long").alias("c_purchase"),
-            F.sum("contrib").cast("long").alias("contrib"),
-        )
-        .join(F.broadcast(actual))
-        .select(
-            F.lit("__TOTAL__").alias("key"),
-            "c_click",
-            "c_purchase",
-            "contrib",
-            "actual_rows",
-        )
-    )
-    return top5.unionByName(total).orderBy(
-        F.col("key") == "__TOTAL__", F.col("contrib").desc(), "key"
-    )
-
-
-def q225_contingency_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R×C contingency-table independence deviations (the general form
-    of q206's 2-arm SRM gate): event_type × md5-assigned 3-arm split,
-    each cell graded as the EXACT integer deviation |O·N − R·C| beside
-    its observed/marginal counts — the chi-square numerator per cell
-    without squaring (|dev| stays inside int64 at any SF where O·N
-    does; the squared form overflows at ~1e9-row tables). No float
-    anywhere in the grade. Scale: one counts aggregate + two tiny
-    marginal frames broadcast back onto the |R·C| cell frame."""
-    ev = load_table(spark, sf_dir, "events")
-    cells = (
-        ev.select(
-            "event_type",
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 7),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(3),
-            ).alias("arm"),
-        )
-        .groupBy("event_type", "arm")
-        .agg(F.count("*").cast("long").alias("observed"))
-    )
-    rt = cells.groupBy("event_type").agg(F.sum("observed").alias("r_tot"))
-    ct = cells.groupBy("arm").agg(F.sum("observed").alias("c_tot"))
-    n = cells.agg(F.sum("observed").alias("n_tot"))
-    return (
-        cells.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "arm")
-        .join(F.broadcast(n))
-        .select(
-            "event_type",
-            F.col("arm").cast("long").alias("arm"),
-            "observed",
-            F.col("r_tot").cast("long").alias("r_tot"),
-            F.col("c_tot").cast("long").alias("c_tot"),
-            F.col("n_tot").cast("long").alias("n_tot"),
-            F.abs(
-                F.col("observed") * F.col("n_tot")
-                - F.col("r_tot") * F.col("c_tot")
-            )
-            .cast("long")
-            .alias("dev"),
-        )
-        .orderBy("event_type", "arm")
-    )
 
 
 QUERIES = {
     "q180_global_index": q180_global_index,
-    "q214_kmv_distinct": q214_kmv_distinct,
-    "q220_skew_report": q220_skew_report,
-    "q221_kmv_set_ops": q221_kmv_set_ops,
-    "q223_join_cardinality": q223_join_cardinality,
-    "q225_contingency_deviation": q225_contingency_deviation,
     "q160_hll_native_audit": q160_hll_native_audit,
     "q130_regression_stats": q130_regression_stats,
     "q131_mode_bitagg": q131_mode_bitagg,
@@ -999,169 +685,8 @@ FROM {prev} ORDER BY rank_e6 DESC, node
 """
 
 
-_SKEW_ONE = """
-SELECT '{label}' AS key_col,
-       CAST(SUM(cnt) AS BIGINT) AS n_rows,
-       CAST(COUNT(*) AS BIGINT) AS n_keys,
-       CAST(MAX(cnt) AS BIGINT) AS max_count,
-       (SELECT k FROM (
-          SELECT CAST({col} AS VARCHAR) AS k, COUNT(*) AS c
-          FROM {tbl} GROUP BY 1
-        ) ORDER BY c DESC, k LIMIT 1) AS top_key,
-       CAST(ROUND(1e4 * MAX(cnt) / SUM(cnt), 0) AS BIGINT) AS max_share_bp,
-       CAST(ROUND(1e6 * (2 * SUM(i * cnt) - (COUNT(*) + 1) * SUM(cnt))
-                  / (COUNT(*) * SUM(cnt)), 0) AS BIGINT) AS gini_ppm
-FROM (
-  SELECT k, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt, k) AS BIGINT) AS i
-  FROM (
-    SELECT CAST({col} AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM {tbl} GROUP BY 1
-  )
-)
-"""
-
-_KMV_FLAGS = """
-flags AS (
-  SELECT * FROM (
-    SELECT user_id,
-           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) % 2
-                AS INT) AS in_a,
-           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) % 2
-                AS INT) AS in_b,
-           CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
-                AS BIGINT) / 1152921504606846976.0 AS hf
-    FROM events WHERE event_type IN ('click', 'purchase')
-    GROUP BY user_id
-  ) WHERE in_a = 1 OR in_b = 1
-)
-"""
-
-_KMV_EST = """
-SELECT '{label}' AS audience,
-       CAST(COUNT(*) AS BIGINT) AS n_exact,
-       CASE WHEN MAX(CASE WHEN rn = 64 THEN hf END) IS NOT NULL
-            THEN CAST(ROUND(63.0 / MAX(CASE WHEN rn = 64 THEN hf END), 0)
-                      AS BIGINT)
-            ELSE CAST(COUNT(*) AS BIGINT) END AS kmv_est,
-       CAST(SUM(CASE WHEN rn <= 64 AND in_a = 1 AND in_b = 1
-                THEN 1 ELSE 0 END) AS BIGINT) AS k_both
-FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY hf, user_id) AS rn
-      FROM flags WHERE {where})
-"""
 
 ORACLES = {
-    # histogram-product identity: predicted == actual joined count
-    "q223_join_cardinality": """
-WITH ca AS (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c_click
-  FROM events WHERE event_type = 'click' GROUP BY user_id
-), cb AS (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c_purchase
-  FROM events WHERE event_type = 'purchase' GROUP BY user_id
-), contrib AS (
-  SELECT CAST(ca.user_id AS VARCHAR) AS key, c_click, c_purchase,
-         CAST(c_click * c_purchase AS BIGINT) AS contrib
-  FROM ca JOIN cb USING (user_id)
-), top5 AS (
-  SELECT key, c_click, c_purchase, contrib,
-         CAST(NULL AS BIGINT) AS actual_rows
-  FROM contrib ORDER BY contrib DESC, key LIMIT 5
-), actual AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
-  FROM (SELECT user_id FROM events WHERE event_type = 'click') a
-  JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') b
-    USING (user_id)
-), total AS (
-  SELECT '__TOTAL__' AS key,
-         CAST(SUM(c_click) AS BIGINT) AS c_click,
-         CAST(SUM(c_purchase) AS BIGINT) AS c_purchase,
-         CAST(SUM(contrib) AS BIGINT) AS contrib,
-         (SELECT actual_rows FROM actual) AS actual_rows
-  FROM contrib
-)
-SELECT * FROM (
-  SELECT * FROM top5 UNION ALL SELECT * FROM total
-) ORDER BY key = '__TOTAL__', contrib DESC, key
-""",
-    # same md5 3-arm assignment; |O*N - R*C| exact per cell
-    "q225_contingency_deviation": """
-WITH cells AS (
-  SELECT event_type,
-         CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 7))
-              AS BIGINT) % 3 AS arm,
-         CAST(COUNT(*) AS BIGINT) AS observed
-  FROM events GROUP BY 1, 2
-), rt AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS r_tot
-          FROM cells GROUP BY event_type),
-ct AS (SELECT arm, CAST(SUM(observed) AS BIGINT) AS c_tot
-       FROM cells GROUP BY arm),
-n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_tot FROM cells)
-SELECT c.event_type, CAST(c.arm AS BIGINT) AS arm, c.observed,
-       rt.r_tot, ct.c_tot, n.n_tot,
-       CAST(ABS(c.observed * n.n_tot - rt.r_tot * ct.c_tot) AS BIGINT)
-         AS dev
-FROM cells c JOIN rt USING (event_type) JOIN ct USING (arm) CROSS JOIN n
-ORDER BY event_type, arm
-""",
-    # same md5-fraction sketches; intersection via the KMV rho-rule
-    "q221_kmv_set_ops": (
-        "WITH "
-        + _KMV_FLAGS
-        + ", eu AS ("
-        + _KMV_EST.format(label="union", where="1=1")
-        + ") SELECT * FROM ("
-        + _KMV_EST.format(label="click", where="in_a = 1")
-        + " UNION ALL "
-        + _KMV_EST.format(label="purchase", where="in_b = 1")
-        + " UNION ALL SELECT * FROM eu"
-        + """ UNION ALL
-SELECT 'intersection',
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM flags
-        WHERE in_a = 1 AND in_b = 1),
-       CAST(ROUND(eu.k_both * eu.kmv_est / 64.0, 0) AS BIGINT),
-       eu.k_both
-FROM eu
-) ORDER BY audience"""
-    ),
-    # identical rank-formula Gini over (cnt, key)-sorted key counts
-    "q220_skew_report": (
-        _SKEW_ONE.format(label="events.event_type", col="event_type", tbl="events")
-        + " UNION ALL "
-        + _SKEW_ONE.format(label="events.user_id", col="user_id", tbl="events")
-        + " UNION ALL "
-        + _SKEW_ONE.format(label="orders.o_custkey", col="o_custkey", tbl="orders")
-        + " ORDER BY key_col"
-    ),
-    # identical md5-fraction hash, rank window, (k-1)/h_k estimator
-    "q214_kmv_distinct": """
-WITH members AS (
-  SELECT DISTINCT event_type, user_id FROM events
-), h AS (
-  SELECT event_type, user_id,
-         CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
-              AS BIGINT) / 1152921504606846976.0 AS hf
-  FROM members
-), r AS (
-  SELECT event_type, hf,
-         ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY hf, user_id) AS rn
-  FROM h
-), per AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact,
-         MAX(CASE WHEN rn = 64 THEN hf END) AS hk
-  FROM r GROUP BY event_type
-), e AS (
-  SELECT event_type, n_exact,
-         CASE WHEN hk IS NOT NULL
-              THEN CAST(ROUND(63.0 / hk, 0) AS BIGINT)
-              ELSE n_exact END AS kmv_est
-  FROM per
-)
-SELECT event_type, n_exact, kmv_est,
-       CAST(ROUND(1e4 * (kmv_est - n_exact) / n_exact, 0) AS BIGINT)
-         AS err_bp
-FROM e ORDER BY event_type
-""",
     "q180_global_index": """
 WITH t AS (
   SELECT o_orderpriority,
