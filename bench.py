@@ -576,10 +576,12 @@ def main() -> None:
     # Full detail to a round-stamped file (round N = max driver-recorded
     # BENCH_r{K}.json + 1; the driver writes r{K} AFTER round K, so during
     # round 5 the max on disk is 4).
+    # NOTE: no local `import re` here — a function-local import would make
+    # `re` a local name for ALL of main(), unbinding the module-level
+    # import inside the scaled100 invariants block (bit r9's first bench
+    # run as an UnboundLocalError that cost the scaled100 section)
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        import re
-
         rounds = [
             int(m.group(1))
             for f in os.listdir(repo)
