@@ -289,6 +289,9 @@ _EXTRAS = [
     "q223_join_cardinality",
     "q224_quarantine_routing",
     "q225_contingency_deviation",
+    "q226_rolling_median",
+    "q227_mrr_metric",
+    "q228_rolling_zscore_gate",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -526,7 +526,46 @@ def q190_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q227_mrr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Reciprocal Rank — the ranking-evaluation staple: per user,
+    the 1-based position of the FIRST purchase in their (ts, event_id)
+    event sequence; RR in exact micro-units (round(1e6/pos)); a
+    __MEAN__ summary row carries MRR as the rounded ratio of the exact
+    integer RR sum (no float accumulation — the per-user values are
+    already integers). Users who never purchase contribute RR=0, the
+    convention that makes MRR comparable across corpora. Scale: one
+    key window for the position + one tiny aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("__rn").cast("long").alias("first_pos"))
+    )
+    allu = ev.select("user_id").distinct()
+    per = allu.join(pos, "user_id", "left").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.coalesce("first_pos", F.lit(0)).cast("long").alias("first_pos"),
+        F.when(
+            F.col("first_pos").isNotNull(),
+            F.round(F.lit(1e6) / F.col("first_pos"), 0).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("rr_e6"),
+    )
+    mean = per.agg(
+        F.sum("rr_e6").alias("__s"), F.count("*").alias("__n")
+    ).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(0).cast("long").alias("first_pos"),
+        F.round(F.col("__s") / F.col("__n"), 0).cast("long").alias("rr_e6"),
+    )
+    return per.unionByName(mean).orderBy("user_id")
+
+
 QUERIES = {
+    "q227_mrr_metric": q227_mrr_metric,
     "q190_pareto_front": q190_pareto_front,
     "q166_recursive_session": q166_recursive_session,
     "q14_count_distinct": q14_count_distinct,
@@ -557,6 +596,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same first-purchase position; MRR from the exact integer RR sum
+    "q227_mrr_metric": """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), pos AS (
+  SELECT user_id, CAST(MIN(rn) AS BIGINT) AS first_pos
+  FROM r WHERE event_type = 'purchase' GROUP BY user_id
+), per AS (
+  SELECT u.user_id,
+         CAST(COALESCE(p.first_pos, 0) AS BIGINT) AS first_pos,
+         CAST(CASE WHEN p.first_pos IS NOT NULL
+                   THEN ROUND(1e6 / p.first_pos, 0) ELSE 0 END AS BIGINT)
+           AS rr_e6
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN pos p USING (user_id)
+)
+SELECT user_id, first_pos, rr_e6 FROM per
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(ROUND(1.0 * SUM(rr_e6) / COUNT(*), 0) AS BIGINT)
+FROM per
+ORDER BY user_id
+""",
     "q190_pareto_front": """
 -- dominance is pointwise, so the O(n^2) NOT EXISTS runs over DISTINCT
 -- points (replica-scaled axes duplicate every point 10/100x; the full

@@ -547,9 +547,97 @@ def q219_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q226_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over a trailing 5-row frame per user — the robust
+    smoother Spark has NO native window form for (median/percentile
+    reject ORDER BY frames): built exactly from
+    ``array_sort(collect_list(cents))`` over the frame + element_at
+    midpoints, graded as 2x the interpolated median so the value stays
+    an exact integer (lower+upper cent, no .5 float). duckdb's native
+    windowed MEDIAN (x2) is the independent oracle. Scale: frame state
+    is K=5 values per row by construction — collect_list over a
+    BOUNDED row frame is O(K) per row, the same cost class as any
+    rolling aggregate; an unbounded frame would be the anti-pattern."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    sorted_f = F.array_sort(F.collect_list(cents).over(w))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            cents.alias("cents"),
+            sorted_f.alias("__s"),
+        )
+        .withColumn("__n", F.size("__s"))
+        .select(
+            "user_id",
+            "event_id",
+            "cents",
+            F.col("__n").cast("long").alias("n_frame"),
+            (
+                F.element_at("__s", ((F.col("__n") + 1) / 2).cast("int"))
+                + F.element_at("__s", (F.col("__n") / 2 + 1).cast("int"))
+            )
+            .cast("long")
+            .alias("med2_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q228_rolling_zscore_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly gate with ZERO floats in the predicate:
+    a purchase is flagged when it sits more than 3 sample standard
+    deviations from its user's trailing-20 mean (frame EXCLUDES the
+    current row — self-inclusion shrinks the deviation). The 3-sigma
+    test is cross-multiplied into exact int64 terms:
+    ``(n·x − S)²·(n−1) > 9·(n·Q − S²)`` with S=Σcents, Q=Σcents² over
+    the frame — overflow-audited: cents ≤ 1e4, frame ≤ 20 keeps every
+    term < 2^52. Graded per user as checked/flagged counts. Scale: one
+    key window with two running sums — constant state per row."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    d = ev.select(
+        "user_id",
+        cents.alias("x"),
+        F.count(cents).over(w).cast("long").alias("n"),
+        F.sum(cents).over(w).cast("long").alias("s"),
+        F.sum(cents * cents).over(w).cast("long").alias("q"),
+    ).filter(F.col("n") >= 8)
+    lhs = (
+        (F.col("n") * F.col("x") - F.col("s"))
+        * (F.col("n") * F.col("x") - F.col("s"))
+        * (F.col("n") - 1)
+    )
+    rhs = 9 * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return (
+        d.select(
+            "user_id", F.when(lhs > rhs, 1).otherwise(0).alias("__f")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum("__f").cast("long").alias("n_flagged"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q192_pit_scd2_join": q192_pit_scd2_join,
     "q219_cusum_drift": q219_cusum_drift,
+    "q226_rolling_median": q226_rolling_median,
+    "q228_rolling_zscore_gate": q228_rolling_zscore_gate,
     "q199_clamped_balance": q199_clamped_balance,
     "q201_rolling_distinct": q201_rolling_distinct,
     "q204_attribution_last_touch": q204_attribution_last_touch,
@@ -568,6 +656,40 @@ QUERIES = {
 ORACLES = {
     # the definitional one-step-per-rank recursive walk; LEAST/GREATEST
     # on exact BIGINTs, so every step is engine-identical
+    # duckdb's NATIVE windowed MEDIAN (x2 to stay integer) vs the
+    # engine's sorted-frame construction — independent formulations
+    "q226_rolling_median": """
+SELECT user_id, event_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+       CAST(2 * MEDIAN(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS med2_cents
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+    # same cross-multiplied integer 3-sigma predicate
+    "q228_rolling_zscore_gate": """
+WITH d AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS x,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                  * CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS q
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN (n*x - s) * (n*x - s) * (n - 1)
+                          > 9 * n * (n*q - s*s)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM d WHERE n >= 8
+GROUP BY user_id ORDER BY user_id
+""",
     # definitional recursive CTE; cap unreachable so only the floor
     # clamp appears (GREATEST) — mirrors the engine's 1<<60 cap exactly
     "q219_cusum_drift": """
