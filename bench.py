@@ -205,6 +205,14 @@ def main() -> None:
         "q218_mmr_rerank",           # integer-objective MMR top-5
         "q219_cusum_drift",          # CUSUM via the clamped scan
         "q220_skew_report",          # hottest-key share + Gini ppm
+        "q221_kmv_set_ops",          # KMV audience set algebra
+        "q222_temperature_mix",      # quota + md5-rank corpus mix
+        "q223_join_cardinality",     # histogram join-size prediction
+        "q224_quarantine_routing",   # first-failed-rule disposition
+        "q225_contingency_deviation",  # exact |O*N - R*C| cells
+        "q226_rolling_median",       # sorted-frame windowed median
+        "q227_mrr_metric",           # first-purchase reciprocal rank
+        "q228_rolling_zscore_gate",  # integer 3-sigma trailing gate
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:
