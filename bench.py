@@ -213,6 +213,7 @@ def main() -> None:
         "q226_rolling_median",       # sorted-frame windowed median
         "q227_mrr_metric",           # first-purchase reciprocal rank
         "q228_rolling_zscore_gate",  # integer 3-sigma trailing gate
+        "q229_stream_cusum",         # streaming CUSUM (real replay)
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -401,6 +401,82 @@ def ewm_stream(events_stream: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
 
 
+CUSUM_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_steps", LongType()),
+        StructField("final_stat", LongType()),
+        StructField("max_stat", LongType()),
+        StructField("n_alarms", LongType()),
+        StructField("n_resets", LongType()),
+    ]
+)
+CUSUM_STATE = StructType(
+    [
+        StructField("bal", LongType()),
+        StructField("n_steps", LongType()),
+        StructField("max_stat", LongType()),
+        StructField("n_alarms", LongType()),
+        StructField("n_resets", LongType()),
+    ]
+)
+
+
+def cusum_stream(
+    events_stream: DataFrame,
+    slack_cents: int = 5000,
+    alarm: int = 20_000,
+) -> DataFrame:
+    """STREAMING one-sided CUSUM drift detection — q219's batch
+    statistic maintained live by the state store (the q94/q98
+    batch↔stream pairing applied to change detection, which is the
+    setting CUSUM was invented for): per user,
+    ``s_i = max(0, s_{i-1} + (cents_i − slack))`` with alarm/reset
+    accounting folded incrementally. State is five longs per key —
+    constant-size, so the store scales with user cardinality, never
+    stream length. Fold order is EVENT TIME (``_event_time_frame``,
+    the r7 chunk-boundary rule); the final per-user state equals the
+    batch q219 trajectory for any batch split."""
+
+    def fold(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        bal, n_steps, mx, n_alarms, n_resets = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        pdf = _event_time_frame(pdfs)
+        if pdf is not None:
+            for v in pdf["value"]:
+                delta = int(round(float(v) * 100)) - slack_cents
+                raw = bal + delta
+                if raw < 0:
+                    bal = 0
+                    n_resets += 1
+                else:
+                    bal = raw
+                n_steps += 1
+                if bal > mx:
+                    mx = bal
+                if bal >= alarm:
+                    n_alarms += 1
+        state.update((bal, n_steps, mx, n_alarms, n_resets))
+        yield pd.DataFrame(
+            [(key[0], n_steps, bal, mx, n_alarms, n_resets)],
+            columns=[
+                "user_id", "n_steps", "final_stat", "max_stat",
+                "n_alarms", "n_resets",
+            ],
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=CUSUM_OUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 FUNNEL_OUT = StructType(
     [StructField("user_id", LongType()), StructField("n_stages", LongType())]
 )

@@ -292,6 +292,7 @@ _EXTRAS = [
     "q226_rolling_median",
     "q227_mrr_metric",
     "q228_rolling_zscore_gate",
+    "q229_stream_cusum",
     "q65_map_fns",
     "q66_hash_fns",
     "q67_conditional_null",

@@ -338,6 +338,26 @@ def q72_stream_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
 
 
+def q229_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift detection (operators.stateful.cusum_stream):
+    q219's batch statistic maintained live — per-user saturating drift
+    sums with alarm/reset accounting, state = five longs per key. The
+    oracle is SHARED VERBATIM with q219 (the definitional recursive
+    CTE), pinning streaming-vs-batch equivalence exactly like the
+    q94/q98 funnel pair."""
+    from pandas_streaming_spark.operators.stateful import cusum_stream
+
+    return _final(
+        spark,
+        sf_dir,
+        lambda s: cusum_stream(
+            s.filter(F.col("event_type") == "purchase")
+        ),
+        "update",
+        key_cols=["user_id"],
+    ).orderBy("user_id")
+
+
 def q98_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming conversion funnel (operators.stateful.funnel_stream):
     a per-user state machine advances stage-by-stage on strictly-later
@@ -623,6 +643,7 @@ QUERIES = {
     "q71_stream_outer_join": q71_stream_outer_join,
     "q72_stream_ewm": q72_stream_ewm,
     "q98_stream_funnel": q98_stream_funnel,
+    "q229_stream_cusum": q229_stream_cusum,
     "q101_stream_trending": q101_stream_trending,
     "q111_stateful_tws": q111_stateful_tws,
     "q117_stream_rolling": q117_stream_rolling,
@@ -755,6 +776,12 @@ ORDER BY user_id, event_id
 from pandas_streaming_spark.queries import analytic as _analytic  # noqa: E402
 
 ORACLES["q98_stream_funnel"] = _analytic.ORACLES["q94_funnel"]
+
+# streaming CUSUM grades against the batch q219 recursive-CTE oracle
+# verbatim — the same pairing contract
+from pandas_streaming_spark.queries import timeseries as _timeseries  # noqa: E402
+
+ORACLES["q229_stream_cusum"] = _timeseries.ORACLES["q219_cusum_drift"]
 
 # transformWithStateInPandas grades against the SAME batch oracle as the
 # applyInPandasWithState form — API successor, identical contract

@@ -372,3 +372,35 @@ def test_complete_mode_ignores_wrong_final_batch_id(spark, sf_dir):
         .collect()
     }
     assert {(r["event_type"], r["n"]) for r in out.collect()} == expected
+
+
+@pytest.mark.parametrize("k", [1, 20])
+def test_cusum_stream_split_invariance(spark, sf_dir, k):
+    """Streaming CUSUM must equal the batch q219 trajectory summary for
+    any micro-batch split (q229 covers k=5 vs the recursive-CTE oracle;
+    this pins k=1 and k=20 against the graded batch query directly)."""
+    from pandas_streaming_spark.operators.stateful import cusum_stream
+    from pandas_streaming_spark.queries.timeseries import q219_cusum_drift
+
+    replay_dir = write_replay_batches(spark, sf_dir, k)
+    stream = replay_events(spark, sf_dir, replay_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = run_stream_to_final(
+        cusum_stream(stream), "update", key_cols=["user_id"]
+    )
+    got = {
+        int(r.user_id): (
+            int(r.n_steps), int(r.final_stat), int(r.max_stat),
+            int(r.n_alarms), int(r.n_resets),
+        )
+        for r in out.itertuples()
+    }
+    batch = {
+        r["user_id"]: (
+            r["n_steps"], r["final_stat"], r["max_stat"],
+            r["n_alarms"], r["n_resets"],
+        )
+        for r in q219_cusum_drift(spark, sf_dir).collect()
+    }
+    assert got == batch
