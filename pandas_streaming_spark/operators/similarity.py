@@ -381,18 +381,24 @@ def semdedup(
         F.col("sim_e4").alias("__b_cent"),
         F.col(vec_col).alias("__b_vec"),
     )
+    # each unordered pair is evaluated ONCE (__a_id < __b_id — halves
+    # the cosine kernels vs the ordered form): the dominance rule is a
+    # strict total order on (cent_sim, id), so exactly one member of a
+    # qualifying pair is the victim — the one FARTHER down that order
+    # (higher cent_sim; ties to the larger id survive losing)
+    victim = F.when(
+        (F.col("__a_cent") > F.col("__b_cent"))
+        | (
+            (F.col("__a_cent") == F.col("__b_cent"))
+            & (F.col("__a_id") > F.col("__b_id"))
+        ),
+        F.col("__a_id"),
+    ).otherwise(F.col("__b_id"))
     dropped = (
         a.join(b, "__cl")
-        .filter(F.col("__a_id") != F.col("__b_id"))
+        .filter(F.col("__a_id") < F.col("__b_id"))
         .filter(vec_cosine("__a_vec", "__b_vec") >= F.lit(float(threshold)))
-        .filter(
-            (F.col("__b_cent") < F.col("__a_cent"))
-            | (
-                (F.col("__b_cent") == F.col("__a_cent"))
-                & (F.col("__b_id") < F.col("__a_id"))
-            )
-        )
-        .select(F.col("__a_id"))
+        .select(victim.alias("__a_id"))
         .distinct()
     )
     return (
