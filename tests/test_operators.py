@@ -1079,3 +1079,52 @@ def test_curation_pipeline_staged_matches_graded(spark, sf_dir):
                   "5_split_train"):
         assert staged["counts"][stage] == graded[stage][0], stage
     assert staged["counts"]["6_pack"] == graded["6_packed"][0]
+
+
+def test_mmr_rerank_matches_bruteforce(spark, sf_dir):
+    """q218's unrolled 5-step MMR plan == a pure-Python greedy reference
+    computed from the same e4-rounded relevance/pair sims (the integer
+    objective makes the comparison exact, no float tolerance)."""
+    import math
+
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.queries.vectors import q218_mmr_rerank
+
+    got = [
+        (r["step"], r["vec_id"], r["mmr_2e4"])
+        for r in q218_mmr_rerank(spark, sf_dir).collect()
+    ]
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(u, v):
+        d = sum(float(a) * float(b) for a, b in zip(u, v))
+        nu = math.sqrt(sum(float(a) * float(a) for a in u))
+        nv = math.sqrt(sum(float(b) * float(b) for b in v))
+        return d / (nu * nv)
+
+    q = emb[0]
+    rel = {
+        i: round(10000.0 * cos(v, q)) for i, v in emb.items() if i != 0
+    }
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:20]
+    sel, expect = [], []
+    for step in range(1, 6):
+        best = None
+        for c in cand:
+            if c in sel:
+                continue
+            if not sel:
+                score = 2 * rel[c]
+            else:
+                score = 2 * rel[c] - max(
+                    round(10000.0 * cos(emb[c], emb[s])) for s in sel
+                )
+            if best is None or (score, -c) > (best[1], -best[0]):
+                best = (c, score)
+        sel.append(best[0])
+        expect.append((step, best[0], best[1]))
+    assert got == expect
