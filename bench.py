@@ -214,6 +214,8 @@ def main() -> None:
         "q227_mrr_metric",           # first-purchase reciprocal rank
         "q228_rolling_zscore_gate",  # integer 3-sigma trailing gate
         "q229_stream_cusum",         # streaming CUSUM (real replay)
+        "q230_stratified_kfold",     # balanced rank-mod folds + audit
+        "q231_source_overlap",       # token-set Jaccard between sources
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

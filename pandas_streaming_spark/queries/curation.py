@@ -705,11 +705,94 @@ def q222_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q230_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified BALANCED k-fold assignment (cross-validation's
+    fold-builder): within each language stratum, docs are ranked by
+    (md5(doc_id), doc_id) — content-addressed, ingest-order-free — and
+    fold = (rank−1) mod 5. Unlike hash-mod folds (q75's split family),
+    rank-mod GUARANTEES per-stratum balance: max−min fold size ≤ 1 by
+    construction, and the query carries that audit as a column the
+    oracle re-derives (a fold tool that can't prove its own balance
+    isn't a balanced fold tool — the q186 audit-row discipline).
+    Scale: one rank window per stratum + two tiny aggregates."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    folded = docs.select(
+        "lang",
+        ((F.row_number().over(w) - 1) % 5).cast("long").alias("fold"),
+    )
+    per = folded.groupBy("lang", "fold").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    wl = Window.partitionBy("lang")
+    return per.select(
+        "lang",
+        "fold",
+        "n_docs",
+        (F.max("n_docs").over(wl) - F.min("n_docs").over(wl))
+        .cast("long")
+        .alias("lang_spread"),
+    ).orderBy("lang", "fold")
+
+
+def q231_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diagnostics source-overlap matrix: exact token-set Jaccard
+    between source domains — "which domains duplicate each other's
+    vocabulary", the corpus-level sibling of the doc-level dedup family.
+    Distinct (source, token) first, so the self-join runs on the
+    VOCABULARY-reduced frame (|sources|·|vocab| rows max, not corpus
+    rows); top-10 most-similar pairs by e4 Jaccard with full tie-break.
+    Scale: one distinct + one token-keyed join over source-token sets —
+    at real corpora cap tokens to the per-source top-K vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            (F.col("na") + F.col("nb") - F.col("n_common")).alias("n_union"),
+            F.round(
+                F.lit(1e4)
+                * F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                0,
+            )
+            .cast("long")
+            .alias("jac_e4"),
+        )
+        .orderBy(F.col("jac_e4").desc(), "src_a", "src_b")
+        .limit(10)
+    )
+
+
 QUERIES = {
     "q196_negative_pairs": q196_negative_pairs,
     "q209_pack_bins": q209_pack_bins,
     "q217_split_leakage": q217_split_leakage,
     "q222_temperature_mix": q222_temperature_mix,
+    "q230_stratified_kfold": q230_stratified_kfold,
+    "q231_source_overlap": q231_source_overlap,
     "q216_temperature_weights": q216_temperature_weights,
     "q203_pmi_collocations": q203_pmi_collocations,
     "q206_srm_check": q206_srm_check,
@@ -754,6 +837,48 @@ trg_{label} AS (SELECT DISTINCT g FROM g_{label} WHERE split = 'train')
 """
 
 ORACLES = {
+    # same (md5, id) rank-mod folds; spread audit re-derived
+    "q230_stratified_kfold": """
+WITH folded AS (
+  SELECT lang,
+         CAST((ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5
+              AS BIGINT) AS fold
+  FROM documents
+), per AS (
+  SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM folded GROUP BY lang, fold
+)
+SELECT lang, fold, n_docs,
+       CAST(MAX(n_docs) OVER (PARTITION BY lang)
+            - MIN(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+         AS lang_spread
+FROM per ORDER BY lang, fold
+""",
+    # vocabulary-reduced token-set Jaccard between source pairs
+    "q231_source_overlap": """
+WITH st AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+  )
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY source
+), common AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       CAST(na.n + nb.n - n_common AS BIGINT) AS n_union,
+       CAST(ROUND(1e4 * n_common / (na.n + nb.n - n_common), 0) AS BIGINT)
+         AS jac_e4
+FROM common
+JOIN sizes na ON na.source = src_a
+JOIN sizes nb ON nb.source = src_b
+ORDER BY jac_e4 DESC, src_a, src_b
+LIMIT 10
+""",
     # same sqrt-e6 weights -> quota -> md5-rank pick within source
     "q222_temperature_mix": """
 WITH t AS (
