@@ -1,0 +1,314 @@
+"""The end-to-end curation pipeline (VERDICT r8 item 6) split out of
+`curation` (module rebalance, the r6/r8/r9 split convention): the
+graded 5-stage composition q208 and its staged bench twin.
+
+Same house rules and oracle discipline as the parent module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_streaming_spark.catalog import load_table
+from pandas_streaming_spark.operators.sampling import hash_split
+
+_BUCKET_SQL = (
+    "CAST(CONCAT('0x', SUBSTR(MD5(CAST({id} AS VARCHAR)), 1, 7)) AS BIGINT) % 100"
+)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (VERDICT r8 item 6): the composition a
+# 100 TB training-data build actually runs, as ONE graded + benched unit.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def _pipeline_stages(docs: DataFrame, budget: int = 512, tau: float = 0.6):
+    """Build the 5-stage curation chain lazily; returns the list of
+    (stage_name, DataFrame) boundaries plus the packed frame. Stages:
+
+    1. raw corpus (doc_id, text, source, n_tok)
+    2. exact dedup — keep the lowest doc_id per md5(text) (q38/q80 rule)
+    3. near-dup drop — EXACT prefix-filtered simjoin at 3-shingle
+       Jaccard >= tau (q183 operator: bucketed, no all-pairs); pairwise
+       keep-min-id rule (drop every id_b of a verified pair)
+    4. quality gates — the q185 Gopher battery, pass-ALL filter
+       (integer-only comparisons, no float in the predicate)
+    5. leakage-safe split — q186's group-level hash_split on source,
+       keep train
+    then pack — q85's concat-and-chop into ``budget``-token sequences
+    per source shard.
+
+    Scale notes: stages 2/4/5 are one window + narrow maps; stage 3 is
+    the dominant cost and inherits prefix_filter_simjoin's shuffle-hash
+    pinned, prefix-bounded candidate plan; packing is one running-sum
+    window per source. Callers materialize boundaries as they need
+    (the graded query localCheckpoints s2/s3 so the pair join and the
+    per-stage aggregates share one execution of the expensive stages).
+    """
+    from pyspark.sql import Window
+
+    from pandas_streaming_spark.operators.dedup import prefix_filter_simjoin
+    from pandas_streaming_spark.operators.text import pack_sequences
+
+    s1 = docs.select(
+        "doc_id", "text", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s2 = (
+        s1.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    def neardup(s2m: DataFrame) -> DataFrame:
+        pairs = prefix_filter_simjoin(s2m, "doc_id", "text", k=3, threshold=tau)
+        dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        return s2m.join(dropped, "doc_id", "left_anti")
+
+    def gates(s3m: DataFrame) -> DataFrame:
+        wsp = F.split("text", " ")
+        g = s3m.select(
+            "*",
+            F.size(wsp).alias("__n"),
+            F.length(F.regexp_replace("text", " ", "")).alias("__sl"),
+            F.size(F.array_distinct(wsp)).alias("__nd"),
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(wsp),
+                    F.array(*[F.lit(s) for s in _STOPWORDS]),
+                )
+            ).alias("__ns"),
+            F.array_max(
+                F.transform(
+                    F.array_distinct(wsp),
+                    lambda x: F.size(F.filter(wsp, lambda y: y == x)),
+                )
+            ).alias("__mc"),
+        )
+        return g.filter(
+            (F.col("__n") >= 30)
+            & (F.col("__n") <= 10000)
+            & (F.col("__sl") >= 3 * F.col("__n"))
+            & (F.col("__sl") <= 10 * F.col("__n"))
+            & (F.col("__nd") * 10 >= 3 * F.col("__n"))
+            & (F.col("__ns") >= 2)
+            & (F.col("__mc") * 5 <= F.col("__n"))
+        ).select("doc_id", "text", "source", "n_tok")
+
+    def split_train(s4m: DataFrame) -> DataFrame:
+        return (
+            hash_split(s4m, "source", {"train": 80, "val": 10, "test": 10})
+            .filter(F.col("split") == "train")
+            .drop("split")
+        )
+
+    def pack(s5m: DataFrame) -> DataFrame:
+        return pack_sequences(
+            s5m, "doc_id", "n_tok", budget=budget, partition_by="source"
+        )
+
+    return s1, s2, neardup, gates, split_train, pack
+
+
+def q208_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end curation composition, graded stage by
+    stage: exact-dedup -> exact near-dup simjoin -> Gopher gate battery
+    -> leakage-safe source split -> 512-token packing. One summary row
+    per stage boundary (n_docs, n_tokens); the '6_packed' row reports
+    total packed sequences. The oracle re-derives every stage from
+    scratch in SQL (dedup window, shingle-join Jaccard, gate battery,
+    md5 split buckets, per-source telescoped sequence count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s1, s2, neardup, gates, split_train, pack = _pipeline_stages(docs)
+    # the pair join and four downstream aggregates re-read s2/s3: pin one
+    # execution of the expensive stages (same move as q180/q207)
+    s2 = s2.localCheckpoint(eager=False)
+    s3 = neardup(s2).localCheckpoint(eager=False)
+    s4 = gates(s3)
+    s5 = split_train(s4)
+    packed = pack(s5)
+
+    def row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    packed_row = (
+        packed.groupBy("source")
+        .agg((F.max("last_seq") + 1).alias("__k"), F.sum("n_tokens").alias("__t"))
+        .agg(
+            F.coalesce(F.sum("__k"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .select(F.lit("6_packed").alias("stage"), "n_docs", "n_tokens")
+    )
+    out = row("1_raw", s1)
+    for name, df in (
+        ("2_exact_dedup", s2),
+        ("3_neardup", s3),
+        ("4_gates", s4),
+        ("5_split_train", s5),
+    ):
+        out = out.unionByName(row(name, df))
+    return out.unionByName(packed_row).orderBy("stage")
+
+
+def run_curation_pipeline(
+    spark: SparkSession, sf_dir: str, budget: int = 512, tau: float = 0.6
+) -> dict:
+    """Bench harness: execute the q208 pipeline with each stage boundary
+    MATERIALIZED (eager localCheckpoint), so the per-stage wall seconds
+    are honest (stage k+1 starts from stage k's stored result, not its
+    lineage). Returns {"counts", "seconds", "total_sec"} — the 10x
+    replica run of this is the closest local rehearsal of the 100 TB
+    curation build (VERDICT r8 item 6)."""
+    import time as _time
+
+    counts: dict[str, int] = {}
+    secs: dict[str, float] = {}
+
+    def mat(name: str, df: DataFrame) -> DataFrame:
+        t0 = _time.perf_counter()
+        m = df.localCheckpoint()  # eager: runs the stage now
+        counts[name] = m.count()
+        secs[name] = round(_time.perf_counter() - t0, 3)
+        return m
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1, s2, neardup, gates, split_train, pack = _pipeline_stages(
+        docs, budget=budget, tau=tau
+    )
+    s1 = mat("1_raw", s1)
+    # rebuild downstream stages ON the materialized boundary (the lazy
+    # chain from _pipeline_stages would re-run the scan per stage)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s2m = mat(
+        "2_exact_dedup",
+        s1.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn"),
+    )
+    s3m = mat("3_neardup", neardup(s2m))
+    s4m = mat("4_gates", gates(s3m))
+    s5m = mat("5_split_train", split_train(s4m))
+    t0 = _time.perf_counter()
+    n_seq = (
+        pack(s5m)
+        .groupBy("source")
+        .agg((F.max("last_seq") + 1).alias("__k"))
+        .agg(F.coalesce(F.sum("__k"), F.lit(0)).cast("long"))
+        .collect()[0][0]
+    )
+    secs["6_pack"] = round(_time.perf_counter() - t0, 3)
+    counts["6_pack"] = int(n_seq)
+    for m in (s1, s2m, s3m, s4m, s5m):
+        try:
+            m.unpersist()
+        except Exception:
+            pass
+    return {
+        "counts": counts,
+        "seconds": secs,
+        "total_sec": round(sum(secs.values()), 3),
+    }
+
+
+
+QUERIES = {
+    "q208_curation_pipeline": q208_curation_pipeline,
+}
+
+ORACLES = {
+    # the full 5-stage pipeline re-derived: dedup window, shingle-join
+    # exact Jaccard with the pairwise keep-min rule, Gopher gate battery,
+    # md5 source-split buckets (train = [10, 90)), per-source telescoped
+    # sequence count FLOOR((tot-1)/512)+1
+    "q208_curation_pipeline": f"""
+WITH t AS (
+  SELECT doc_id, text, source,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tok
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, text, source, n_tok FROM (
+    SELECT t.*, ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                   ORDER BY doc_id) AS rn
+    FROM t
+  ) WHERE rn = 1
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(tk) - 2, 0)),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM s2)
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cmn AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT id_b FROM cmn
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE 1.0 * c / (na.n + nb.n - c) >= 0.6
+),
+s3 AS (
+  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+),
+g AS (
+  SELECT doc_id, source, n_tok,
+         LEN(STRING_SPLIT(text, ' ')) AS n,
+         LEN(REPLACE(text, ' ', '')) AS sum_len,
+         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_dist,
+         LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                            ['the','a','of','to','and'])) AS n_stop,
+         LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                  x -> LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       y -> y = x)))) AS max_cnt
+  FROM s3
+),
+s4 AS (
+  SELECT doc_id, source, n_tok FROM g
+  WHERE n >= 30 AND n <= 10000
+    AND sum_len >= 3*n AND sum_len <= 10*n
+    AND n_dist*10 >= 3*n AND n_stop >= 2 AND max_cnt*5 <= n
+),
+s5 AS (
+  SELECT * FROM s4
+  WHERE {_BUCKET_SQL.format(id="source")} >= 10
+    AND {_BUCKET_SQL.format(id="source")} < 90
+),
+per_src AS (SELECT source, SUM(n_tok) AS tot FROM s5 GROUP BY source),
+packed AS (
+  SELECT CAST(COALESCE(SUM(CAST(FLOOR((tot - 1) / 512.0) AS BIGINT) + 1), 0)
+              AS BIGINT) AS n_seq,
+         CAST(COALESCE(SUM(tot), 0) AS BIGINT) AS toks
+  FROM per_src
+)
+SELECT stage, n_docs, n_tokens FROM (
+  SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM t
+  UNION ALL SELECT '2_exact_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+  UNION ALL SELECT '3_neardup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
+  UNION ALL SELECT '4_gates', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4
+  UNION ALL SELECT '5_split_train', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s5
+  UNION ALL SELECT '6_packed', n_seq, toks FROM packed
+) ORDER BY stage
+""",
+
+}
