@@ -363,8 +363,12 @@ def semdedup(
     clusters hold ~10-50k members, the within-cluster quadratic stays
     ~1e8-2e9 cosine kernels per cluster cell, embarrassingly parallel and
     never all-pairs over the corpus (the SemDeDup design point: k grows
-    with n). The assignment is localCheckpointed so the broadcast+window
-    E-step runs once, not once per join branch.
+    with n — a FIXED k under growing data is quadratic per cluster, as
+    the 10x probe's 38x on the fixture's 10 label-clusters records;
+    feed a finer clustering, e.g. q96's k-means at k ~ n/20k, and the
+    cost returns to linear-in-candidates). The assignment is
+    localCheckpointed so the broadcast+window E-step runs once, not
+    once per join branch.
     """
     assigned = assign_to_centroids(
         embeddings, None, id_col, label_col, vec_col, keep_vec=True
