@@ -216,6 +216,8 @@ def main() -> None:
         "q229_stream_cusum",         # streaming CUSUM (real replay)
         "q230_stratified_kfold",     # balanced rank-mod folds + audit
         "q231_source_overlap",       # token-set Jaccard between sources
+        "q232_skipgram_cooc",        # window-2 PMI pairs, integer lift
+        "q233_trimmed_mean",         # rank-trimmed robust mean
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -245,14 +245,96 @@ def q224_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q233_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trimmed mean per group (the outlier-resistant centrality
+    stat next to q198's median/MAD): per market segment, drop the
+    lowest and highest 5% of balances BY RANK (k = floor(n·5%) rows off
+    each tail — integer rank arithmetic, no percentile interpolation
+    policy in the predicate) and average the exact-cent survivors as a
+    rounded ratio of integers. Reported beside the plain mean so the
+    robustness delta is part of the grade. Scale: one rank window per
+    group + one aggregate — the window frame is the group's rows, the
+    same cost class as any per-group rank."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        "c_custkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    ranked = c.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(w).cast("long").alias("__r"),
+        F.count("*").over(Window.partitionBy("c_mktsegment")).cast("long").alias("__n"),
+    )
+    k = F.floor(F.col("__n") * 5 / 100)
+    kept = ranked.filter(
+        (F.col("__r") > k) & (F.col("__r") <= F.col("__n") - k)
+    )
+    trimmed = kept.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.round(F.sum("cents") / F.count("*"), 0)
+        .cast("long")
+        .alias("trimmed_mean_cents"),
+    )
+    plain = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.round(F.sum("cents") / F.count("*"), 0)
+        .cast("long")
+        .alias("mean_cents"),
+    )
+    return (
+        plain.join(trimmed, "c_mktsegment")
+        .select(
+            "c_mktsegment", "n_all", "mean_cents", "n_kept",
+            "trimmed_mean_cents",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q224_quarantine_routing": q224_quarantine_routing,
+    "q233_trimmed_mean": q233_trimmed_mean,
     "q177_constraint_audit": q177_constraint_audit,
     "q185_gopher_rules": q185_gopher_rules,
     "q198_robust_outliers": q198_robust_outliers,
 }
 
 ORACLES = {
+    # same rank-trim rule; means as rounded ratios of exact cents
+    "q233_trimmed_mean": """
+WITH c AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents, c_custkey
+  FROM customer
+), ranked AS (
+  SELECT c_mktsegment, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+              ORDER BY cents, c_custkey) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+  FROM c
+), kept AS (
+  SELECT * FROM ranked
+  WHERE r > FLOOR(n * 5 / 100) AND r <= n - FLOOR(n * 5 / 100)
+), trimmed AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(ROUND(1.0 * SUM(cents) / COUNT(*), 0) AS BIGINT)
+           AS trimmed_mean_cents
+  FROM kept GROUP BY c_mktsegment
+), plain AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(ROUND(1.0 * SUM(cents) / COUNT(*), 0) AS BIGINT)
+           AS mean_cents
+  FROM c GROUP BY c_mktsegment
+)
+SELECT p.c_mktsegment, p.n_all, p.mean_cents, t.n_kept,
+       t.trimmed_mean_cents
+FROM plain p JOIN trimmed t USING (c_mktsegment)
+ORDER BY p.c_mktsegment
+""",
     # same priority CASE; broadcastable dim join re-derived
     "q224_quarantine_routing": """
 WITH j AS (

@@ -683,9 +683,66 @@ def q211_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q232_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence statistics — the word2vec/GloVe training
+    signal (q203 counts ADJACENT bigrams; this counts unordered pairs
+    within a ±2 token window, the standard embedding context): pair
+    counts c_xy, unigram counts, and the PMI lift graded as the exact
+    integer fraction (c_xy·N vs c_x·c_y — ln never enters the
+    contract, the q203/q194 policy). Top-15 pairs by the integer
+    cross-ratio with full tie-break. Scale: positions explode to
+    ~2·window·corpus-tokens rows, pair aggregation is vocabulary²-
+    bounded and map-side combined; no join touches the corpus twice."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("x"))
+    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("w").alias("y"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("pb") > F.col("pa")) & (F.col("pb") - F.col("pa") <= 2)
+        )
+        .select(
+            F.least("x", "y").alias("wx"), F.greatest("x", "y").alias("wy")
+        )
+        .groupBy("wx", "wy")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+    )
+    uni = (
+        toks.groupBy(F.col("w"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n = toks.agg(F.count("*").cast("long").alias("__n"))
+    ux = uni.select(F.col("w").alias("wx"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("w").alias("wy"), F.col("c").alias("c_y"))
+    return (
+        pairs.join(ux, "wx")
+        .join(uy, "wy")
+        .join(F.broadcast(n))
+        .select(
+            "wx",
+            "wy",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (F.col("c_xy") * F.col("__n")).alias("lift_num"),
+            (F.col("c_x") * F.col("c_y")).alias("lift_den"),
+        )
+        .orderBy(
+            (F.col("lift_num") / F.col("lift_den")).desc(),
+            "wx",
+            "wy",
+        )
+        .limit(15)
+    )
+
+
 QUERIES = {
     "q194_corpus_divergence": q194_corpus_divergence,
     "q211_bpe_merge_step": q211_bpe_merge_step,
+    "q232_skipgram_cooc": q232_skipgram_cooc,
     "q215_vocab_coverage": q215_vocab_coverage,
     "q197_phrase_search": q197_phrase_search,
     "q146_bm25": q146_bm25,
@@ -709,6 +766,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    # unordered window-2 pairs; lift graded as the exact integer fraction
+    "q232_skipgram_cooc": """
+WITH t2 AS (
+  -- the two UNNESTs zip positionally in duckdb (same-length lists)
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS w,
+         UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS pos
+  FROM documents
+), pairs AS (
+  SELECT LEAST(a.w, b.w) AS wx, GREATEST(a.w, b.w) AS wy,
+         CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM t2 a JOIN t2 b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 2
+  GROUP BY 1, 2
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t2 GROUP BY w
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM t2)
+SELECT wx, wy, c_xy, ux.c AS c_x, uy.c AS c_y,
+       CAST(c_xy * n.t AS BIGINT) AS lift_num,
+       CAST(ux.c * uy.c AS BIGINT) AS lift_den
+FROM pairs JOIN uni ux ON ux.w = wx JOIN uni uy ON uy.w = wy CROSS JOIN n
+ORDER BY 1.0 * c_xy * n.t / (ux.c * uy.c) DESC, wx, wy
+LIMIT 15
+""",
     # frequency-weighted overlapping pair counts over the word-frequency
     # table; REPLACE is leftmost-non-overlap in both engines
     "q211_bpe_merge_step": """
