@@ -218,6 +218,8 @@ def main() -> None:
         "q231_source_overlap",       # token-set Jaccard between sources
         "q232_skipgram_cooc",        # window-2 PMI pairs, integer lift
         "q233_trimmed_mean",         # rank-trimmed robust mean
+        "q234_quantile_normalize",   # global-quantile mapping per group
+        "q235_split_embedding_drift",  # exact integer centroid L2
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

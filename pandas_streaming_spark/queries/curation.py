@@ -593,6 +593,71 @@ def q231_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q234_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across groups — the batch-effect
+    correction move (map every segment's score distribution onto the
+    GLOBAL quantiles, so segments become comparable): per-segment rank
+    r of n_s maps to global rank ⌈r·N/n_s⌉−1 (pure integer-derived
+    arithmetic, exact in a double's mantissa to N~2^26), and the
+    normalized value is the global order statistic at that rank —
+    looked up via the DISTRIBUTED global rank
+    (operators/indexing.global_index: range exchange + per-partition
+    window, no single-task sort). Graded per segment: n, plain mean,
+    normalized mean (exact-cent ratios). The global_index pin is
+    released after the result materializes (the q180/q196 contract)."""
+    from pyspark.sql import Window
+
+    from pandas_streaming_spark.operators.indexing import global_index
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        "c_custkey",
+    )
+    ws = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    ranked = c.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(ws).cast("long").alias("__r"),
+        F.count("*")
+        .over(Window.partitionBy("c_mktsegment"))
+        .cast("long")
+        .alias("__ns"),
+    )
+    gi = global_index(c, ["cents", "c_custkey"], "__g")
+    glob = gi.df.select(
+        F.col("__g").cast("long").alias("__gt"),
+        F.col("cents").alias("norm_cents"),
+    )
+    n = glob.agg(F.count("*").cast("long").alias("__n"))
+    mapped = (
+        ranked.join(F.broadcast(n))
+        .withColumn(
+            "__gt",
+            (
+                F.ceil(F.col("__r") * F.col("__n") / F.col("__ns")) - 1
+            ).cast("long"),
+        )
+        .join(glob.hint("shuffle_hash"), "__gt")
+    )
+    out = (
+        mapped.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("cents") / F.count("*"), 0)
+            .cast("long")
+            .alias("mean_cents"),
+            F.round(F.sum("norm_cents") / F.count("*"), 0)
+            .cast("long")
+            .alias("norm_mean_cents"),
+        )
+        .orderBy("c_mktsegment")
+        .localCheckpoint(eager=True)
+    )
+    gi.release()
+    return out
+
+
 QUERIES = {
     "q196_negative_pairs": q196_negative_pairs,
     "q209_pack_bins": q209_pack_bins,
@@ -600,6 +665,7 @@ QUERIES = {
     "q222_temperature_mix": q222_temperature_mix,
     "q230_stratified_kfold": q230_stratified_kfold,
     "q231_source_overlap": q231_source_overlap,
+    "q234_quantile_normalize": q234_quantile_normalize,
     "q216_temperature_weights": q216_temperature_weights,
     "q203_pmi_collocations": q203_pmi_collocations,
     "q206_srm_check": q206_srm_check,
@@ -643,6 +709,36 @@ trg_{label} AS (SELECT DISTINCT g FROM g_{label} WHERE split = 'train')
 """
 
 ORACLES = {
+    # same rank mapping ceil(r*N/n_s)-1 onto the global order statistic
+    "q234_quantile_normalize": """
+WITH c AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents, c_custkey
+  FROM customer
+), ranked AS (
+  SELECT c_mktsegment, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+              ORDER BY cents, c_custkey) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS ns
+  FROM c
+), gidx AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cents, c_custkey) - 1 AS BIGINT)
+           AS gt,
+         cents AS norm_cents
+  FROM c
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c),
+mapped AS (
+  SELECT ranked.c_mktsegment, ranked.cents, gidx.norm_cents
+  FROM ranked CROSS JOIN n
+  JOIN gidx ON gidx.gt = CAST(CEIL(1.0 * ranked.r * n.t / ranked.ns) - 1
+                              AS BIGINT)
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(1.0 * SUM(cents) / COUNT(*), 0) AS BIGINT) AS mean_cents,
+       CAST(ROUND(1.0 * SUM(norm_cents) / COUNT(*), 0) AS BIGINT)
+         AS norm_mean_cents
+FROM mapped GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
     # same (md5, id) rank-mod folds; spread audit re-derived
     "q230_stratified_kfold": """
 WITH folded AS (

@@ -315,10 +315,53 @@ def q218_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("step", "vec_id", "mmr_2e4").orderBy("step")
 
 
+def q235_split_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space distribution shift between train/val/test splits
+    — the representation-level drift check a leakage-free split should
+    PASS (centroids nearly coincide) and a skewed split fails: per-split
+    centroids in exact integer micro-units (the q87 fixed-point policy),
+    pairwise squared L2 distance as the EXACT integer Σ(a_e6−b_e6)² —
+    no sqrt, no float, cross-engine exact. Overflow bound: |component|
+    ≤ 1e3 → per-dim diff² ≤ 4e18/dim is the int64 edge; unit-norm
+    embeddings (this fixture) sit ~6 orders below it, and wide-range
+    embeddings should drop to e3 units. Scale: one (split, dim)
+    aggregate + a |splits·dims| self-join — both data-reduced."""
+    from pandas_streaming_spark.operators.sampling import hash_split
+
+    emb = _t(spark, sf_dir, "embeddings")
+    s = hash_split(emb, "vec_id", {"train": 80, "val": 10, "test": 10})
+    cent = label_centroids(s, label_col="split").select(
+        F.col("label").alias("split"), "dim", "centroid_e6"
+    )
+    a = cent.select(
+        F.col("split").alias("split_a"), "dim",
+        F.col("centroid_e6").alias("ca"),
+    )
+    b = cent.select(
+        F.col("split").alias("split_b"), "dim",
+        F.col("centroid_e6").alias("cb"),
+    )
+    return (
+        a.join(b, "dim")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").cast("long").alias("n_dims"),
+            F.sum(
+                (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+            )
+            .cast("long")
+            .alias("dist2_e12"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
 QUERIES = {
     "q182_rrf_hybrid": q182_rrf_hybrid,
     "q207_semdedup": q207_semdedup,
     "q218_mmr_rerank": q218_mmr_rerank,
+    "q235_split_embedding_drift": q235_split_embedding_drift,
     "q39_similarity_topk": q39_similarity_topk,
     "q42_similarity_join": q42_similarity_join,
     "q57_ann_bucketed": q57_ann_bucketed,
@@ -336,6 +379,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same md5 split, fixed-point centroids, exact integer squared L2
+    "q235_split_embedding_drift": """
+WITH s AS (
+  SELECT embedding,
+         CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR)),
+                   1, 7)) AS BIGINT) % 100 < 10 THEN 'test'
+              WHEN CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR)),
+                   1, 7)) AS BIGINT) % 100 < 90 THEN 'train'
+              ELSE 'val' END AS split
+  FROM embeddings
+), comps AS (
+  SELECT split, generate_subscripts(embedding, 1) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0)
+              AS BIGINT) AS c_e6
+  FROM s
+), cent AS (
+  SELECT split, dim,
+         CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+           AS centroid_e6
+  FROM comps GROUP BY split, dim
+)
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dims,
+       CAST(SUM((a.centroid_e6 - b.centroid_e6)
+                * (a.centroid_e6 - b.centroid_e6)) AS BIGINT) AS dist2_e12
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.split < b.split
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
     "q79_frame_sample": """
 WITH f AS (
   SELECT doc_id, text,
