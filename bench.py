@@ -220,6 +220,8 @@ def main() -> None:
         "q233_trimmed_mean",         # rank-trimmed robust mean
         "q234_quantile_normalize",   # global-quantile mapping per group
         "q235_split_embedding_drift",  # exact integer centroid L2
+        "q236_new_vs_returning",     # weekly new/returning actives
+        "q237_power_user_share",     # Pareto engagement concentration
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -662,11 +662,95 @@ def q212_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("r_name", "rank_in_region", "n_name")
 
 
+def q236_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning weekly actives — the product-analytics
+    companion to q145's cohort retention: per ISO-truncated week,
+    distinct actives split into NEW (first-ever activity that week —
+    one min-ts aggregate per user, no self-join against history) and
+    RETURNING, plus the new share in basis points of exact counts.
+    Scale: one per-user min aggregate + one distinct (user, week)
+    frame; both map-side combined."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("first_week")
+    )
+    return (
+        uw.join(first, "user_id")
+        .groupBy("week")
+        .agg(
+            F.sum(F.when(F.col("week") == F.col("first_week"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("week") != F.col("first_week"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .select(
+            "week",
+            "new_users",
+            "returning_users",
+            F.round(
+                F.lit(1e4)
+                * F.col("new_users")
+                / (F.col("new_users") + F.col("returning_users")),
+                0,
+            )
+            .cast("long")
+            .alias("new_share_bp"),
+        )
+        .orderBy("week")
+    )
+
+
+def q237_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user concentration (the Pareto 80/20 check): events held
+    by the top decile / quartile of users, by per-user event-count rank
+    (count desc, user asc — a total order). One row per cut with the
+    exact integer event share in basis points — the engagement-
+    concentration number product teams quote. Scale: everything after
+    the per-user count runs on the |users| frame."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    ranked = per.select(
+        "n",
+        F.row_number().over(w).cast("long").alias("__r"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("__tot"),
+        F.count("*").cast("long").alias("__u"),
+    )
+    out = None
+    for label, pct in (("top_10pct", 10), ("top_25pct", 25)):
+        cut = (
+            ranked.join(F.broadcast(tot))
+            .filter(F.col("__r") * 100 <= F.col("__u") * pct)
+            .agg(
+                F.count("*").cast("long").alias("n_users"),
+                F.sum("n").cast("long").alias("n_events"),
+                F.round(
+                    F.lit(1e4) * F.sum("n") / F.first("__tot"), 0
+                )
+                .cast("long")
+                .alias("event_share_bp"),
+            )
+            .select(F.lit(label).alias("cut"), "n_users", "n_events",
+                    "event_share_bp")
+        )
+        out = cut if out is None else out.unionByName(cut)
+    return out.orderBy("cut")
+
+
 QUERIES = {
     "q195_funnel_window": q195_funnel_window,
     "q210_rfm_segments": q210_rfm_segments,
     "q212_share_of_parent": q212_share_of_parent,
     "q213_yoy_revenue": q213_yoy_revenue,
+    "q236_new_vs_returning": q236_new_vs_returning,
+    "q237_power_user_share": q237_power_user_share,
     "q184_incremental_mv": q184_incremental_mv,
     "q163_bitmap_distinct": q163_bitmap_distinct,
     "q161_zorder_skipping": q161_zorder_skipping,
@@ -684,6 +768,50 @@ QUERIES = {
 }
 
 ORACLES = {
+    # first-week via one min aggregate; share of exact counts
+    "q236_new_vs_returning": """
+WITH uw AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS week FROM events
+), first AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS first_week
+  FROM events GROUP BY user_id
+), j AS (
+  SELECT uw.week,
+         CASE WHEN uw.week = f.first_week THEN 1 ELSE 0 END AS is_new
+  FROM uw JOIN first f USING (user_id)
+)
+SELECT week,
+       CAST(SUM(is_new) AS BIGINT) AS new_users,
+       CAST(SUM(1 - is_new) AS BIGINT) AS returning_users,
+       CAST(ROUND(1e4 * SUM(is_new) / COUNT(*), 0) AS BIGINT)
+         AS new_share_bp
+FROM j GROUP BY week ORDER BY week
+""",
+    # rank cut r*100 <= u*pct — integer predicate, shares of exact counts
+    "q237_power_user_share": """
+WITH per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+  GROUP BY user_id
+), ranked AS (
+  SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS BIGINT)
+           AS r
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS u
+  FROM per
+)
+SELECT cut, n_users, n_events, event_share_bp FROM (
+  SELECT 'top_10pct' AS cut, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(ROUND(1e4 * SUM(n) / MAX(tot.t), 0) AS BIGINT)
+           AS event_share_bp
+  FROM ranked, tot WHERE r * 100 <= tot.u * 10
+  UNION ALL
+  SELECT 'top_25pct', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT),
+         CAST(ROUND(1e4 * SUM(n) / MAX(tot.t), 0) AS BIGINT)
+  FROM ranked, tot WHERE r * 100 <= tot.u * 25
+) ORDER BY cut
+""",
     # two partition sums over the nation-grain aggregate; bp of exact cents
     "q212_share_of_parent": """
 WITH rev AS (
