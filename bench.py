@@ -222,6 +222,8 @@ def main() -> None:
         "q235_split_embedding_drift",  # exact integer centroid L2
         "q236_new_vs_returning",     # weekly new/returning actives
         "q237_power_user_share",     # Pareto engagement concentration
+        "q238_dedup_threshold_sweep",  # LSH P/R curve, one pass
+        "q239_packing_comparison",   # chop vs next-fit waste report
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

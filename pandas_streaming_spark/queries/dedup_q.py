@@ -290,6 +290,72 @@ def q104_chunk_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q238_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup blocker TUNING curve — q109 measures one operating point;
+    this sweeps the LSH candidate set's precision/recall against exact
+    Jaccard truth at τ ∈ {0.50, 0.70, 0.90} in ONE pass (the curve a
+    dedup engineer reads before picking a threshold). Truth membership
+    is the integer cross-multiplication ``common·100 ≥ τ%·union`` (no
+    float in the predicate); the joined truth∪candidate frame is
+    localCheckpointed once and three tiny aggregates read it. Scale:
+    one LSH pass + one inverted-index join — the q109 audit cost,
+    amortized over every threshold."""
+    from pandas_streaming_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, k=3, threshold=0.0).select(
+        "id_a", "id_b", "common", "na", "nb"
+    )
+    cand = lsh_candidate_pairs(
+        docs, n_hashes=8, bands=4, k=3, max_bucket=64
+    ).select("id_a", "id_b", F.lit(1).alias("__c"))
+    j = (
+        truth.join(cand, ["id_a", "id_b"], "full_outer")
+        .select(
+            F.coalesce("common", F.lit(0)).alias("c"),
+            (
+                F.coalesce("na", F.lit(0))
+                + F.coalesce("nb", F.lit(0))
+                - F.coalesce("common", F.lit(0))
+            ).alias("un"),
+            F.coalesce("__c", F.lit(0)).alias("is_cand"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for tau in (50, 70, 90):
+        in_truth = (F.col("c") > 0) & (
+            F.col("c") * 100 >= F.lit(tau) * F.col("un")
+        )
+        row = j.agg(
+            F.sum(F.when(in_truth, 1).otherwise(0)).cast("long").alias("n_truth"),
+            F.sum("is_cand").cast("long").alias("n_cand"),
+            F.sum(F.when(in_truth & (F.col("is_cand") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        ).select(
+            F.lit(tau).cast("long").alias("tau_pct"),
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            F.when(
+                F.col("n_cand") > 0,
+                F.round(F.lit(1e4) * F.col("n_hits") / F.col("n_cand"), 0)
+                .cast("long"),
+            ).alias("precision_bp"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.lit(1e4) * F.col("n_hits") / F.col("n_truth"), 0)
+                .cast("long"),
+            ).alias("recall_bp"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tau_pct")
+
+
 def q109_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-side quality audit (twin of q108): precision/recall of the
     q50 LSH candidate pairs vs exact 3-shingle Jaccard >= 0.5 ground
@@ -397,6 +463,7 @@ QUERIES = {
     "q82_dedup_clusters": q82_dedup_clusters,
     "q104_chunk_dedup_pipeline": q104_chunk_dedup_pipeline,
     "q109_lsh_audit": q109_lsh_audit,
+    "q238_dedup_threshold_sweep": q238_dedup_threshold_sweep,
     "q110_simhash_audit": q110_simhash_audit,
     "q113_incremental_dedup": q113_incremental_dedup,
     "q127_fuzzy_pairs": q127_fuzzy_pairs,

@@ -544,6 +544,57 @@ FROM topl FULL OUTER JOIN topv ON topl.doc_id = topv.doc_id
 ORDER BY rrf_e6 DESC, doc_id
 LIMIT 10
 """,
+    "q238_dedup_threshold_sweep": f"""
+WITH bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM ({_MINHASH_SIG})
+  GROUP BY doc_id, s // 2
+),
+ok AS (
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+cmn AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT cmn.id_a, cmn.id_b, c,
+         na.n + nb.n - c AS un
+  FROM cmn JOIN sizes na ON na.doc_id = cmn.id_a
+           JOIN sizes nb ON nb.doc_id = cmn.id_b
+),
+j AS (
+  SELECT COALESCE(t.c, 0) AS c, COALESCE(t.un, 0) AS un,
+         CASE WHEN cand.id_a IS NULL THEN 0 ELSE 1 END AS is_cand
+  FROM t FULL OUTER JOIN cand USING (id_a, id_b)
+)
+SELECT tau_pct, n_truth, n_cand, n_hits,
+       CASE WHEN n_cand > 0
+            THEN CAST(ROUND(1e4 * n_hits / n_cand, 0) AS BIGINT) END
+         AS precision_bp,
+       CASE WHEN n_truth > 0
+            THEN CAST(ROUND(1e4 * n_hits / n_truth, 0) AS BIGINT) END
+         AS recall_bp
+FROM (
+  SELECT CAST(tau AS BIGINT) AS tau_pct,
+         CAST(SUM(CASE WHEN c > 0 AND c * 100 >= tau * un
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         CAST(SUM(is_cand) AS BIGINT) AS n_cand,
+         CAST(SUM(CASE WHEN c > 0 AND c * 100 >= tau * un AND is_cand = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM j CROSS JOIN (SELECT UNNEST([50, 70, 90]) AS tau)
+  GROUP BY tau
+) ORDER BY tau_pct
+""",
     "q218_mmr_rerank": (lambda: (
         f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -221,11 +221,102 @@ def run_curation_pipeline(
 
 
 
+def q239_packing_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-strategy design comparison — the report that justifies
+    choosing q85's concat-and-chop over q209's whole-doc next-fit (or
+    vice versa) for a corpus: both run at budget 512 per source shard,
+    graded side by side as total units (sequences/bins), packed tokens,
+    and padding waste in bp of capacity. Chop's unit count telescopes to
+    ⌈tokens/512⌉ per source (no scan needed); next-fit's comes from the
+    pack_bins operator. Scale: one aggregate + one pack_bins pass."""
+    from pandas_streaming_spark.operators.text import pack_bins
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("tot")
+    )
+    chop = per_src.agg(
+        F.sum(F.floor((F.col("tot") - 1) / 512) + 1)
+        .cast("long")
+        .alias("n_units"),
+        F.sum("tot").cast("long").alias("n_tokens"),
+    ).select(F.lit("chop_q85").alias("method"), "n_units", "n_tokens")
+    bins = (
+        pack_bins(docs, "doc_id", "n_tok", budget=512, partition_by="source")
+        .groupBy("source")
+        .agg(
+            (F.max("bin") + 1).cast("long").alias("__b"),
+            F.sum("n_tok").cast("long").alias("__t"),
+        )
+        .agg(
+            F.sum("__b").cast("long").alias("n_units"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
+        .select(F.lit("nextfit_q209").alias("method"), "n_units", "n_tokens")
+    )
+    return (
+        chop.unionByName(bins)
+        .select(
+            "method",
+            "n_units",
+            "n_tokens",
+            F.round(
+                F.lit(1e4)
+                * (F.col("n_units") * 512 - F.col("n_tokens"))
+                / (F.col("n_units") * 512),
+                0,
+            )
+            .cast("long")
+            .alias("waste_bp"),
+        )
+        .orderBy("method")
+    )
+
+
 QUERIES = {
     "q208_curation_pipeline": q208_curation_pipeline,
+    "q239_packing_comparison": q239_packing_comparison,
 }
 
 ORACLES = {
+    # chop telescopes; next-fit re-walks the q209 recursive CTE
+    "q239_packing_comparison": """
+WITH RECURSIVE t AS (
+  SELECT source, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), per AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM t GROUP BY source
+), chop AS (
+  SELECT 'chop_q85' AS method,
+         CAST(SUM(CAST(FLOOR((tot - 1) / 512) AS BIGINT) + 1) AS BIGINT)
+           AS n_units,
+         CAST(SUM(tot) AS BIGINT) AS n_tokens
+  FROM per
+), walk AS (
+  SELECT source, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.n,
+         CASE WHEN w.fill + t.n > 512 THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.fill + t.n > 512 THEN t.n ELSE w.fill + t.n END
+  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+), nf_src AS (
+  SELECT source, MAX(bin) + 1 AS b, SUM(n) AS tt FROM walk GROUP BY source
+), nextfit AS (
+  SELECT 'nextfit_q209' AS method,
+         CAST(SUM(b) AS BIGINT) AS n_units,
+         CAST(SUM(tt) AS BIGINT) AS n_tokens
+  FROM nf_src
+)
+SELECT method, n_units, n_tokens,
+       CAST(ROUND(1e4 * (n_units * 512 - n_tokens) / (n_units * 512), 0)
+            AS BIGINT) AS waste_bp
+FROM (SELECT * FROM chop UNION ALL SELECT * FROM nextfit)
+ORDER BY method
+""",
     # the full 5-stage pipeline re-derived: dedup window, shingle-join
     # exact Jaccard with the pairwise keep-min rule, Gopher gate battery,
     # md5 source-split buckets (train = [10, 90)), per-source telescoped
