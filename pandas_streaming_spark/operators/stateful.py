@@ -436,7 +436,17 @@ def cusum_stream(
     constant-size, so the store scales with user cardinality, never
     stream length. Fold order is EVENT TIME (``_event_time_frame``,
     the r7 chunk-boundary rule); the final per-user state equals the
-    batch q219 trajectory for any batch split."""
+    batch q219 trajectory for any batch split.
+
+    The per-batch fold runs the VECTORIZED clamped-scan kernel
+    (:func:`_clamped_scan_numpy` with floor=0 and the batch twin's
+    unreachable cap — the CUSUM recurrence IS the one-sided clamped
+    scan), carrying the five-long state through it; alarm/reset/max
+    accounting reduces over the kernel's outputs (VERDICT r9 item 2:
+    the per-row Python loop was the dominant constant at sf0.1).
+    Cents use HALF-AWAY-FROM-ZERO rounding to match the batch q219 /
+    oracle ``F.round``/``ROUND`` exactly — Python ``round()`` banker's-
+    rounds a .5-cent value the other way (ADVICE r9)."""
 
     def fold(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -445,20 +455,21 @@ def cusum_stream(
             state.get if state.exists else (0, 0, 0, 0, 0)
         )
         pdf = _event_time_frame(pdfs)
-        if pdf is not None:
-            for v in pdf["value"]:
-                delta = int(round(float(v) * 100)) - slack_cents
-                raw = bal + delta
-                if raw < 0:
-                    bal = 0
-                    n_resets += 1
-                else:
-                    bal = raw
-                n_steps += 1
-                if bal > mx:
-                    mx = bal
-                if bal >= alarm:
-                    n_alarms += 1
+        if pdf is not None and len(pdf):
+            v = pdf["value"].to_numpy(dtype=np.float64) * 100.0
+            cents = np.where(
+                v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+            ).astype(np.int64)
+            deltas = cents - slack_cents
+            zeros = np.zeros(len(deltas), dtype=np.int64)
+            bals, clipped, _, _ = _clamped_scan_numpy(
+                zeros, deltas, 0, 1 << 60, np.int64(0), bal
+            )
+            n_resets += int((clipped == -1).sum())
+            n_alarms += int((bals >= alarm).sum())
+            mx = max(mx, int(bals.max()))
+            bal = int(bals[-1])
+            n_steps += len(deltas)
         state.update((bal, n_steps, mx, n_alarms, n_resets))
         yield pd.DataFrame(
             [(key[0], n_steps, bal, mx, n_alarms, n_resets)],
@@ -498,6 +509,14 @@ def funnel_stream(events_stream: DataFrame, stages: list[str]) -> DataFrame:
     State is just the reached-stage timestamps (≤ len(stages) longs per
     user) — constant-size per key, so the state store scales with user
     cardinality, never stream length.
+
+    The per-batch advance is VECTORIZED (VERDICT r9 item 2): at stage k
+    the next transition is the FIRST remaining row whose type matches
+    ``stages[k]`` with ts strictly after the previous stage — one
+    ``flatnonzero`` scan per stage advance (≤ len(stages) numpy passes
+    per batch, zero per-row Python), exactly the sequential machine's
+    result because rows before the match couldn't advance stage k and
+    rows after it are still available for stage k+1.
     """
     n = len(stages)
 
@@ -506,11 +525,21 @@ def funnel_stream(events_stream: DataFrame, stages: list[str]) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         times = list(state.get[0]) if state.exists else []
         pdf = _event_time_frame(pdfs)
-        if pdf is not None:
-            for et, ts in zip(pdf["event_type"], pdf["ts"].astype("int64")):
+        if pdf is not None and len(pdf):
+            et = pdf["event_type"].to_numpy()
+            ts_arr = pdf["ts"].astype("int64").to_numpy()
+            pos = 0
+            while len(times) < n and pos < len(ts_arr):
                 k = len(times)
-                if k < n and et == stages[k] and (k == 0 or int(ts) > times[-1]):
-                    times.append(int(ts))
+                m = et[pos:] == stages[k]
+                if times:
+                    m &= ts_arr[pos:] > times[-1]
+                idx = np.flatnonzero(m)
+                if idx.size == 0:
+                    break
+                j = pos + int(idx[0])
+                times.append(int(ts_arr[j]))
+                pos = j + 1
         state.update((times,))
         yield pd.DataFrame({"user_id": [key[0]], "n_stages": [len(times)]})
 

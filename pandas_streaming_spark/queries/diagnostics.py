@@ -81,8 +81,15 @@ def q220_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc) over counts sorted (cnt, key) —
     every term an exact integer, so the grade has no float accumulation.
     Scale: each report is one map-side-combined groupBy to the key-count
-    frame, then a window + aggregate over |keys| rows, not |rows|."""
+    frame; the rank comes from the DISTRIBUTED global index
+    (operators/indexing.global_index — VERDICT r9 item 3: the key-count
+    frame grows with |keys|, so an unpartitioned rank window would
+    single-task it), pins released after the unioned report
+    materializes."""
+    from pandas_streaming_spark.operators.indexing import global_index
+
     reports = []
+    gis = []
     for label, tbl, colname in (
         ("events.user_id", "events", "user_id"),
         ("events.event_type", "events", "event_type"),
@@ -93,8 +100,9 @@ def q220_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col(colname).cast("string").alias("k"))
             .agg(F.count("*").cast("long").alias("cnt"))
         )
-        w = Window.orderBy("cnt", "k")
-        ranked = c.withColumn("i", F.row_number().over(w).cast("long"))
+        gi = global_index(c, ["cnt", "k"], "__i0")
+        gis.append(gi)
+        ranked = gi.df.withColumn("i", (F.col("__i0") + 1).cast("long"))
         agg = ranked.agg(
             F.count("*").cast("long").alias("n_keys"),
             F.sum("cnt").cast("long").alias("n_rows"),
@@ -130,7 +138,10 @@ def q220_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
-    return out.orderBy("key_col")
+    out = out.orderBy("key_col").localCheckpoint(eager=True)
+    for gi in gis:
+        gi.release()
+    return out
 
 
 def q221_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,8 +154,12 @@ def q221_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     union estimate — Beyer et al. 2007). Every hash is the q214
     md5-fraction, so the duckdb oracle reproduces the sketches
     verbatim; exact counts ride along as the audit. Scale: one distinct
-    per-user flag aggregate, then all windows run over the |users|
-    frame."""
+    per-user flag aggregate; each sketch's k-smallest extraction is the
+    salted TWO-PHASE cut (the q86 knn_join shape — per-salt rank, wide;
+    then the global rank window runs over ≤ n_salts·k surviving rows, a
+    CONSTANT-size frame, never |users|; VERDICT r9 item 3). Any row
+    with global rank ≤ k also ranks ≤ k within its own salt group, so
+    the cut is lossless."""
     k = 64
     scale = float(16**15)
     ev = load_table(spark, sf_dir, "events")
@@ -174,10 +189,16 @@ def q221_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     def est(df: DataFrame, label: str) -> DataFrame:
-        w = Window.orderBy(F.col("hf").asc(), "user_id")
-        r = df.withColumn("__rn", F.row_number().over(w))
-        return r.agg(
-            F.count("*").cast("long").alias("n_exact"),
+        w1 = Window.partitionBy("__s").orderBy(F.col("hf").asc(), "user_id")
+        cand = (
+            df.withColumn("__s", F.pmod(F.hash("user_id"), F.lit(16)))
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+        )
+        # global rank over the ≤ 16·k phase-1 survivors only
+        w2 = Window.orderBy(F.col("hf").asc(), "user_id")
+        r = cand.withColumn("__rn", F.row_number().over(w2))
+        topagg = r.agg(
             F.max(F.when(F.col("__rn") == k, F.col("hf"))).alias("__hk"),
             F.sum(
                 F.when(
@@ -189,7 +210,9 @@ def q221_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("__m"),
-        ).select(
+        )
+        nagg = df.agg(F.count("*").cast("long").alias("n_exact"))
+        return nagg.join(F.broadcast(topagg)).select(
             F.lit(label).alias("audience"),
             "n_exact",
             F.when(
@@ -207,7 +230,16 @@ def q221_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = u.select(
         F.lit("intersection").alias("audience"),
         F.lit(None).cast("long").alias("n_exact"),
-        F.round(F.col("k_both") * F.col("kmv_est") / F.lit(float(k)), 0)
+        # rho-rule denominator is the ACTUAL union sample size — the
+        # sketch holds min(k, n) members on the exact-count fallback
+        # path, and dividing by a fixed k biases small audiences low
+        # (ADVICE r9)
+        F.round(
+            F.col("k_both")
+            * F.col("kmv_est")
+            / F.least(F.lit(float(k)), F.col("n_exact").cast("double")),
+            0,
+        )
         .cast("long")
         .alias("kmv_est"),
         F.col("k_both"),
@@ -463,7 +495,10 @@ ORDER BY event_type, arm
 SELECT 'intersection',
        (SELECT CAST(COUNT(*) AS BIGINT) FROM flags
         WHERE in_a = 1 AND in_b = 1),
-       CAST(ROUND(eu.k_both * eu.kmv_est / 64.0, 0) AS BIGINT),
+       -- rho-rule over the ACTUAL union sample size min(k, n_exact),
+       -- matching the engine (ADVICE r9)
+       CAST(ROUND(eu.k_both * eu.kmv_est
+                  / LEAST(64.0, CAST(eu.n_exact AS DOUBLE)), 0) AS BIGINT),
        eu.k_both
 FROM eu
 ) ORDER BY audience"""

@@ -452,20 +452,41 @@ def q146_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sums differ by ULPs with aggregation order (identical replica docs
     # at 10x got effectively-random rank order despite the doc_id
     # tie-break, because no two raw scores ever compared equal).
-    # Materialize once — the separation audit and the ranking both read
-    # it, and the frame is one row per doc (tiny next to the token pass)
-    scored = scored.localCheckpoint(eager=True)
+    # Checkpoint LAZILY — the separation audit and the ranking share one
+    # execution of the token pass when an action arrives, but merely
+    # BUILDING the query stays side-effect-free (ADVICE r9: the eager
+    # checkpoint + .first() ran a full Spark job at construction time).
+    scored = scored.localCheckpoint(eager=False)
     scaled = F.col("score") * F.lit(1e4)
     min_sep = scored.agg(
-        F.min(F.abs(scaled - F.floor(scaled) - F.lit(0.5))).alias("d")
-    ).first()["d"]
-    if min_sep is not None and min_sep < 1e-6:
-        raise ValueError(
-            f"q146 fixture violates rounding separation: a BM25 score "
-            f"sits {min_sep:.2e} from a .5e-4 boundary (< 1e-6); "
-            "accumulation-order ulp drift could flip the grade — "
-            "regenerate the fixture or coarsen the quantization"
+        F.min(F.abs(scaled - F.floor(scaled) - F.lit(0.5))).alias("__min_sep")
+    )
+    # action-time audit: assert_true raises during execution if ANY
+    # per-doc scaled score sits within 1e-6 of a .5 boundary (a silent
+    # cross-engine hash flip becomes a loud error); wrapped in a filter
+    # (coalesce(NULL) -> TRUE) so column pruning can't drop it
+    scored = scored.crossJoin(F.broadcast(min_sep)).filter(
+        F.coalesce(
+            F.assert_true(
+                (F.col("__min_sep").isNull())
+                | (F.col("__min_sep") >= F.lit(1e-6)),
+                F.concat(
+                    F.lit(
+                        "q146 fixture violates rounding separation: a "
+                        "BM25 score sits "
+                    ),
+                    F.col("__min_sep").cast("string"),
+                    F.lit(
+                        " from a .5e-4 boundary (< 1e-6); accumulation-"
+                        "order ulp drift could flip the grade — "
+                        "regenerate the fixture or coarsen the "
+                        "quantization"
+                    ),
+                ),
+            ).cast("boolean"),
+            F.lit(True),
         )
+    ).drop("__min_sep")
     scored = scored.withColumn(
         "score_e4", F.round(F.col("score") * 1e4, 0).cast("long")
     )

@@ -556,34 +556,62 @@ def q210_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     count), monetary (lifetime cents); each metric quartiled with
     NTILE(4) under a fully deterministic total order (metric, custkey);
     segments graded as (r,f,m) cells with customer counts and cents.
-    Scale: one groupBy(custkey) then three windows over the CUSTOMER
-    frame (data-reduced: |customers| << |orders|), final tiny cell agg.
-    NTILE semantics (floor-balanced buckets) agree across engines given
-    the total order — the tie-break column is what makes this gradable."""
+    Scale: one groupBy(custkey), then each metric's quartile comes from
+    the DISTRIBUTED global rank (operators/indexing.global_index —
+    range exchange + per-partition window; VERDICT r9 item 3 replaced
+    three unpartitioned NTILE windows that funneled the |customers|
+    frame through one task) converted to the NTILE(4) bucket by the
+    floor-balanced formula: with n rows, q=n div 4, rem=n mod 4, the
+    first rem buckets hold q+1 rows — identical to both engines' NTILE
+    given the total order. Pins release after the cell aggregate
+    materializes (the q234/q196 contract)."""
+    from pandas_streaming_spark.operators.indexing import global_index
+
     o = _t(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_d"),
         F.count("*").cast("long").alias("freq"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    ).localCheckpoint(eager=False)
+    n = per.agg(F.count("*").cast("long").alias("__n"))
+
+    def ntile4(idx: str):  # 0-based global rank -> NTILE(4) bucket
+        r = F.col(idx)
+        q = F.floor(F.col("__n") / 4).cast("long")
+        rem = F.pmod(F.col("__n"), F.lit(4)).cast("long")
+        return (
+            F.when(r < rem * (q + 1), F.floor(r / (q + 1)))
+            .otherwise(rem + F.floor((r - rem * (q + 1)) / q))
+            + 1
+        ).cast("long")
+
+    gir = global_index(per, ["last_d", "o_custkey"], "__ir")
+    gif = global_index(per, ["freq", "o_custkey"], "__if")
+    gim = global_index(per, ["cents", "o_custkey"], "__im")
+    scored = (
+        gim.df.select("o_custkey", "cents", "__im")
+        .join(gir.df.select("o_custkey", "__ir"), "o_custkey")
+        .join(gif.df.select("o_custkey", "__if"), "o_custkey")
+        .join(F.broadcast(n))
+        .select(
+            "cents",
+            ntile4("__ir").alias("r"),
+            ntile4("__if").alias("f"),
+            ntile4("__im").alias("m"),
+        )
     )
-    wr = Window.orderBy("last_d", "o_custkey")
-    wf = Window.orderBy("freq", "o_custkey")
-    wm = Window.orderBy("cents", "o_custkey")
-    scored = per.select(
-        "o_custkey",
-        "cents",
-        F.ntile(4).over(wr).cast("long").alias("r"),
-        F.ntile(4).over(wf).cast("long").alias("f"),
-        F.ntile(4).over(wm).cast("long").alias("m"),
-    )
-    return (
+    out = (
         scored.groupBy("r", "f", "m")
         .agg(
             F.count("*").cast("long").alias("n_customers"),
             F.sum("cents").cast("long").alias("sum_cents"),
         )
         .orderBy("r", "f", "m")
+        .localCheckpoint(eager=True)
     )
+    for gi in (gir, gif, gim):
+        gi.release()
+    return out
 
 
 def q213_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,13 +739,21 @@ def q237_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, user asc — a total order). One row per cut with the
     exact integer event share in basis points — the engagement-
     concentration number product teams quote. Scale: everything after
-    the per-user count runs on the |users| frame."""
+    the per-user count runs on the |users| frame, and the rank is the
+    DISTRIBUTED global index (operators/indexing.global_index over
+    (-n, user) — VERDICT r9 item 3: |users| grows with data, so an
+    unpartitioned rank window would single-task it); the pin releases
+    after the two-cut union materializes."""
+    from pandas_streaming_spark.operators.indexing import global_index
+
     ev = _t(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
-    w = Window.orderBy(F.col("n").desc(), "user_id")
-    ranked = per.select(
+    gi = global_index(
+        per.withColumn("__negn", -F.col("n")), ["__negn", "user_id"], "__i0"
+    )
+    ranked = gi.df.select(
         "n",
-        F.row_number().over(w).cast("long").alias("__r"),
+        (F.col("__i0") + 1).cast("long").alias("__r"),
     )
     tot = per.agg(
         F.sum("n").cast("long").alias("__tot"),
@@ -741,7 +777,9 @@ def q237_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_share_bp")
         )
         out = cut if out is None else out.unionByName(cut)
-    return out.orderBy("cut")
+    out = out.orderBy("cut").localCheckpoint(eager=True)
+    gi.release()
+    return out
 
 
 QUERIES = {
