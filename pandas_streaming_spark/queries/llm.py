@@ -686,6 +686,57 @@ SELECT a.vec_id, a.cl AS assigned_label, a.cent_e4 AS cent_sim_e4,
 FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 ORDER BY a.vec_id
 """,
+    "q240_semdedup_scaled": f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         CAST(FLOOR(vec_id / 200) AS BIGINT) AS shard,
+         CAST(vec_id % 4 AS BIGINT) AS seed
+  FROM embeddings
+),
+comps AS (
+  SELECT shard, seed, generate_subscripts(embedding, 1) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM e
+),
+cent AS (
+  SELECT shard, seed AS fine,
+         LIST(CAST(centroid_e6 AS DOUBLE) / 1000000.0 ORDER BY dim) AS cvec
+  FROM (
+    SELECT shard, seed, dim,
+           CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS centroid_e6
+    FROM comps GROUP BY shard, seed, dim
+  ) GROUP BY shard, seed
+),
+sims AS (
+  SELECT e.vec_id, e.shard, c.fine, {_cos("e.embedding", "c.cvec")} AS sim
+  FROM e JOIN cent c ON c.shard = e.shard
+),
+assigned AS (
+  SELECT vec_id, shard, fine,
+         CAST(ROUND(10000.0 * sim, 0) AS BIGINT) AS cent_e4
+  FROM (
+    SELECT vec_id, shard, fine, sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC NULLS LAST, fine) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM assigned x
+  JOIN assigned y ON x.shard = y.shard AND x.fine = y.fine
+                 AND x.vec_id <> y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE {_cos('ex.embedding', 'ey.embedding')} >= 0.3
+    AND (y.cent_e4 < x.cent_e4
+         OR (y.cent_e4 = x.cent_e4 AND y.vec_id < x.vec_id))
+)
+SELECT a.vec_id, a.shard, a.fine, a.cent_e4 AS cent_sim_e4,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+""",
     "q39_similarity_topk": f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,

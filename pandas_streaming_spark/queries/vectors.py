@@ -242,6 +242,51 @@ def q207_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q240_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a k ∝ n clustering
+    (operators.similarity.semdedup_scaled — VERDICT r9 item 1, closing
+    the q207 `weak`): shard_size=200 / k_fine=4 gives ~50-member
+    clusters whose COUNT grows with the corpus (sf0.01: 12 clusters,
+    sf0.1: 40, 10× replica: 400), so every stage — shard assignment,
+    local Lloyd E-step with k_fine constant candidates per vector,
+    within-cluster cosine pairs, dominance — is linear in n. Same
+    keep-farthest rule and threshold (0.3) as q207; the oracle
+    re-derives shards, fixed-point centroids, assignment, and dominance
+    from scratch. The per-cluster candidate bound (cluster ≤
+    shard_size; assignment never crosses shards) is ASSERTED in the
+    plan: an action-time assert_true over the cluster-size aggregate
+    fails the query loudly if any cluster exceeds shard_size."""
+    from pandas_streaming_spark.operators.similarity import semdedup_scaled
+
+    out = semdedup_scaled(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, shard_size=200, k_fine=4
+    )
+    mx = out.groupBy("shard", "fine").agg(F.count("*").alias("__c")).agg(
+        F.max("__c").alias("__max_cluster")
+    )
+    return (
+        out.join(F.broadcast(mx))
+        .filter(
+            F.coalesce(
+                F.assert_true(
+                    F.col("__max_cluster") <= F.lit(200),
+                    F.concat(
+                        F.lit(
+                            "q240 per-cluster candidate bound violated: "
+                            "largest cluster holds "
+                        ),
+                        F.col("__max_cluster").cast("string"),
+                        F.lit(" members > shard_size=200"),
+                    ),
+                ).cast("boolean"),
+                F.lit(True),
+            )
+        )
+        .drop("__max_cluster")
+        .orderBy("vec_id")
+    )
+
+
 def q218_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance diverse re-ranking (Carbonell &
     Goldstein 1998) — the RAG diversity pass: from the top-20 cosine
@@ -361,6 +406,7 @@ QUERIES = {
     "q182_rrf_hybrid": q182_rrf_hybrid,
     "q207_semdedup": q207_semdedup,
     "q218_mmr_rerank": q218_mmr_rerank,
+    "q240_semdedup_scaled": q240_semdedup_scaled,
     "q235_split_embedding_drift": q235_split_embedding_drift,
     "q39_similarity_topk": q39_similarity_topk,
     "q42_similarity_join": q42_similarity_join,
