@@ -704,6 +704,124 @@ def q211_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_STEPS = 8
+
+
+def q241_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE training loop — q211's single merge step iterated to a
+    merge TABLE of 8 rules (VERDICT r9 item 5, the q91→q96 precedent:
+    E-step → full Lloyd; merge step → training loop). Each iteration
+    counts adjacent symbol pairs over the WORD-FREQUENCY table
+    (overlapping positions, frequency-weighted — the q211 counting
+    rule), picks the winner (count desc, x, y — deterministic), and
+    applies it as leftmost-non-overlapping replacement; the winner pair
+    becomes a single new symbol visible to later iterations (true BPE,
+    not 8 independent char-pair merges).
+
+    Symbol-sequence representation: each word rides as a MARKER-WRAPPED
+    string ``·s1··s2··s3·`` (· = U+00B7, asserted absent from the
+    corpus at action time). Applying a merge is then ONE engine-native
+    ``REPLACE(ws, ·x··y·, ·xy·)`` — each occurrence consumes its own
+    delimiters, so consecutive non-overlapping occurrences all merge in
+    one pass exactly like the reference BPE apply ('a a a a' under
+    (a,a) → 'aa aa', while 'a a a' → 'aa a'), and both engines'
+    REPLACE share leftmost-non-overlap replace-all semantics. Pair
+    extraction is ``split(trim(ws), '··')`` back to the symbol array.
+
+    The 8 iterations UNROLL into the plan (q218's move): every winner
+    is a 1-row broadcast frame derived in-engine — no driver-side
+    collect steers the loop; per-iteration vocab frames are
+    lazily checkpointed so each materializes once. Graded: the merge
+    table (step, x, y, merged, cnt). Scale: after the one corpus
+    tokenize+groupBy, EVERYTHING is vocabulary-sized — the reason real
+    BPE trainers scale; the 10× replica has the identical vocabulary
+    (10× frequencies), so the probe sits near 1×."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    # marker-safety audit (action-time): no corpus word may contain ·
+    dirty = vocab.agg(
+        F.sum(F.when(F.col("w").contains("·"), 1).otherwise(0)).alias("__dirty")
+    )
+    cur = vocab.select(
+        "f",
+        F.concat(
+            F.lit("·"), F.array_join(F.split("w", ""), "··"), F.lit("·")
+        ).alias("ws"),
+    ).localCheckpoint(eager=False)
+    winners = []
+    pair_t = "array<struct<x:string,y:string>>"
+    for t in range(1, _BPE_STEPS + 1):
+        sy = cur.select(
+            "f", F.split(F.expr("trim(BOTH '·' FROM ws)"), "··").alias("syms")
+        )
+        pr = sy.select(
+            "f",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("x"),
+                            F.element_at("syms", i + 1).alias("y"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast(pair_t))
+            ).alias("p"),
+        )
+        win = (
+            pr.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "x", "y")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        winners.append(
+            win.select(
+                F.lit(t).cast("long").alias("step"),
+                "x",
+                "y",
+                F.concat("x", "y").alias("merged"),
+                "cnt",
+            )
+        )
+        cur = (
+            cur.join(F.broadcast(win))
+            .select(
+                "f",
+                F.replace(
+                    F.col("ws"),
+                    F.concat(F.lit("·"), F.col("x"), F.lit("··"), F.col("y"), F.lit("·")),
+                    F.concat(F.lit("·"), F.col("x"), F.col("y"), F.lit("·")),
+                ).alias("ws"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = winners[0]
+    for wdf in winners[1:]:
+        out = out.unionByName(wdf)
+    return (
+        out.join(F.broadcast(dirty))
+        .filter(
+            F.coalesce(
+                F.assert_true(
+                    F.col("__dirty") == 0,
+                    F.lit("q241: corpus word contains the · marker — the "
+                          "wrapped-string BPE representation is unsound here"),
+                ).cast("boolean"),
+                F.lit(True),
+            )
+        )
+        .drop("__dirty")
+        .orderBy("step")
+    )
+
+
 def q232_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence statistics — the word2vec/GloVe training
     signal (q203 counts ADJACENT bigrams; this counts unordered pairs
@@ -763,6 +881,7 @@ def q232_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q194_corpus_divergence": q194_corpus_divergence,
     "q211_bpe_merge_step": q211_bpe_merge_step,
+    "q241_bpe_train": q241_bpe_train,
     "q232_skipgram_cooc": q232_skipgram_cooc,
     "q215_vocab_coverage": q215_vocab_coverage,
     "q197_phrase_search": q197_phrase_search,
@@ -787,6 +906,46 @@ QUERIES = {
 }
 
 ORACLES = {
+    # replays the SAME 8 merges: identical wrapped-string representation,
+    # identical overlapping pair counts / (cnt desc, x, y) winner /
+    # leftmost-non-overlap REPLACE apply per iteration
+    "q241_bpe_train": (
+        """
+WITH w0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) s
+  WHERE w <> '' GROUP BY w
+),
+v0 AS (
+  SELECT f, '·' || ARRAY_TO_STRING(STRING_SPLIT(w, ''), '··') || '·' AS ws
+  FROM w0
+)"""
+        + "".join(
+            f""",
+p{t} AS (
+  SELECT pr.x AS x, pr.y AS y, CAST(SUM(f) AS BIGINT) AS cnt
+  FROM (
+    SELECT f, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(syms) - 1),
+                 i -> struct_pack(x := syms[i], y := syms[i + 1]))) AS pr
+    FROM (SELECT f, STRING_SPLIT(TRIM(ws, '·'), '··') AS syms FROM v{t - 1}) q
+  ) e GROUP BY 1, 2
+),
+win{t} AS (SELECT x, y, cnt FROM p{t} ORDER BY cnt DESC, x, y LIMIT 1),
+v{t} AS (
+  SELECT f, REPLACE(ws, '·' || w.x || '··' || w.y || '·',
+                    '·' || w.x || w.y || '·') AS ws
+  FROM v{t - 1}, win{t} w
+)"""
+            for t in range(1, _BPE_STEPS + 1)
+        )
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({t} AS BIGINT) AS step, x, y, x || y AS merged, "
+            f"cnt FROM win{t}"
+            for t in range(1, _BPE_STEPS + 1)
+        )
+        + "\n) ORDER BY step"
+    ),
     # unordered window-2 pairs; lift graded as the exact integer fraction
     "q232_skipgram_cooc": """
 WITH t2 AS (
