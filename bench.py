@@ -229,6 +229,9 @@ def main() -> None:
         "q237_power_user_share",     # Pareto engagement concentration
         "q238_dedup_threshold_sweep",  # LSH P/R curve, one pass
         "q239_packing_comparison",   # chop vs next-fit waste report
+        "q240_semdedup_scaled",      # k ∝ n SemDeDup (sharded k-means)
+        "q241_bpe_train",            # 8-merge BPE training loop
+        "q242_trained_quality_gate",  # broadcast-model token classifier
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:
@@ -504,6 +507,20 @@ def main() -> None:
                             physical_plan(
                                 QUERIES["q11_asof_join"](spark, dir100)
                             ),
+                        )
+                    ),
+                    # VERDICT r9 item 1: the k ∝ n SemDeDup must pair
+                    # within (shard, fine) clusters — the dominance join
+                    # exchanges on the shard key and nothing in the plan
+                    # is a cartesian
+                    "q240_sharded_exchange": (
+                        lambda p: bool(
+                            re.search(r"hashpartitioning\(shard", p)
+                        )
+                        and "CartesianProduct" not in p
+                    )(
+                        physical_plan(
+                            QUERIES["q240_semdedup_scaled"](spark, dir100)
                         )
                     ),
                 }

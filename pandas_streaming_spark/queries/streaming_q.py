@@ -40,6 +40,18 @@ K_BATCHES = 5
 #: At real scale size this to state volume, not a constant.
 STATE_PARTITIONS = 1
 
+#: state partitions for PYTHON-stateful operators
+#: (applyInPandasWithState / transformWithStateInPandas). Their
+#: per-trigger cost is dominated by the per-KEY Python fold invocation
+#: (~4 ms each: Arrow exchange + state round-trip), NOT the store
+#: commit that makes 1 optimal for JVM-state queries — so the fold
+#: must parallelize across workers. Measured on q229 at sf0.1 (1.5k
+#: keys × 5 triggers): 1 → 32.1 s, 4 → 12.1 s, 8 → 7.4 s, 16 → 7.7 s
+#: (commit overhead re-enters) — 8 is the knee. Results are
+#: partition-count-invariant (the k∈{1,20} split-invariance tests and
+#: the shared batch oracles pin it).
+PY_STATE_PARTITIONS = 8
+
 #: state partitions for the CATCH-UP replay shape (no per-file trigger
 #: cap — one availableNow trigger over the whole backlog). With all
 #: ~100k sf0.1 events in a single batch the state update is the
@@ -58,6 +70,7 @@ def _final(
     key_cols: list[str] | None = None,
     dup_every: int | None = None,
     max_files_per_trigger: int | None = 1,
+    state_partitions: int | None = None,
 ):
     # content-keyed cached split (persists in .scratch; shared by all
     # streaming queries at this sf/k)
@@ -75,7 +88,9 @@ def _final(
     return run_stream_to_df(
         spark, transform(stream), output_mode, key_cols,
         state_partitions=(
-            STATE_PARTITIONS
+            state_partitions
+            if state_partitions is not None
+            else STATE_PARTITIONS
             if max_files_per_trigger is not None
             else CATCHUP_STATE_PARTITIONS
         ),
@@ -221,7 +236,8 @@ def q47_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q48_stateful_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _final(
-        spark, sf_dir, running_user_stats, "update", key_cols=["user_id"]
+        spark, sf_dir, running_user_stats, "update", key_cols=["user_id"],
+        state_partitions=PY_STATE_PARTITIONS,
     )
     return out.select("user_id", "n_events", "max_value").orderBy("user_id")
 
@@ -326,7 +342,8 @@ def q72_stream_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_streaming_spark.operators.stateful import ewm_stream
 
     out = _final(
-        spark, sf_dir, lambda s: ewm_stream(s, alpha=0.5), "append"
+        spark, sf_dir, lambda s: ewm_stream(s, alpha=0.5), "append",
+        state_partitions=PY_STATE_PARTITIONS,
     )
     return out.select(
         "user_id",
@@ -355,6 +372,7 @@ def q229_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "update",
         key_cols=["user_id"],
+        state_partitions=PY_STATE_PARTITIONS,
     ).orderBy("user_id")
 
 
@@ -372,6 +390,7 @@ def q98_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: funnel_stream(s, FUNNEL_STAGES),
         "update",
         key_cols=["user_id"],
+        state_partitions=PY_STATE_PARTITIONS,
     )
     reached = out.filter(F.col("n_stages") >= 1).select(
         F.explode(F.sequence(F.lit(1), F.col("n_stages"))).alias("stage_no")
@@ -434,7 +453,8 @@ def q117_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = stream.withColumn("value", F.round(F.col("value") * 100, 0))
         return rolling_window_stream(cents, n=5)
 
-    out = _final(spark, sf_dir, transform, "append", key_cols=["user_id"])
+    out = _final(spark, sf_dir, transform, "append", key_cols=["user_id"],
+                 state_partitions=PY_STATE_PARTITIONS)
     return (
         out.select(
             "user_id",
@@ -463,7 +483,7 @@ def q121_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = replay_events(spark, sf_dir, replay_dir)
     sessions = session_flush_tws(stream, gap_minutes=30, watermark="1 hour")
     out = run_stream_to_df(
-        spark, sessions, "append", state_partitions=STATE_PARTITIONS
+        spark, sessions, "append", state_partitions=PY_STATE_PARTITIONS
     )
     return (
         out.filter(F.col("user_id") != SENTINEL_USER)
@@ -488,7 +508,8 @@ def q111_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_streaming_spark.operators.stateful import running_user_stats_tws
 
     out = _final(
-        spark, sf_dir, running_user_stats_tws, "update", key_cols=["user_id"]
+        spark, sf_dir, running_user_stats_tws, "update", key_cols=["user_id"],
+        state_partitions=PY_STATE_PARTITIONS,
     )
     return out.select("user_id", "n_events", "max_value").orderBy("user_id")
 
