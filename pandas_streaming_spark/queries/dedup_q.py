@@ -452,7 +452,136 @@ def q127_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q247_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution scoring — Fellegi–Sunter-shape agreement
+    weights over SORTED-NEIGHBORHOOD candidates (the ER pipeline's two
+    halves: a linear candidate generator + a field-wise match scorer):
+    customers sorted by (acctbal cents, custkey), each paired with its
+    5 rank successors via the distributed global_index
+    (operators/dedup.sorted_neighborhood_pairs — O(n·window), skew-
+    immune, no single-task sort), then every candidate pair scored with
+    integer agreement weights: same nation +40, same market segment
+    +30, account balance within $5.00 +30; a pair is a MATCH at score ≥
+    70. Graded as the score histogram (score, n_pairs, is_match) — the
+    calibration table an ER engineer reads to set the threshold. All
+    comparisons integer; the oracle mirrors SNM with a ROW_NUMBER
+    window (small-data plan, same semantics — the q193 convention)."""
+    from pandas_streaming_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    pairs, release = sorted_neighborhood_pairs(
+        c, key=F.col("cents"), window=5, id_col="c_custkey"
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("__na"),
+        F.col("c_mktsegment").alias("__sa"),
+        F.col("cents").alias("__ca"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("__nb"),
+        F.col("c_mktsegment").alias("__sb"),
+        F.col("cents").alias("__cb"),
+    )
+    score = (
+        F.when(F.col("__na") == F.col("__nb"), 40).otherwise(0)
+        + F.when(F.col("__sa") == F.col("__sb"), 30).otherwise(0)
+        + F.when(
+            F.abs(F.col("__ca") - F.col("__cb")) <= 500, 30
+        ).otherwise(0)
+    ).cast("long")
+    out = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(score.alias("score"))
+        .groupBy("score")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(
+            "score",
+            "n_pairs",
+            (F.col("score") >= 70).cast("int").alias("is_match"),
+        )
+        .orderBy("score")
+        .localCheckpoint(eager=True)
+    )
+    release()
+    return out
+
+
+def q249_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup — subset detection (is doc A
+    contained in doc B?), the near-dup axis Jaccard misses: a short doc
+    fully embedded in a long one has high containment |A∩B|/|A| but low
+    Jaccard (union is large). Candidates come from the distinct
+    5-gram-shingle inverted index with a 64-doc hot-shingle cap (the
+    q97 ``max_bucket`` posture — a shingle shared by >64 docs is
+    boilerplate, not evidence; recall vs brute force is the q109-style
+    audit axis, not this grade). Graded: ordered pairs (a ≠ b, both
+    directions) sharing ≥ 3 shingles with containment ≥ 50%:
+    (id_a, id_b, inter, n_a, containment_bp) — containment as a rounded
+    ratio of exact integers. Scale: shuffles key on shingle then pair —
+    both uniform after the cap; everything downstream is pair-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 5,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 4),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i),
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                        F.element_at("t", i + 3),
+                        F.element_at("t", i + 4),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    ok = sh.groupBy("sh").agg(F.count("*").alias("__docs")).filter(
+        F.col("__docs") <= 64
+    )
+    shc = sh.join(ok.select("sh"), "sh")
+    aa = shc.select(F.col("doc_id").alias("id_a"), "sh")
+    bb = shc.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        aa.join(bb, "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+        .filter(F.col("inter") >= 3)
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .withColumn(
+            "containment_bp",
+            F.round(F.lit(1e4) * F.col("inter") / F.col("n_a"), 0).cast("long"),
+        )
+        .filter(F.col("containment_bp") >= 5000)
+        .select("id_a", "id_b", "inter", "n_a", "containment_bp")
+        .orderBy("id_a", "id_b")
+    )
+
+
 QUERIES = {
+    "q247_entity_resolution": q247_entity_resolution,
+    "q249_containment_dedup": q249_containment_dedup,
     "q49_minhash_signatures": q49_minhash_signatures,
     "q50_lsh_candidate_pairs": q50_lsh_candidate_pairs,
     "q51_simhash": q51_simhash,
@@ -470,6 +599,64 @@ QUERIES = {
 }
 
 ORACLES = {
+    # SNM by (cents, custkey) rank, neighbor pairs within 5 ranks,
+    # identical integer agreement weights and >= 70 match rule
+    "q247_entity_resolution": """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+rn AS (
+  SELECT c_custkey,
+         ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS rn
+  FROM c
+),
+cand AS (
+  SELECT LEAST(a.c_custkey, b.c_custkey) AS id_a,
+         GREATEST(a.c_custkey, b.c_custkey) AS id_b
+  FROM rn a JOIN rn b ON b.rn - a.rn BETWEEN 1 AND 5
+),
+scored AS (
+  SELECT CAST(
+           (CASE WHEN ca.c_nationkey = cb.c_nationkey THEN 40 ELSE 0 END)
+         + (CASE WHEN ca.c_mktsegment = cb.c_mktsegment THEN 30 ELSE 0 END)
+         + (CASE WHEN ABS(ca.cents - cb.cents) <= 500 THEN 30 ELSE 0 END)
+         AS BIGINT) AS score
+  FROM cand JOIN c ca ON ca.c_custkey = cand.id_a
+            JOIN c cb ON cb.c_custkey = cand.id_b
+)
+SELECT score, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(score >= 70 AS INT) AS is_match
+FROM scored GROUP BY score ORDER BY score
+""",
+    # same distinct 5-gram shingles, 64-doc hot cap, >=3 shared,
+    # containment vs the LEFT side's size, >= 50%
+    "q249_containment_dedup": """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - 4, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                     || t[i+3] || ' ' || t[i+4])) AS sh
+  FROM t
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+ok AS (SELECT sh FROM (SELECT sh, COUNT(*) AS d FROM sh GROUP BY sh)
+       WHERE d <= 64),
+shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN ok USING (sh)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT id_a, id_b, inter, sizes.n AS n_a,
+       CAST(ROUND(1e4 * inter / sizes.n, 0) AS BIGINT) AS containment_bp
+FROM inter JOIN sizes ON sizes.doc_id = inter.id_a
+WHERE ROUND(1e4 * inter / sizes.n, 0) >= 5000
+ORDER BY id_a, id_b
+""",
     # SNM mirrored with the window form (small-data plan, same
     # semantics): rank by (16-char key, doc_id), neighbor pairs within
     # 5 ranks, exact 3-shingle Jaccard by integer cross-multiplication

@@ -367,6 +367,86 @@ def q225_contingency_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q243_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a DETERMINISTIC bottom-k hash sample —
+    the mergeable quantile-sketch companion to the KMV distinct sketch
+    (q214): per order priority keep the 256 rows with the smallest
+    md5-fraction of the key (a uniform content-addressed sample any
+    engine re-derives), estimate the discrete median/p90 from the
+    sample, and grade the estimate BESIDE the exact q157-style
+    percentile with the signed error in bp. The scale story: the exact
+    per-group percentile needs every row through a per-group sort;
+    the bottom-k sample is extracted with the salted two-phase cut
+    (per-(group, salt) rank first — wide; the per-group rank then runs
+    over ≤ 16·256 surviving rows), after which quantile work is
+    sample-sized. At 100 TB you ship the sample estimate; the exact
+    column here is the fixture-scale audit that MEASURES what the
+    sample costs in accuracy (the honest sketch-grading move of
+    q214/q238)."""
+    k = 256
+    scale = float(16**15)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    hf = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        / F.lit(scale)
+    )
+    salted = o.withColumn("__hf", hf).withColumn(
+        "__s", F.pmod(F.hash("o_orderkey"), F.lit(16))
+    )
+    w1 = Window.partitionBy("grp", "__s").orderBy("__hf", "o_orderkey")
+    cand = salted.withColumn("__r1", F.row_number().over(w1)).filter(
+        F.col("__r1") <= k
+    )
+    w2 = Window.partitionBy("grp").orderBy("__hf", "o_orderkey")
+    samp = cand.withColumn("__rn", F.row_number().over(w2)).filter(
+        F.col("__rn") <= k
+    )
+    wcd_s = Window.partitionBy("grp").orderBy("cents")
+    est = (
+        samp.select("grp", "cents", F.cume_dist().over(wcd_s).alias("cd"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_sample"),
+            F.min(F.when(F.col("cd") >= 0.5, F.col("cents"))).alias("est_p50"),
+            F.min(F.when(F.col("cd") >= 0.9, F.col("cents"))).alias("est_p90"),
+        )
+    )
+    wcd = Window.partitionBy("grp").orderBy("cents")
+    exact = (
+        o.select("grp", "cents", F.cume_dist().over(wcd).alias("cd"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min(F.when(F.col("cd") >= 0.5, F.col("cents"))).alias("exact_p50"),
+            F.min(F.when(F.col("cd") >= 0.9, F.col("cents"))).alias("exact_p90"),
+        )
+    )
+    err = lambda e, x: (  # noqa: E731 - signed error in bp
+        F.round(F.lit(1e4) * (F.col(e) - F.col(x)) / F.col(x), 0).cast("long")
+    )
+    return (
+        exact.join(est, "grp")
+        .select(
+            "grp",
+            "n_rows",
+            "n_sample",
+            "est_p50",
+            "exact_p50",
+            err("est_p50", "exact_p50").alias("err_p50_bp"),
+            "est_p90",
+            "exact_p90",
+            err("est_p90", "exact_p90").alias("err_p90_bp"),
+        )
+        .orderBy("grp")
+    )
+
+
 _SKEW_ONE = """
 SELECT '{label}' AS key_col,
        CAST(SUM(cnt) AS BIGINT) AS n_rows,
@@ -419,6 +499,7 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY hf, user_id) AS rn
 
 
 QUERIES = {
+    "q243_sampled_quantiles": q243_sampled_quantiles,
     "q214_kmv_distinct": q214_kmv_distinct,
     "q220_skew_report": q220_skew_report,
     "q221_kmv_set_ops": q221_kmv_set_ops,
@@ -427,6 +508,52 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same md5 bottom-256 sample, same cume_dist >= p discrete rule
+    "q243_sampled_quantiles": """
+WITH o AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey,
+         CAST(CONCAT('0x', SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS hf
+  FROM orders
+),
+samp AS (
+  SELECT grp, cents
+  FROM (SELECT grp, cents,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY hf, o_orderkey) AS rn
+        FROM o)
+  WHERE rn <= 256
+),
+est AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_sample,
+         MIN(CASE WHEN cd >= 0.5 THEN cents END) AS est_p50,
+         MIN(CASE WHEN cd >= 0.9 THEN cents END) AS est_p90
+  FROM (SELECT grp, cents,
+               CUME_DIST() OVER (PARTITION BY grp ORDER BY cents) AS cd
+        FROM samp)
+  GROUP BY grp
+),
+exact AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(CASE WHEN cd >= 0.5 THEN cents END) AS exact_p50,
+         MIN(CASE WHEN cd >= 0.9 THEN cents END) AS exact_p90
+  FROM (SELECT grp, cents,
+               CUME_DIST() OVER (PARTITION BY grp ORDER BY cents) AS cd
+        FROM o)
+  GROUP BY grp
+)
+SELECT grp, n_rows, n_sample,
+       est_p50, exact_p50,
+       CAST(ROUND(1e4 * (est_p50 - exact_p50) / exact_p50, 0) AS BIGINT)
+         AS err_p50_bp,
+       est_p90, exact_p90,
+       CAST(ROUND(1e4 * (est_p90 - exact_p90) / exact_p90, 0) AS BIGINT)
+         AS err_p90_bp
+FROM exact JOIN est USING (grp)
+ORDER BY grp
+""",
     # histogram-product identity: predicted == actual joined count
     "q223_join_cardinality": """
 WITH ca AS (

@@ -416,8 +416,67 @@ def q242_trained_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q246_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorization — the outlier-capping normalization
+    (clamp every value into its group's [p05, p95] before averaging;
+    the robust-stats sibling of q233's trimming, which DROPS the tails
+    instead of capping them): discrete p05/p95 per market segment via
+    the shared q157 cume_dist idiom, values clamped with
+    greatest/least, means graded as rounded ratios of exact cents.
+    Graded per segment: n, the caps, clip counts both sides, mean
+    before/after. Scale: one per-group window over the |customers|
+    frame + a broadcast of the 5-row caps frame back onto the same
+    scan."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("cents")
+    caps = (
+        c.select("c_mktsegment", "cents", F.cume_dist().over(w).alias("cd"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min(F.when(F.col("cd") >= 0.05, F.col("cents"))).alias("lo_cents"),
+            F.min(F.when(F.col("cd") >= 0.95, F.col("cents"))).alias("hi_cents"),
+        )
+    )
+    clamped = c.join(F.broadcast(caps), "c_mktsegment").select(
+        "c_mktsegment",
+        "cents",
+        "lo_cents",
+        "hi_cents",
+        F.greatest("lo_cents", F.least("hi_cents", F.col("cents"))).alias(
+            "__w"
+        ),
+    )
+    return (
+        clamped.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.first("lo_cents").alias("lo_cents"),
+            F.first("hi_cents").alias("hi_cents"),
+            F.sum(F.when(F.col("cents") < F.col("lo_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_lo"),
+            F.sum(F.when(F.col("cents") > F.col("hi_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_hi"),
+            F.round(F.sum("cents") / F.count("*"), 0)
+            .cast("long")
+            .alias("mean_cents"),
+            F.round(F.sum("__w") / F.count("*"), 0)
+            .cast("long")
+            .alias("winsor_mean_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q242_trained_quality_gate": q242_trained_quality_gate,
+    "q246_winsorized_stats": q246_winsorized_stats,
     "q224_quarantine_routing": q224_quarantine_routing,
     "q233_trimmed_mean": q233_trimmed_mean,
     "q177_constraint_audit": q177_constraint_audit,
@@ -483,6 +542,39 @@ FROM sc
 WHERE split = 'eval'
 GROUP BY 1, 2
 ORDER BY label, pred
+""",
+    # same cume_dist-discrete caps, greatest/least clamp, rounded means
+    "q246_winsorized_stats": """
+WITH c AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+caps AS (
+  SELECT c_mktsegment,
+         MIN(CASE WHEN cd >= 0.05 THEN cents END) AS lo_cents,
+         MIN(CASE WHEN cd >= 0.95 THEN cents END) AS hi_cents
+  FROM (SELECT c_mktsegment, cents,
+               CUME_DIST() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY cents) AS cd
+        FROM c)
+  GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       caps.lo_cents, caps.hi_cents,
+       CAST(SUM(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(SUM(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       CAST(ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+         AS mean_cents,
+       CAST(ROUND(CAST(SUM(GREATEST(lo_cents, LEAST(hi_cents, cents)))
+                       AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+         AS winsor_mean_cents
+FROM c JOIN caps USING (c_mktsegment)
+GROUP BY c.c_mktsegment, caps.lo_cents, caps.hi_cents
+ORDER BY c.c_mktsegment
 """,
     # same rank-trim rule; means as rounded ratios of exact cents
     "q233_trimmed_mean": """

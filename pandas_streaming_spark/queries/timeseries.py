@@ -499,6 +499,158 @@ def q204_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q244_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) MULTI-touch attribution — the
+    complement to q204's last-touch: each purchase's credit splits 40%
+    to the first touch, 40% to the last, and 20% equally across the
+    middles (1 touch → 100%, 2 touches → 50/50, none → 'direct'), over
+    the same 1-hour lookback with the same inclusive-microsecond
+    boundary. Per-touch credit is an integer in MILLI-CENTS:
+    40%/50%/100% weights are exact integer products; a middle touch
+    gets ``round(200·cents / m)`` — a deterministic double both engines
+    round identically — so per-channel totals are exact integer sums
+    (order-free). Plan: ONE per-user range-frame window collects each
+    purchase's path (collect_list over rangeBetween(-1h, -1), state
+    bounded by events/user/hour — the q124 rolling-range shape, NOT a
+    per-purchase self-join), the path array is sorted for deterministic
+    first/middle/last, and the credit rows are built with array
+    expressions and exploded. Graded per channel: touch count and total
+    credit."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("uts"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("uts")
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    path = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.struct(
+                    F.col("uts").alias("puts"),
+                    F.col("event_id").alias("pid"),
+                    F.col("event_type").alias("ch"),
+                ),
+            )
+        ).over(w)
+    )
+    pur = (
+        base.withColumn("__path", path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "__path",
+        )
+    )
+    n = F.size("__path")
+    ends_w = F.when(n == 2, F.lit(500)).otherwise(F.lit(400))
+    entry = lambda ch, mc: F.struct(  # noqa: E731
+        ch.alias("ch"), mc.cast("long").alias("mc")
+    )
+    credits = (
+        F.when(
+            n == 0,
+            F.array(entry(F.lit("direct"), 1000 * F.col("cents"))),
+        )
+        .when(
+            n == 1,
+            F.array(
+                entry(F.element_at("__path", 1)["ch"], 1000 * F.col("cents"))
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.array(
+                    entry(
+                        F.element_at("__path", 1)["ch"],
+                        ends_w * F.col("cents"),
+                    )
+                ),
+                F.transform(
+                    F.slice(F.col("__path"), 2, F.greatest(n - 2, F.lit(0))),
+                    lambda x: entry(
+                        x["ch"],
+                        F.round(
+                            F.lit(200.0) * F.col("cents") / (n - 2), 0
+                        ),
+                    ),
+                ),
+                F.array(
+                    entry(
+                        F.element_at("__path", -1)["ch"],
+                        ends_w * F.col("cents"),
+                    )
+                ),
+            )
+        )
+    )
+    return (
+        pur.select(F.explode(credits).alias("c"))
+        .groupBy(F.col("c.ch").alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("c.mc").cast("long").alias("credit_mc"),
+        )
+        .orderBy("channel")
+    )
+
+
+def q245_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index — the de-seasonalization baseline
+    (mean revenue on an ISO weekday vs the all-days mean, in basis
+    points): index = 1e4 · (sum_dow / days_dow) / (sum_all / days_all)
+    computed as the EXACT integer cross-product ratio
+    ``sum_dow·days_all / (days_dow·sum_all)`` rounded once (no
+    intermediate float means; overflow headroom: cents·days products
+    stay under int64 to ~1e15 total cents — wider ranges drop cents to
+    e0 units first). Graded per ISO weekday (1=Mon..7=Sun): order
+    count, active days, exact cents, index_bp. Scale: one map-side-
+    combined date aggregate, then a 7-row frame against a 1-row
+    broadcast total."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").alias("cents"),
+    )
+    dow = daily.groupBy((F.weekday("d") + 1).cast("long").alias("dow_iso")).agg(
+        F.sum("n").cast("long").alias("n_orders"),
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    tot = dow.agg(
+        F.sum("n_days").cast("long").alias("__days_all"),
+        F.sum("sum_cents").cast("long").alias("__cents_all"),
+    )
+    return (
+        dow.join(F.broadcast(tot))
+        .select(
+            "dow_iso",
+            "n_orders",
+            "n_days",
+            "sum_cents",
+            F.round(
+                F.lit(1e4)
+                * (F.col("sum_cents") * F.col("__days_all"))
+                / (F.col("n_days") * F.col("__cents_all")),
+                0,
+            )
+            .cast("long")
+            .alias("index_bp"),
+        )
+        .orderBy("dow_iso")
+    )
+
+
 def q219_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift detection per user (Page 1954's sequential
     change-point statistic, the standard production-monitoring form):
@@ -634,6 +786,8 @@ def q228_rolling_zscore_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q244_position_attribution": q244_position_attribution,
+    "q245_seasonal_index": q245_seasonal_index,
     "q192_pit_scd2_join": q192_pit_scd2_join,
     "q219_cusum_drift": q219_cusum_drift,
     "q226_rolling_median": q226_rolling_median,
@@ -654,6 +808,75 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same 1h inclusive lookback, sorted path ranks, 1000/500/400 exact
+    # integer weights + round(200*cents/m) middles, direct fallback
+    "q244_position_attribution": """
+WITH e AS (
+  SELECT event_id, user_id, event_type, EPOCH_US(ts) AS uts, value
+  FROM events
+),
+p AS (
+  SELECT event_id AS pid, user_id, uts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM e WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id, event_type AS ch, uts
+  FROM e WHERE event_type <> 'purchase'
+),
+paths AS (
+  SELECT p.pid, p.cents, t.ch,
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+                            ORDER BY t.uts, t.event_id) AS r,
+         COUNT(*) OVER (PARTITION BY p.pid) AS n
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.uts < p.uts AND t.uts >= p.uts - 3600000000
+),
+credits AS (
+  SELECT ch,
+         CASE WHEN n = 1 THEN 1000 * cents
+              WHEN r = 1 OR r = n
+                THEN (CASE WHEN n = 2 THEN 500 ELSE 400 END) * cents
+              ELSE CAST(ROUND(200.0 * cents / (n - 2), 0) AS BIGINT)
+         END AS mc
+  FROM paths
+  UNION ALL
+  SELECT 'direct' AS ch, 1000 * cents AS mc
+  FROM p WHERE NOT EXISTS (
+    SELECT 1 FROM t WHERE t.user_id = p.user_id
+     AND t.uts < p.uts AND t.uts >= p.uts - 3600000000)
+)
+SELECT ch AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(mc) AS BIGINT) AS credit_mc
+FROM credits GROUP BY ch ORDER BY channel
+""",
+    # same ISO weekday buckets; index as one rounded integer cross-ratio
+    "q245_seasonal_index": """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+dow AS (
+  SELECT CAST(ISODOW(d) AS BIGINT) AS dow_iso,
+         CAST(SUM(n) AS BIGINT) AS n_orders,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM daily GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_days) AS BIGINT) AS days_all,
+         CAST(SUM(sum_cents) AS BIGINT) AS cents_all
+  FROM dow
+)
+SELECT dow_iso, n_orders, n_days, sum_cents,
+       CAST(ROUND(1e4 * (sum_cents * days_all)
+                  / (n_days * cents_all), 0) AS BIGINT) AS index_bp
+FROM dow CROSS JOIN tot
+ORDER BY dow_iso
+""",
     # the definitional one-step-per-rank recursive walk; LEAST/GREATEST
     # on exact BIGINTs, so every step is engine-identical
     # duckdb's NATIVE windowed MEDIAN (x2 to stay integer) vs the

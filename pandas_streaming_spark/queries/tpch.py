@@ -334,6 +334,57 @@ def q200_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q248_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item Jaccard similarity — the collaborative-filtering
+    normalization on top of q200's raw co-occurrence counts: for part
+    pairs co-ordered ≥ 3 times, similarity = co / (n_a + n_b − co)
+    over per-part order sets, graded in exact basis points with the
+    full (co, n1, n2) evidence alongside (the number an item-to-item
+    recommender actually ranks by — raw support favors merely-popular
+    pairs). Top-15 by (sim_bp desc, p1, p2). Plan: the pair frame is
+    basket-bounded like q200 (linear in orders, never part × part);
+    per-part counts broadcast back onto the pair frame; the top-15 is
+    a TakeOrderedAndProject, no global sort."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    co = (
+        li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+        .join(
+            li.select("l_orderkey", F.col("l_partkey").alias("p2")).hint(
+                "shuffle_hash"
+            ),
+            "l_orderkey",
+        )
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("co"))
+        .filter(F.col("co") >= 3)
+    )
+    per = li.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n"))
+    return (
+        co.join(per.select(F.col("l_partkey").alias("p1"), F.col("n").alias("n1")), "p1")
+        .join(per.select(F.col("l_partkey").alias("p2"), F.col("n").alias("n2")), "p2")
+        .select(
+            "p1",
+            "p2",
+            "co",
+            "n1",
+            "n2",
+            F.round(
+                F.lit(1e4) * F.col("co") / (F.col("n1") + F.col("n2") - F.col("co")),
+                0,
+            )
+            .cast("long")
+            .alias("sim_bp"),
+        )
+        .orderBy(F.col("sim_bp").desc(), "p1", "p2")
+        .limit(15)
+    )
+
+
 def q202_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted (lower) median per group — quantity-weighted median
     line price per return flag: the smallest price whose cumulative
@@ -425,6 +476,7 @@ def q205_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q200_copurchase_pairs": q200_copurchase_pairs,
+    "q248_item_similarity": q248_item_similarity,
     "q202_weighted_median": q202_weighted_median,
     "q205_quota_allocation": q205_quota_allocation,
     "q02_projection_filter": q02_projection_filter,
@@ -445,6 +497,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same basket-bounded pair frame, per-part order counts, exact bp
+    "q248_item_similarity": """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+co AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS co
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+   AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+per AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY 1)
+SELECT p1, p2, co, pa.n AS n1, pb.n AS n2,
+       CAST(ROUND(1e4 * co / (pa.n + pb.n - co), 0) AS BIGINT) AS sim_bp
+FROM co JOIN per pa ON pa.l_partkey = co.p1
+        JOIN per pb ON pb.l_partkey = co.p2
+ORDER BY sim_bp DESC, p1, p2
+LIMIT 15
+""",
     # identical telescoped prefix-sum form (the greedy fold and this
     # closed form are provably equal for one-sided budgets)
     "q205_quota_allocation": """

@@ -782,7 +782,86 @@ def q237_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q250_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort time-to-convert — the latency companion to q145's
+    retention and q94's reach: per user, first signup and first
+    STRICTLY-LATER purchase; conversion lag in whole minutes (exact
+    integer: floor of the µs delta / 6e7); users cohorted by signup
+    week. Graded per cohort week: signups, conversions, conversion
+    rate in bp, and the discrete median / p90 lag via the shared q157
+    cume_dist idiom over the |converted users| frame. Scale: two
+    map-side-combined per-user min aggregates on one events scan, then
+    everything runs on the |users| frame; the per-cohort percentile
+    window partitions on the cohort key."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("s_us"),
+        F.max(F.unix_micros("ts")).alias("__mx"),
+    )
+    # first purchase AFTER the user's first signup (strictly later)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .join(firsts.select("user_id", "s_us"), "user_id")
+        .filter(F.col("s_us").isNotNull() & (F.col("p_us") > F.col("s_us")))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    base = (
+        firsts.filter(F.col("s_us").isNotNull())
+        .select("user_id", "s_us")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format(
+                F.date_trunc(
+                    "week", F.timestamp_micros(F.col("s_us"))
+                ),
+                "yyyy-MM-dd",
+            ).alias("week"),
+            F.floor((F.col("p_us") - F.col("s_us")) / 60_000_000)
+            .cast("long")
+            .alias("lag_min"),
+        )
+    )
+    wcd = Window.partitionBy("week").orderBy("lag_min")
+    lagged = base.filter(F.col("lag_min").isNotNull()).select(
+        "week", "lag_min", F.cume_dist().over(wcd).alias("cd")
+    )
+    pct = lagged.groupBy("week").agg(
+        F.min(F.when(F.col("cd") >= 0.5, F.col("lag_min"))).alias(
+            "median_lag_min"
+        ),
+        F.min(F.when(F.col("cd") >= 0.9, F.col("lag_min"))).alias(
+            "p90_lag_min"
+        ),
+    )
+    counts = base.groupBy("week").agg(
+        F.count("*").cast("long").alias("n_signups"),
+        F.sum(F.when(F.col("lag_min").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+    )
+    return (
+        counts.join(pct, "week", "left")
+        .select(
+            "week",
+            "n_signups",
+            "n_converted",
+            F.round(F.lit(1e4) * F.col("n_converted") / F.col("n_signups"), 0)
+            .cast("long")
+            .alias("conv_bp"),
+            "median_lag_min",
+            "p90_lag_min",
+        )
+        .orderBy("week")
+    )
+
+
 QUERIES = {
+    "q250_time_to_convert": q250_time_to_convert,
     "q195_funnel_window": q195_funnel_window,
     "q210_rfm_segments": q210_rfm_segments,
     "q212_share_of_parent": q212_share_of_parent,
@@ -806,6 +885,50 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same first-signup / first-later-purchase mins, whole-minute floor
+    # lag, Monday-truncated weeks, cume_dist-discrete percentiles
+    "q250_time_to_convert": """
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN EPOCH_US(ts) END) AS s_us
+  FROM events GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(EPOCH_US(e.ts)) AS p_us
+  FROM events e JOIN f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND f.s_us IS NOT NULL
+    AND EPOCH_US(e.ts) > f.s_us
+  GROUP BY e.user_id
+),
+base AS (
+  SELECT f.user_id,
+         STRFTIME(DATE_TRUNC('week', make_timestamp(f.s_us)),
+                  '%Y-%m-%d') AS week,
+         CAST(FLOOR((p.p_us - f.s_us) / 60000000.0) AS BIGINT) AS lag_min
+  FROM f LEFT JOIN p USING (user_id)
+  WHERE f.s_us IS NOT NULL
+),
+pct AS (
+  SELECT week,
+         MIN(CASE WHEN cd >= 0.5 THEN lag_min END) AS median_lag_min,
+         MIN(CASE WHEN cd >= 0.9 THEN lag_min END) AS p90_lag_min
+  FROM (SELECT week, lag_min,
+               CUME_DIST() OVER (PARTITION BY week ORDER BY lag_min) AS cd
+        FROM base WHERE lag_min IS NOT NULL)
+  GROUP BY week
+),
+counts AS (
+  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_signups,
+         CAST(SUM(CASE WHEN lag_min IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_converted
+  FROM base GROUP BY week
+)
+SELECT counts.week, n_signups, n_converted,
+       CAST(ROUND(1e4 * n_converted / n_signups, 0) AS BIGINT) AS conv_bp,
+       median_lag_min, p90_lag_min
+FROM counts LEFT JOIN pct USING (week)
+ORDER BY week
+""",
     # first-week via one min aggregate; share of exact counts
     "q236_new_vs_returning": """
 WITH uw AS (
