@@ -232,6 +232,14 @@ def main() -> None:
         "q240_semdedup_scaled",      # k ∝ n SemDeDup (sharded k-means)
         "q241_bpe_train",            # 8-merge BPE training loop
         "q242_trained_quality_gate",  # broadcast-model token classifier
+        "q243_sampled_quantiles",    # bottom-k hash-sample quantiles
+        "q244_position_attribution",  # U-shaped multi-touch credits
+        "q245_seasonal_index",       # day-of-week integer cross-ratio
+        "q246_winsorized_stats",     # p05/p95 caps + clipped means
+        "q247_entity_resolution",    # SNM candidates + FS score histogram
+        "q248_item_similarity",      # co-occurrence Jaccard top-15
+        "q249_containment_dedup",    # asymmetric subset detection
+        "q250_time_to_convert",      # cohort conversion-lag percentiles
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:
