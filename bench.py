@@ -240,6 +240,7 @@ def main() -> None:
         "q248_item_similarity",      # co-occurrence Jaccard top-15
         "q249_containment_dedup",    # asymmetric subset detection
         "q250_time_to_convert",      # cohort conversion-lag percentiles
+        "q251_bpe_encode",           # trained merges applied to the corpus
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -707,35 +707,14 @@ def q211_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_STEPS = 8
 
 
-def q241_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL BPE training loop — q211's single merge step iterated to a
-    merge TABLE of 8 rules (VERDICT r9 item 5, the q91→q96 precedent:
-    E-step → full Lloyd; merge step → training loop). Each iteration
-    counts adjacent symbol pairs over the WORD-FREQUENCY table
-    (overlapping positions, frequency-weighted — the q211 counting
-    rule), picks the winner (count desc, x, y — deterministic), and
-    applies it as leftmost-non-overlapping replacement; the winner pair
-    becomes a single new symbol visible to later iterations (true BPE,
-    not 8 independent char-pair merges).
-
-    Symbol-sequence representation: each word rides as a MARKER-WRAPPED
-    string ``·s1··s2··s3·`` (· = U+00B7, asserted absent from the
-    corpus at action time). Applying a merge is then ONE engine-native
-    ``REPLACE(ws, ·x··y·, ·xy·)`` — each occurrence consumes its own
-    delimiters, so consecutive non-overlapping occurrences all merge in
-    one pass exactly like the reference BPE apply ('a a a a' under
-    (a,a) → 'aa aa', while 'a a a' → 'aa a'), and both engines'
-    REPLACE share leftmost-non-overlap replace-all semantics. Pair
-    extraction is ``split(trim(ws), '··')`` back to the symbol array.
-
-    The 8 iterations UNROLL into the plan (q218's move): every winner
-    is a 1-row broadcast frame derived in-engine — no driver-side
-    collect steers the loop; per-iteration vocab frames are
-    lazily checkpointed so each materializes once. Graded: the merge
-    table (step, x, y, merged, cnt). Scale: after the one corpus
-    tokenize+groupBy, EVERYTHING is vocabulary-sized — the reason real
-    BPE trainers scale; the 10× replica has the identical vocabulary
-    (10× frequencies), so the probe sits near 1×."""
+def _bpe_train_chain(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop (q241 grades the merge table; q251
+    applies the trained merges back to the corpus): word-frequency
+    table → ``_BPE_STEPS`` unrolled merge iterations over the
+    marker-wrapped symbol strings. Returns ``(winners, final_vocab,
+    dirty)`` — the per-step 1-row winner frames, the final
+    (w, f, ws) vocabulary after all merges, and the 1-row marker-
+    safety audit aggregate."""
     docs = _t(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -748,6 +727,7 @@ def q241_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("w").contains("·"), 1).otherwise(0)).alias("__dirty")
     )
     cur = vocab.select(
+        "w",
         "f",
         F.concat(
             F.lit("·"), F.array_join(F.split("w", ""), "··"), F.lit("·")
@@ -793,6 +773,7 @@ def q241_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (
             cur.join(F.broadcast(win))
             .select(
+                "w",
                 "f",
                 F.replace(
                     F.col("ws"),
@@ -802,6 +783,39 @@ def q241_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+    return winners, cur, dirty
+
+
+def q241_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE training loop — q211's single merge step iterated to a
+    merge TABLE of 8 rules (VERDICT r9 item 5, the q91→q96 precedent:
+    E-step → full Lloyd; merge step → training loop). Each iteration
+    counts adjacent symbol pairs over the WORD-FREQUENCY table
+    (overlapping positions, frequency-weighted — the q211 counting
+    rule), picks the winner (count desc, x, y — deterministic), and
+    applies it as leftmost-non-overlapping replacement; the winner pair
+    becomes a single new symbol visible to later iterations (true BPE,
+    not 8 independent char-pair merges).
+
+    Symbol-sequence representation: each word rides as a MARKER-WRAPPED
+    string ``·s1··s2··s3·`` (· = U+00B7, asserted absent from the
+    corpus at action time). Applying a merge is then ONE engine-native
+    ``REPLACE(ws, ·x··y·, ·xy·)`` — each occurrence consumes its own
+    delimiters, so consecutive non-overlapping occurrences all merge in
+    one pass exactly like the reference BPE apply ('a a a a' under
+    (a,a) → 'aa aa', while 'a a a' → 'aa a'), and both engines'
+    REPLACE share leftmost-non-overlap replace-all semantics. Pair
+    extraction is ``split(trim(ws), '··')`` back to the symbol array.
+
+    The 8 iterations UNROLL into the plan (q218's move): every winner
+    is a 1-row broadcast frame derived in-engine — no driver-side
+    collect steers the loop; per-iteration vocab frames are
+    lazily checkpointed so each materializes once. Graded: the merge
+    table (step, x, y, merged, cnt). Scale: after the one corpus
+    tokenize+groupBy, EVERYTHING is vocabulary-sized — the reason real
+    BPE trainers scale; the 10× replica has the identical vocabulary
+    (10× frequencies), so the probe sits near 1×."""
+    winners, _cur, dirty = _bpe_train_chain(spark, sf_dir)
     out = winners[0]
     for wdf in winners[1:]:
         out = out.unionByName(wdf)
@@ -819,6 +833,69 @@ def q241_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__dirty")
         .orderBy("step")
+    )
+
+
+def q251_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained BPE merges back to the corpus — the encode
+    half of the tokenizer lifecycle (q241 trains the merge table; a
+    tokenizer is only useful once documents are ENCODED with it, and
+    compression-per-doc is the number tokenizer engineers compare
+    vocabularies by). The 8 trained merges collapse each vocabulary
+    word to its final symbol sequence (``_bpe_train_chain`` — the work
+    is vocabulary-sized; per-word token count = symbols in the merged
+    wrapped string), then ONE word-keyed join fans the counts onto the
+    corpus occurrences and a per-doc aggregate sums them. Graded for
+    the 200 lowest doc_ids: words, chars, BPE token count, and chars-
+    per-token compression in exact bp. Scale: train is
+    vocabulary-sized; encode is one corpus explode + one uniform
+    word-keyed hash join + one map-side-combined doc aggregate —
+    no per-doc Python, no quadratic stage."""
+    winners, vocab, dirty = _bpe_train_chain(spark, sf_dir)
+    n_syms = F.size(
+        F.split(F.expr("trim(BOTH '·' FROM ws)"), "··")
+    ).cast("long")
+    wcounts = vocab.select(
+        "w", F.length("w").cast("long").alias("n_chars_w"), n_syms.alias("n_syms")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    per_doc = (
+        toks.join(wcounts, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_chars_w").cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.round(
+                F.lit(1e4) * F.col("n_chars") / F.col("n_bpe_tokens"), 0
+            )
+            .cast("long")
+            .alias("chars_per_token_bp"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(dirty))
+        .filter(
+            F.coalesce(
+                F.assert_true(
+                    F.col("__dirty") == 0,
+                    F.lit("q251: corpus word contains the · marker"),
+                ).cast("boolean"),
+                F.lit(True),
+            )
+        )
+        .drop("__dirty")
+        .orderBy("doc_id")
+        .limit(200)
     )
 
 
@@ -882,6 +959,7 @@ QUERIES = {
     "q194_corpus_divergence": q194_corpus_divergence,
     "q211_bpe_merge_step": q211_bpe_merge_step,
     "q241_bpe_train": q241_bpe_train,
+    "q251_bpe_encode": q251_bpe_encode,
     "q232_skipgram_cooc": q232_skipgram_cooc,
     "q215_vocab_coverage": q215_vocab_coverage,
     "q197_phrase_search": q197_phrase_search,
@@ -905,19 +983,24 @@ QUERIES = {
     "q106_column_profile": q106_column_profile,
 }
 
-ORACLES = {
-    # replays the SAME 8 merges: identical wrapped-string representation,
-    # identical overlapping pair counts / (cnt desc, x, y) winner /
-    # leftmost-non-overlap REPLACE apply per iteration
-    "q241_bpe_train": (
+def _bpe_chain_sql() -> str:
+    """WITH-prefix replaying the SAME 8 merges as ``_bpe_train_chain``:
+    identical wrapped-string representation, identical overlapping pair
+    counts / (cnt desc, x, y) winner / leftmost-non-overlap REPLACE
+    apply per iteration. Each v{t} carries (wd, f, ws) so both the
+    merge-table grade (q241) and the encode grade (q251) read off it.
+    The word column is named ``wd`` — ``w`` would collide with the
+    per-iteration ``win{t} w`` alias."""
+    return (
         """
 WITH w0 AS (
-  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+  SELECT w AS wd, CAST(COUNT(*) AS BIGINT) AS f
   FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) s
   WHERE w <> '' GROUP BY w
 ),
 v0 AS (
-  SELECT f, '·' || ARRAY_TO_STRING(STRING_SPLIT(w, ''), '··') || '·' AS ws
+  SELECT wd, f,
+         '·' || ARRAY_TO_STRING(STRING_SPLIT(wd, ''), '··') || '·' AS ws
   FROM w0
 )"""
         + "".join(
@@ -932,12 +1015,18 @@ p{t} AS (
 ),
 win{t} AS (SELECT x, y, cnt FROM p{t} ORDER BY cnt DESC, x, y LIMIT 1),
 v{t} AS (
-  SELECT f, REPLACE(ws, '·' || w.x || '··' || w.y || '·',
+  SELECT wd, f, REPLACE(ws, '·' || w.x || '··' || w.y || '·',
                     '·' || w.x || w.y || '·') AS ws
   FROM v{t - 1}, win{t} w
 )"""
             for t in range(1, _BPE_STEPS + 1)
         )
+    )
+
+
+ORACLES = {
+    "q241_bpe_train": (
+        _bpe_chain_sql()
         + "\nSELECT * FROM (\n"
         + "\nUNION ALL\n".join(
             f"SELECT CAST({t} AS BIGINT) AS step, x, y, x || y AS merged, "
@@ -945,6 +1034,33 @@ v{t} AS (
             for t in range(1, _BPE_STEPS + 1)
         )
         + "\n) ORDER BY step"
+    ),
+    # encode: merged-vocab symbol counts fanned onto corpus occurrences
+    "q251_bpe_encode": (
+        _bpe_chain_sql()
+        + f""",
+vc AS (
+  SELECT wd, CAST(LENGTH(wd) AS BIGINT) AS n_chars_w,
+         CAST(LEN(STRING_SPLIT(TRIM(ws, '·'), '··')) AS BIGINT) AS n_syms
+  FROM v{_BPE_STEPS}
+),
+dt AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        FROM documents) s
+  WHERE tok <> ''
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(vc.n_chars_w) AS BIGINT) AS n_chars,
+       CAST(SUM(vc.n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(ROUND(1e4 * SUM(vc.n_chars_w) / SUM(vc.n_syms), 0) AS BIGINT)
+         AS chars_per_token_bp
+FROM dt JOIN vc ON vc.wd = dt.tok
+GROUP BY doc_id
+ORDER BY doc_id
+LIMIT 200
+"""
     ),
     # unordered window-2 pairs; lift graded as the exact integer fraction
     "q232_skipgram_cooc": """
