@@ -241,6 +241,10 @@ def main() -> None:
         "q249_containment_dedup",    # asymmetric subset detection
         "q250_time_to_convert",      # cohort conversion-lag percentiles
         "q251_bpe_encode",           # trained merges applied to the corpus
+        "q252_filter_bias_audit",    # length-quartile gate-bias table
+        "q253_jl_projection",        # JL 64->16 sign projection
+        "q254_poisson_bootstrap",    # 32-resample bootstrap means
+        "q255_cuped_adjustment",     # CUPED variance-reduced means
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -447,6 +447,171 @@ def q243_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Poisson(1) CDF thresholds for the inverse-CDF bootstrap weights —
+#: exact decimal literals injected into BOTH engines' SQL/exprs, so the
+#: u < c comparisons are bit-identical (math.exp at build time would be
+#: the same doubles, but literals make the contract visible)
+_POIS_CDF = (
+    "0.36787944117144233",  # P(X <= 0)
+    "0.7357588823428847",   # P(X <= 1)
+    "0.9196986029286058",   # P(X <= 2)
+    "0.9810118431238462",   # P(X <= 3)
+    "0.9963401531726563",   # P(X <= 4)
+)
+
+
+def q254_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean — THE resampling scheme for
+    confidence intervals on datasets too large to index (each row gets
+    an independent Poisson(1) replication weight per resample, so no
+    pass needs to know n — the estimator large-scale experimentation
+    platforms actually run): 32 resamples of mean order value, each
+    row's weight drawn by inverse-CDF over the md5 fraction of
+    (o_orderkey, b) — content-addressed, so both engines draw the
+    IDENTICAL weights and the 'random' bootstrap is exactly gradable.
+    Weights capped at 5 (P > 0.9963 tail). Graded per resample:
+    effective row count Σw and the resampled mean in cents (rounded
+    ratio of exact integer sums) — the spread across the 32 rows IS the
+    CI readout. Scale: one 32× explode + one map-side-combined
+    aggregate; no global state, no sort."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**15))
+    )
+    c = [F.lit(float(x)) for x in _POIS_CDF]
+    w = (
+        F.when(u < c[0], 0)
+        .when(u < c[1], 1)
+        .when(u < c[2], 2)
+        .when(u < c[3], 3)
+        .when(u < c[4], 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    return (
+        b.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.round(F.sum(F.col("w") * F.col("cents")) / F.sum("w"), 0)
+            .cast("long")
+            .alias("mean_cents"),
+        )
+        .orderBy("b")
+    )
+
+
+def q255_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the experimentation-platform
+    adjustment (Deng et al. 2013): shrink each arm's post-period mean
+    by θ·(pre-period mean − global pre mean), θ = cov(pre, post) /
+    var(pre) pooled across arms. Per user: pre/post purchase cents
+    split at the corpus time midpoint (an integer µs from one broadcast
+    min/max aggregate); arms by md5 parity (content-addressed).
+    Moments ride as EXACT integer sums (n, Σx, Σy, Σx², Σxy) and θ and
+    the adjusted means are derived from them with one identical double
+    expression on both engines; outputs use the q72 floor(x·100 + 0.5)
+    half-up policy so the final compare is integer. Graded per arm:
+    users, raw post mean, pre mean, adjusted post mean (all cents).
+    Scale: two map-side-combined aggregates over one events scan; the
+    moment frame is 1 row; the arm frame is 2 rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("uts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # floor on both engines: CAST(double AS BIGINT) truncates in Spark
+    # but banker-rounds in duckdb — FLOOR is the one shared semantic
+    mid = base.agg(
+        F.floor((F.min("uts") + F.max("uts")) / 2).cast("long").alias("__mid")
+    )
+    per = (
+        base.join(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("uts") <= F.col("__mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("uts") > F.col("__mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 7),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2),
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mom = per.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    theta = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    arms = per.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("ax"),
+        F.sum("y").cast("long").alias("ay"),
+    )
+    mean_pre = F.col("ax").cast("double") / F.col("n_users")
+    mean_post = F.col("ay").cast("double") / F.col("n_users")
+    global_pre = F.col("sx").cast("double") / F.col("n")
+    adj = mean_post - theta * (mean_pre - global_pre)
+    half_up = lambda col: F.floor(col + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        arms.join(F.broadcast(mom))
+        .select(
+            "arm",
+            "n_users",
+            half_up(mean_post).alias("mean_post_cents"),
+            half_up(mean_pre).alias("mean_pre_cents"),
+            half_up(adj).alias("adj_post_cents"),
+        )
+        .orderBy("arm")
+    )
+
+
 _SKEW_ONE = """
 SELECT '{label}' AS key_col,
        CAST(SUM(cnt) AS BIGINT) AS n_rows,
@@ -500,6 +665,8 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY hf, user_id) AS rn
 
 QUERIES = {
     "q243_sampled_quantiles": q243_sampled_quantiles,
+    "q254_poisson_bootstrap": q254_poisson_bootstrap,
+    "q255_cuped_adjustment": q255_cuped_adjustment,
     "q214_kmv_distinct": q214_kmv_distinct,
     "q220_skew_report": q220_skew_report,
     "q221_kmv_set_ops": q221_kmv_set_ops,
@@ -508,6 +675,83 @@ QUERIES = {
 }
 
 ORACLES = {
+    # identical md5-fraction draws, identical Poisson CDF literals
+    "q254_poisson_bootstrap": """
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         UNNEST(GENERATE_SERIES(1, 32)) AS b
+  FROM orders
+),
+w AS (
+  SELECT b, cents,
+         CAST(CASE WHEN u < 0.36787944117144233 THEN 0
+                   WHEN u < 0.7357588823428847 THEN 1
+                   WHEN u < 0.9196986029286058 THEN 2
+                   WHEN u < 0.9810118431238462 THEN 3
+                   WHEN u < 0.9963401531726563 THEN 4
+                   ELSE 5 END AS BIGINT) AS w
+  FROM (
+    SELECT b, cents,
+           CAST(CONCAT('0x', SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || ':'
+                || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+             / 1152921504606846976.0 AS u
+    FROM b
+  )
+)
+SELECT CAST(b AS BIGINT) AS b,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       CAST(ROUND(CAST(SUM(w * cents) AS DOUBLE) / SUM(w), 0) AS BIGINT)
+         AS mean_cents
+FROM w GROUP BY b ORDER BY b
+""",
+    # same midpoint split, md5-parity arms, exact moment sums, one
+    # shared double theta expression, floor(x+0.5) outputs
+    "q255_cuped_adjustment": """
+WITH base AS (
+  SELECT user_id, EPOCH_US(ts) AS uts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+mid AS (
+  SELECT CAST(FLOOR((MIN(uts) + MAX(uts)) / 2.0) AS BIGINT) AS m FROM base
+),
+per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN uts <= (SELECT m FROM mid) THEN cents
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN uts > (SELECT m FROM mid) THEN cents
+                  ELSE 0 END) AS BIGINT) AS y,
+         CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 7))
+              AS BIGINT) % 2 AS arm
+  FROM base GROUP BY user_id
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay
+  FROM per GROUP BY arm
+)
+SELECT CAST(arm AS BIGINT) AS arm, n_users,
+       CAST(FLOOR(CAST(ay AS DOUBLE) / n_users + 0.5) AS BIGINT)
+         AS mean_post_cents,
+       CAST(FLOOR(CAST(ax AS DOUBLE) / n_users + 0.5) AS BIGINT)
+         AS mean_pre_cents,
+       CAST(FLOOR(
+         CAST(ay AS DOUBLE) / n_users
+         - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+           * (CAST(ax AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n)
+         + 0.5) AS BIGINT) AS adj_post_cents
+FROM arms CROSS JOIN mom
+ORDER BY arm
+""",
     # same md5 bottom-256 sample, same cume_dist >= p discrete rule
     "q243_sampled_quantiles": """
 WITH o AS (

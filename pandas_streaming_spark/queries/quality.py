@@ -295,39 +295,12 @@ def q233_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q242_trained_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAINED linear quality classifier (VERDICT r9 item 6 — the one
-    Gopher-stack piece the battery lacked): fastText-shape per-token
-    weights learned IN-ENGINE from a labeled subset, then one
-    broadcast-model, shuffle-free scoring pass — the classifier-cascade
-    pattern (distill an expensive rule into a cheap linear pre-filter).
-
-    Setup: the teacher label is a crisp quality rule the fixture's text
-    actually carries — mean token length ≥ 4.5 (all-integer form
-    ``2·Σlen ≥ 9·n_toks``; token-less docs label 0). Train split = md5
-    doc-id halves (operators.sampling.hash_split — content-addressed,
-    so the oracle re-derives membership). Per-token weight = smoothed
-    P(pos | token) in exact ppm: ``w_t = round(1e6 · (pos_t + 1) /
-    (pos_t + neg_t + 2))`` — an integer ratio of exact integer counts,
-    so training is one token aggregate and the model is a |vocab|-row
-    integer table. Scoring: the model rides ONE 1-row broadcast map
-    (map_from_entries over the weight table — exactly how a fastText
-    model ships to executors) and each doc folds its own tokens through
-    it (F.aggregate; unseen tokens score the neutral 500000), so the
-    corpus pass is a narrow map with NO shuffle and NO token
-    re-explosion. Per-doc score ``m`` = round(Σw / n_toks) ppm.
-    Decision threshold: CALIBRATED ON TRAIN — τ = round((round(mean m |
-    pos) + round(mean m | neg)) / 2), the balanced midpoint (a 1-row
-    broadcast); pred = m > τ. Every quantity an integer or a double
-    both engines derive identically from exact integer sums.
-
-    Graded: the EVAL-split confusion matrix (label × pred: doc counts +
-    exact Σm) — measured 86% accuracy vs a 54% prior at sf0.01, a
-    genuinely learned gate, not a re-evaluation of the teacher rule
-    (token-less docs carry no evidence and are excluded from both
-    calibration and grade on both engines). Scale: training aggregates
-    the train-split tokens once (map-side combined); calibration is a
-    2-row aggregate; scoring touches each corpus row once."""
+def _quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared trainer/scorer for the q242 quality gate and the q252
+    filter-bias audit: md5 half split, mean-token-length >= 4.5 teacher
+    label, ppm odds token weights from the train split, broadcast-map
+    shuffle-free scoring fold. Returns one row per doc WITH tokens:
+    (doc_id, split, label, m) — m the round(ppm-sum / n_toks) score."""
     from pandas_streaming_spark.operators.sampling import hash_split
 
     raw = hash_split(
@@ -377,16 +350,53 @@ def q242_trained_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.element_at("__m", t), F.lit(500000))
         ),
     )
-    scored = (
+    return (
         docs.filter(F.col("__n") > 0)
         .join(F.broadcast(model))
         .select(
+            "doc_id",
             "split",
             "label",
             F.round(score / F.col("__n"), 0).cast("long").alias("m"),
         )
         .localCheckpoint(eager=False)
     )
+
+
+def q242_trained_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED linear quality classifier (VERDICT r9 item 6 — the one
+    Gopher-stack piece the battery lacked): fastText-shape per-token
+    weights learned IN-ENGINE from a labeled subset, then one
+    broadcast-model, shuffle-free scoring pass — the classifier-cascade
+    pattern (distill an expensive rule into a cheap linear pre-filter).
+
+    Setup: the teacher label is a crisp quality rule the fixture's text
+    actually carries — mean token length ≥ 4.5 (all-integer form
+    ``2·Σlen ≥ 9·n_toks``; token-less docs label 0). Train split = md5
+    doc-id halves (operators.sampling.hash_split — content-addressed,
+    so the oracle re-derives membership). Per-token weight = smoothed
+    P(pos | token) in exact ppm: ``w_t = round(1e6 · (pos_t + 1) /
+    (pos_t + neg_t + 2))`` — an integer ratio of exact integer counts,
+    so training is one token aggregate and the model is a |vocab|-row
+    integer table. Scoring: the model rides ONE 1-row broadcast map
+    (map_from_entries over the weight table — exactly how a fastText
+    model ships to executors) and each doc folds its own tokens through
+    it (F.aggregate; unseen tokens score the neutral 500000), so the
+    corpus pass is a narrow map with NO shuffle and NO token
+    re-explosion. Per-doc score ``m`` = round(Σw / n_toks) ppm.
+    Decision threshold: CALIBRATED ON TRAIN — τ = round((round(mean m |
+    pos) + round(mean m | neg)) / 2), the balanced midpoint (a 1-row
+    broadcast); pred = m > τ. Every quantity an integer or a double
+    both engines derive identically from exact integer sums.
+
+    Graded: the EVAL-split confusion matrix (label × pred: doc counts +
+    exact Σm) — measured 86% accuracy vs a 54% prior at sf0.01, a
+    genuinely learned gate, not a re-evaluation of the teacher rule
+    (token-less docs carry no evidence and are excluded from both
+    calibration and grade on both engines). Scale: training aggregates
+    the train-split tokens once (map-side combined); calibration is a
+    2-row aggregate; scoring touches each corpus row once."""
+    scored = _quality_scores(spark, sf_dir)
     tau = (
         scored.filter(F.col("split") == "train")
         .agg(
@@ -414,6 +424,55 @@ def q242_trained_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pred")
     )
+
+
+def q252_filter_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-BIAS audit — the curation-governance question behind any
+    learned quality gate: what does the filter correlate with? Bins
+    every scored doc by LENGTH quartile (n_chars, NTILE(4) via the
+    distributed global_index + the q210 floor-balanced formula — no
+    unpartitioned rank window) and reports the q242 classifier's mean
+    score and positive-label share per bin. On this fixture the audit
+    DETECTS the gate's length bias by construction (the teacher rule is
+    a length-per-token cut) — which is exactly the report's job: a gate
+    that silently prefers long documents skews the corpus mix, and this
+    is the table that catches it before a 100 TB filter run. Graded per
+    quartile: doc count, char range, mean score (rounded ratio of exact
+    integers), positive share in bp."""
+    from pandas_streaming_spark.operators.indexing import global_index
+
+    scored = _quality_scores(spark, sf_dir)
+    d = scored.join(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"), "doc_id"
+    )
+    gi = global_index(d, ["n_chars", "doc_id"], "__i")
+    n = gi.df.agg(F.count("*").cast("long").alias("__n"))
+    r = F.col("__i")
+    q = F.floor(F.col("__n") / 4).cast("long")
+    rem = F.pmod(F.col("__n"), F.lit(4)).cast("long")
+    quart = (
+        F.when(r < rem * (q + 1), F.floor(r / (q + 1)))
+        .otherwise(rem + F.floor((r - rem * (q + 1)) / q))
+        + 1
+    ).cast("long")
+    out = (
+        gi.df.join(F.broadcast(n))
+        .select(quart.alias("len_quartile"), "n_chars", "label", "m")
+        .groupBy("len_quartile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.round(F.sum("m") / F.count("*"), 0).cast("long").alias("mean_score"),
+            F.round(F.lit(1e4) * F.sum("label") / F.count("*"), 0)
+            .cast("long")
+            .alias("pos_share_bp"),
+        )
+        .orderBy("len_quartile")
+        .localCheckpoint(eager=True)
+    )
+    gi.release()
+    return out
 
 
 def q246_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,6 +536,7 @@ def q246_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q242_trained_quality_gate": q242_trained_quality_gate,
     "q246_winsorized_stats": q246_winsorized_stats,
+    "q252_filter_bias_audit": q252_filter_bias_audit,
     "q224_quarantine_routing": q224_quarantine_routing,
     "q233_trimmed_mean": q233_trimmed_mean,
     "q177_constraint_audit": q177_constraint_audit,
@@ -484,12 +544,11 @@ QUERIES = {
     "q198_robust_outliers": q198_robust_outliers,
 }
 
-ORACLES = {
-    # same md5 split, mean-token-length >= 4.5 teacher label, ppm odds
-    # weights, neutral-500000 unseen tokens, train-midpoint tau, m > tau
-    "q242_trained_quality_gate": """
+# shared q242/q252 scoring chain: md5 split, length-rule teacher label,
+# ppm odds weights, neutral-500000 unseen tokens, per-doc m
+_QSCORE_PREFIX = """
 WITH t0 AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text, n_chars,
          CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)),
                    1, 7)) AS BIGINT) % 100 < 50
               THEN 'eval' ELSE 'train' END AS split
@@ -502,7 +561,7 @@ dl AS (
   WHERE tok <> '' GROUP BY doc_id
 ),
 d AS (
-  SELECT t0.doc_id, t0.text, t0.split, dl.n,
+  SELECT t0.doc_id, t0.text, t0.split, t0.n_chars, dl.n,
          CAST(COALESCE(2 * dl.sl >= 9 * dl.n, FALSE) AS INT) AS label
   FROM t0 LEFT JOIN dl USING (doc_id)
 ),
@@ -516,18 +575,25 @@ wts AS (
   GROUP BY token
 ),
 toks AS (
-  SELECT doc_id, split, label, tok
-  FROM (SELECT doc_id, split, label, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+  SELECT doc_id, split, label, n_chars, tok
+  FROM (SELECT doc_id, split, label, n_chars,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tok
         FROM d WHERE n > 0) s
   WHERE tok <> ''
 ),
 sc AS (
-  SELECT t.doc_id, t.split, t.label,
+  SELECT t.doc_id, t.split, t.label, t.n_chars,
          CAST(ROUND(SUM(COALESCE(w.w, 500000)) * 1.0 / COUNT(*), 0)
               AS BIGINT) AS m
   FROM toks t LEFT JOIN wts w ON w.token = t.tok
-  GROUP BY 1, 2, 3
-),
+  GROUP BY 1, 2, 3, 4
+)"""
+
+
+ORACLES = {
+    # same md5 split, mean-token-length >= 4.5 teacher label, ppm odds
+    # weights, neutral-500000 unseen tokens, train-midpoint tau, m > tau
+    "q242_trained_quality_gate": _QSCORE_PREFIX + """,
 tau AS (
   SELECT CAST(ROUND((ROUND(AVG(CASE WHEN label = 1 THEN m END), 0)
                    + ROUND(AVG(CASE WHEN label = 0 THEN m END), 0)) / 2, 0)
@@ -542,6 +608,26 @@ FROM sc
 WHERE split = 'eval'
 GROUP BY 1, 2
 ORDER BY label, pred
+""",
+    # NTILE(4) over (n_chars, doc_id) matches the global_index formula
+    "q252_filter_bias_audit": _QSCORE_PREFIX + """,
+b AS (
+  SELECT CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS len_quartile,
+         n_chars, label, m
+  FROM sc
+)
+SELECT len_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+         AS mean_score,
+       CAST(ROUND(1e4 * SUM(label) / COUNT(*), 0) AS BIGINT)
+         AS pos_share_bp
+FROM b
+GROUP BY len_quartile
+ORDER BY len_quartile
 """,
     # same cume_dist-discrete caps, greatest/least clamp, rounded means
     "q246_winsorized_stats": """

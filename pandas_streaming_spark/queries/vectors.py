@@ -360,6 +360,62 @@ def q218_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("step", "vec_id", "mmr_2e4").orderBy("step")
 
 
+def _jl_signs(k: int = 16, d: int = 64) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: sign(j, i) = +1 iff the first
+    hex digit of md5("j:i") < 8 — content-addressed, so both engines
+    embed the IDENTICAL literal matrix (computed at query-build time
+    from constants; no data, no RNG state)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for i in range(1, d + 1)
+        ]
+        for j in range(1, k + 1)
+    ]
+
+
+def q253_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 16 dims — the
+    sketching transform that makes billion-vector similarity search
+    affordable (project once, search in the small space; the ±1
+    'database-friendly' construction of Achlioptas 2003): out_j =
+    (1/√16) · Σ_i sign(j,i)·x_i with the sign matrix a deterministic
+    md5-derived LITERAL (both engines embed the same 16×64 values —
+    the content-addressed move that makes a 'random' projection
+    gradable). 1/√16 = 0.25 is exact binary; the inner fold runs in
+    index order on both engines (the vec_cosine policy), so the doubles
+    are bit-identical before the single e6 rounding. Output: the
+    projected vector as an e6-integer joined string (q95/q99 array
+    policy). Scale: a pure narrow map — 16 fused folds per row, no
+    shuffle, no Python."""
+    signs = _jl_signs()
+    S = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in signs])
+    proj = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda j: F.round(
+            F.lit(1e6)
+            * F.lit(0.25)
+            * F.aggregate(
+                F.sequence(F.lit(1), F.lit(64)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(F.element_at(S, j), i)
+                * F.element_at(F.col("embedding"), i).cast("double"),
+            ),
+            0,
+        ).cast("long"),
+    )
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.concat_ws(",", proj).alias("proj_e6"))
+        .orderBy("vec_id")
+    )
+
+
 def q235_split_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space distribution shift between train/val/test splits
     — the representation-level drift check a leakage-free split should
@@ -407,6 +463,7 @@ QUERIES = {
     "q207_semdedup": q207_semdedup,
     "q218_mmr_rerank": q218_mmr_rerank,
     "q240_semdedup_scaled": q240_semdedup_scaled,
+    "q253_jl_projection": q253_jl_projection,
     "q235_split_embedding_drift": q235_split_embedding_drift,
     "q39_similarity_topk": q39_similarity_topk,
     "q42_similarity_join": q42_similarity_join,
@@ -425,6 +482,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    # identical literal sign matrix, index-order fold, 0.25 scale, e6
+    "q253_jl_projection": (lambda signs: f"""
+WITH s AS (SELECT {signs} AS S)
+SELECT vec_id,
+       ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(1, 16), j ->
+         CAST(ROUND(1000000.0 * 0.25 *
+           LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+             i -> S[j][i] * CAST(embedding[i] AS DOUBLE)), 'sum'),
+           0) AS BIGINT)), ',') AS proj_e6
+FROM embeddings, s
+ORDER BY vec_id
+""")(str(_jl_signs()).replace('(', '[').replace(')', ']')),
     # same md5 split, fixed-point centroids, exact integer squared L2
     "q235_split_embedding_drift": """
 WITH s AS (
