@@ -245,6 +245,7 @@ def main() -> None:
         "q253_jl_projection",        # JL 64->16 sign projection
         "q254_poisson_bootstrap",    # 32-resample bootstrap means
         "q255_cuped_adjustment",     # CUPED variance-reduced means
+        "q256_decile_lift",          # gains table over global_index deciles
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

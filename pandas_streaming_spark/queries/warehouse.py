@@ -860,8 +860,82 @@ def q250_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q256_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the model-evaluation staple (rank the
+    population by a score, cut into deciles, read how much of the
+    outcome the top deciles capture): score = per-user CLICK count
+    (the engagement 'model'), outcome = purchase cents. Deciles come
+    from the distributed global_index over (-score, user) and the q210
+    floor-balanced NTILE formula generalized to k=10; per decile the
+    exact outcome share and CUMULATIVE share in bp (running sum over
+    the 10-row decile frame — a trivially small window). A useless
+    score reads ~1000 bp per decile; the gap above that is the lift.
+    Scale: two map-side-combined per-user aggregates + one range
+    exchange for the rank; everything after is 10 rows."""
+    from pandas_streaming_spark.operators.indexing import global_index
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    gi = global_index(
+        per.withColumn("__negs", -F.col("score")), ["__negs", "user_id"], "__i"
+    )
+    n = gi.df.agg(F.count("*").cast("long").alias("__n"))
+    r = F.col("__i")
+    q = F.floor(F.col("__n") / 10).cast("long")
+    rem = F.pmod(F.col("__n"), F.lit(10)).cast("long")
+    dec = (
+        F.when(r < rem * (q + 1), F.floor(r / (q + 1)))
+        .otherwise(rem + F.floor((r - rem * (q + 1)) / q))
+        + 1
+    ).cast("long")
+    per_dec = (
+        gi.df.join(F.broadcast(n))
+        .select(dec.alias("decile"), "score", "cents")
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    tot = per_dec.agg(F.sum("sum_cents").cast("long").alias("__tot"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        per_dec.join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "sum_cents",
+            F.round(F.lit(1e4) * F.col("sum_cents") / F.col("__tot"), 0)
+            .cast("long")
+            .alias("share_bp"),
+            F.round(
+                F.lit(1e4) * F.sum("sum_cents").over(w) / F.col("__tot"), 0
+            )
+            .cast("long")
+            .alias("cum_share_bp"),
+        )
+        .orderBy("decile")
+        .localCheckpoint(eager=True)
+    )
+    gi.release()
+    return out
+
+
 QUERIES = {
     "q250_time_to_convert": q250_time_to_convert,
+    "q256_decile_lift": q256_decile_lift,
     "q195_funnel_window": q195_funnel_window,
     "q210_rfm_segments": q210_rfm_segments,
     "q212_share_of_parent": q212_share_of_parent,
@@ -887,6 +961,38 @@ QUERIES = {
 ORACLES = {
     # same first-signup / first-later-purchase mins, whole-minute floor
     # lag, Monday-truncated weeks, cume_dist-discrete percentiles
+    # NTILE(10) over (-score, user) matches the global_index formula;
+    # cumulative share over the 10-row decile frame
+    "q256_decile_lift": """
+WITH per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS score,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT CAST(NTILE(10) OVER (ORDER BY -score, user_id) AS BIGINT)
+           AS decile,
+         cents
+  FROM per
+),
+pd AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM d GROUP BY decile
+),
+t AS (SELECT CAST(SUM(sum_cents) AS BIGINT) AS tot FROM pd)
+SELECT decile, n_users, sum_cents,
+       CAST(ROUND(1e4 * sum_cents / t.tot, 0) AS BIGINT) AS share_bp,
+       CAST(ROUND(1e4 * SUM(sum_cents) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t.tot, 0)
+            AS BIGINT) AS cum_share_bp
+FROM pd CROSS JOIN t
+ORDER BY decile
+""",
     "q250_time_to_convert": """
 WITH f AS (
   SELECT user_id,

@@ -86,6 +86,40 @@ def test_q242_gate_learns_above_prior(spark):
     assert correct / n >= majority + 0.05, (correct, n, majority)
 
 
+def test_poisson_cdf_literals_match_math():
+    """q254's inverse-CDF thresholds must be the true Poisson(1) CDF —
+    the literals are copied into both engines, so a typo would be a
+    SHARED wrong constant the oracle could never catch."""
+    import math
+
+    from pandas_streaming_spark.queries.diagnostics import _POIS_CDF
+
+    lam = 1.0
+    pmf = [math.exp(-lam)]
+    for k in range(1, 5):
+        pmf.append(pmf[-1] * lam / k)
+    cdf = []
+    acc = 0.0
+    for v in pmf:
+        acc += v
+        cdf.append(acc)
+    assert [float(x) for x in _POIS_CDF] == pytest.approx(cdf, abs=1e-15)
+
+
+def test_jl_sign_matrix_shape_and_balance():
+    """q253's md5 sign matrix: right shape, deterministic, and roughly
+    balanced (a degenerate all-+1 matrix would be a broken hash)."""
+    from pandas_streaming_spark.queries.vectors import _jl_signs
+
+    s1, s2 = _jl_signs(), _jl_signs()
+    assert s1 == s2
+    assert len(s1) == 16 and all(len(r) == 64 for r in s1)
+    flat = [v for r in s1 for v in r]
+    assert set(flat) == {-1, 1}
+    pos = sum(1 for v in flat if v == 1)
+    assert 0.35 * len(flat) < pos < 0.65 * len(flat)
+
+
 @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 8, 37, 100])
 def test_ntile4_formula_matches_native(spark, n):
     """q210's floor-balanced bucket formula over the 0-based global rank
