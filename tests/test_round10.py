@@ -61,7 +61,7 @@ def test_bpe_wrapped_replace_is_leftmost_nonoverlap(spark):
 def test_q241_merge_table_shape(spark, sf_dir):
     """8 deterministic merge rules; merged symbol is the concatenation;
     counts are positive frequency-weighted pair counts."""
-    from pandas_streaming_spark.queries.textq import q241_bpe_train
+    from pandas_streaming_spark.queries.tokenizer import q241_bpe_train
 
     rows = q241_bpe_train(spark, sf_dir).collect()
     assert [r["step"] for r in rows] == list(range(1, 9))
