@@ -246,6 +246,9 @@ def main() -> None:
         "q254_poisson_bootstrap",    # 32-resample bootstrap means
         "q255_cuped_adjustment",     # CUPED variance-reduced means
         "q256_decile_lift",          # gains table over global_index deciles
+        "q257_benford_audit",        # first-digit fraud screen
+        "q258_packing_size_sweep",   # waste-vs-budget packing curve
+        "q259_ann_recall_curve",     # recall-vs-bucket-bits curve
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -334,6 +334,54 @@ def q206_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q258_packing_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-budget TUNING curve (the q238 move applied to q209/q239:
+    one operating point generalized to the curve an engineer reads
+    before fixing the sequence length): whole-doc next-fit packing at
+    budgets 128/256/512/1024 tokens, graded per budget as total bins,
+    packed tokens, capacity, and padding waste in bp — the
+    waste-vs-context-length trade every training-infra team tunes.
+    Oversized solo docs can push tokens past capacity (waste can go
+    negative at small budgets) — deterministic on both engines, part of
+    the readout. Scale: one doc-length aggregate feeds four pack_bins
+    passes (each O(n) partition-stream scans); everything after is
+    4 rows."""
+    from pandas_streaming_spark.operators.text import pack_bins
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    ).localCheckpoint(eager=False)
+    outs = []
+    for budget in (128, 256, 512, 1024):
+        packed = pack_bins(
+            docs, "doc_id", "n_tok", budget=budget, partition_by="source"
+        )
+        per_src = packed.groupBy("source").agg(
+            F.sum("n_tok").cast("long").alias("toks"),
+            (F.max("bin") + 1).cast("long").alias("bins"),
+        )
+        outs.append(
+            per_src.agg(
+                F.lit(budget).cast("long").alias("budget"),
+                F.sum("bins").cast("long").alias("n_bins"),
+                F.sum("toks").cast("long").alias("n_tokens"),
+                (F.sum("bins") * budget).cast("long").alias("capacity"),
+                F.round(
+                    F.lit(1e4)
+                    * (F.sum("bins") * budget - F.sum("toks"))
+                    / (F.sum("bins") * budget),
+                    0,
+                )
+                .cast("long")
+                .alias("waste_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("budget")
+
+
 def q209_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document next-fit bin packing (operators/text.pack_bins):
     512-token bins per source shard, docs never split — the SFT-side
@@ -661,6 +709,7 @@ def q234_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q196_negative_pairs": q196_negative_pairs,
     "q209_pack_bins": q209_pack_bins,
+    "q258_packing_size_sweep": q258_packing_size_sweep,
     "q217_split_leakage": q217_split_leakage,
     "q222_temperature_mix": q222_temperature_mix,
     "q230_stratified_kfold": q230_stratified_kfold,
@@ -826,6 +875,94 @@ GROUP BY source, quota ORDER BY source
     ),
     # the definitional next-fit recurrence as a recursive CTE: fill
     # saturates at 512 and resets; oversized docs occupy a bin alone
+    # the q209 recurrence replayed at four budgets
+    "q258_packing_size_sweep": """
+WITH RECURSIVE t AS (
+  SELECT source, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk128 AS (
+  SELECT source, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.n,
+         CASE WHEN w.fill + t.n > 128 THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.fill + t.n > 128 THEN t.n ELSE w.fill + t.n END
+  FROM walk128 w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+),
+agg128 AS (
+  SELECT CAST(128 AS BIGINT) AS budget,
+         CAST(SUM(bins) AS BIGINT) AS n_bins,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(bins) * 128 AS BIGINT) AS capacity,
+         CAST(ROUND(1e4 * (SUM(bins) * 128 - SUM(toks))
+                    / (SUM(bins) * 128), 0) AS BIGINT) AS waste_bp
+  FROM (SELECT source, MAX(bin) + 1 AS bins, SUM(n) AS toks
+        FROM walk128 GROUP BY source)
+),
+walk256 AS (
+  SELECT source, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.n,
+         CASE WHEN w.fill + t.n > 256 THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.fill + t.n > 256 THEN t.n ELSE w.fill + t.n END
+  FROM walk256 w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+),
+agg256 AS (
+  SELECT CAST(256 AS BIGINT) AS budget,
+         CAST(SUM(bins) AS BIGINT) AS n_bins,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(bins) * 256 AS BIGINT) AS capacity,
+         CAST(ROUND(1e4 * (SUM(bins) * 256 - SUM(toks))
+                    / (SUM(bins) * 256), 0) AS BIGINT) AS waste_bp
+  FROM (SELECT source, MAX(bin) + 1 AS bins, SUM(n) AS toks
+        FROM walk256 GROUP BY source)
+),
+walk512 AS (
+  SELECT source, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.n,
+         CASE WHEN w.fill + t.n > 512 THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.fill + t.n > 512 THEN t.n ELSE w.fill + t.n END
+  FROM walk512 w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+),
+agg512 AS (
+  SELECT CAST(512 AS BIGINT) AS budget,
+         CAST(SUM(bins) AS BIGINT) AS n_bins,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(bins) * 512 AS BIGINT) AS capacity,
+         CAST(ROUND(1e4 * (SUM(bins) * 512 - SUM(toks))
+                    / (SUM(bins) * 512), 0) AS BIGINT) AS waste_bp
+  FROM (SELECT source, MAX(bin) + 1 AS bins, SUM(n) AS toks
+        FROM walk512 GROUP BY source)
+),
+walk1024 AS (
+  SELECT source, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.n,
+         CASE WHEN w.fill + t.n > 1024 THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.fill + t.n > 1024 THEN t.n ELSE w.fill + t.n END
+  FROM walk1024 w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+),
+agg1024 AS (
+  SELECT CAST(1024 AS BIGINT) AS budget,
+         CAST(SUM(bins) AS BIGINT) AS n_bins,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(bins) * 1024 AS BIGINT) AS capacity,
+         CAST(ROUND(1e4 * (SUM(bins) * 1024 - SUM(toks))
+                    / (SUM(bins) * 1024), 0) AS BIGINT) AS waste_bp
+  FROM (SELECT source, MAX(bin) + 1 AS bins, SUM(n) AS toks
+        FROM walk1024 GROUP BY source)
+)
+SELECT * FROM (
+  SELECT * FROM agg128 UNION ALL SELECT * FROM agg256
+  UNION ALL SELECT * FROM agg512 UNION ALL SELECT * FROM agg1024
+) ORDER BY budget
+""",
     "q209_pack_bins": """
 WITH RECURSIVE t AS (
   SELECT source, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n,

@@ -916,6 +916,192 @@ WHERE b.bucket = q.qb
 ORDER BY sim_e4 DESC, vec_id
 LIMIT 10
 """,
+    "q259_ann_recall_curve": f"""WITH
+b0 AS (
+  SELECT vec_id, embedding, '' AS bucket FROM embeddings
+),
+q0 AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+  FROM b0 WHERE vec_id % 5 = 0 AND vec_id < 100
+),
+scored0 AS (
+  SELECT q.query_id, b.vec_id,
+         CAST(ROUND(10000.0 * {_cos('b.embedding', 'q.qe')}, 0) AS BIGINT) AS sim_e4,
+         (b.bucket = q.qb) AS in_bucket
+  FROM b0 b CROSS JOIN q0 q
+),
+exact0 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim_e4 DESC, vec_id) AS rn
+    FROM scored0) WHERE rn <= 10
+),
+ann0 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim_e4 DESC, vec_id) AS rn
+    FROM scored0 WHERE in_bucket) WHERE rn <= 10
+),
+rec0 AS (
+  SELECT q.query_id, CAST(ROUND(10000.0 * COALESCE(h.n_hits, 0) / 10, 0)
+         AS BIGINT) AS recall_e4,
+         CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+  FROM q0 q LEFT JOIN (
+    SELECT e.query_id, COUNT(*) AS n_hits
+    FROM exact0 e JOIN ann0 a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id) h ON q.query_id = h.query_id
+),
+agg0 AS (
+  SELECT CAST(0 AS BIGINT) AS n_bits,
+         CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+         CAST(ROUND(AVG(recall_e4), 0) AS BIGINT) AS mean_recall_e4,
+         CAST(MIN(recall_e4) AS BIGINT) AS min_recall_e4
+  FROM rec0
+),
+b2 AS (
+  SELECT vec_id, embedding, (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) AS bucket FROM embeddings
+),
+q2 AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+  FROM b2 WHERE vec_id % 5 = 0 AND vec_id < 100
+),
+scored2 AS (
+  SELECT q.query_id, b.vec_id,
+         CAST(ROUND(10000.0 * {_cos('b.embedding', 'q.qe')}, 0) AS BIGINT) AS sim_e4,
+         (b.bucket = q.qb) AS in_bucket
+  FROM b2 b CROSS JOIN q2 q
+),
+exact2 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim_e4 DESC, vec_id) AS rn
+    FROM scored2) WHERE rn <= 10
+),
+ann2 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim_e4 DESC, vec_id) AS rn
+    FROM scored2 WHERE in_bucket) WHERE rn <= 10
+),
+rec2 AS (
+  SELECT q.query_id, CAST(ROUND(10000.0 * COALESCE(h.n_hits, 0) / 10, 0)
+         AS BIGINT) AS recall_e4,
+         CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+  FROM q2 q LEFT JOIN (
+    SELECT e.query_id, COUNT(*) AS n_hits
+    FROM exact2 e JOIN ann2 a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id) h ON q.query_id = h.query_id
+),
+agg2 AS (
+  SELECT CAST(2 AS BIGINT) AS n_bits,
+         CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+         CAST(ROUND(AVG(recall_e4), 0) AS BIGINT) AS mean_recall_e4,
+         CAST(MIN(recall_e4) AS BIGINT) AS min_recall_e4
+  FROM rec2
+),
+b4 AS (
+  SELECT vec_id, embedding, (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END || CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket FROM embeddings
+),
+q4 AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+  FROM b4 WHERE vec_id % 5 = 0 AND vec_id < 100
+),
+scored4 AS (
+  SELECT q.query_id, b.vec_id,
+         CAST(ROUND(10000.0 * {_cos('b.embedding', 'q.qe')}, 0) AS BIGINT) AS sim_e4,
+         (b.bucket = q.qb) AS in_bucket
+  FROM b4 b CROSS JOIN q4 q
+),
+exact4 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim_e4 DESC, vec_id) AS rn
+    FROM scored4) WHERE rn <= 10
+),
+ann4 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim_e4 DESC, vec_id) AS rn
+    FROM scored4 WHERE in_bucket) WHERE rn <= 10
+),
+rec4 AS (
+  SELECT q.query_id, CAST(ROUND(10000.0 * COALESCE(h.n_hits, 0) / 10, 0)
+         AS BIGINT) AS recall_e4,
+         CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+  FROM q4 q LEFT JOIN (
+    SELECT e.query_id, COUNT(*) AS n_hits
+    FROM exact4 e JOIN ann4 a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id) h ON q.query_id = h.query_id
+),
+agg4 AS (
+  SELECT CAST(4 AS BIGINT) AS n_bits,
+         CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+         CAST(ROUND(AVG(recall_e4), 0) AS BIGINT) AS mean_recall_e4,
+         CAST(MIN(recall_e4) AS BIGINT) AS min_recall_e4
+  FROM rec4
+),
+b8 AS (
+  SELECT vec_id, embedding, (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END || CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END || CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END || CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END || CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket FROM embeddings
+),
+q8 AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+  FROM b8 WHERE vec_id % 5 = 0 AND vec_id < 100
+),
+scored8 AS (
+  SELECT q.query_id, b.vec_id,
+         CAST(ROUND(10000.0 * {_cos('b.embedding', 'q.qe')}, 0) AS BIGINT) AS sim_e4,
+         (b.bucket = q.qb) AS in_bucket
+  FROM b8 b CROSS JOIN q8 q
+),
+exact8 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim_e4 DESC, vec_id) AS rn
+    FROM scored8) WHERE rn <= 10
+),
+ann8 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim_e4 DESC, vec_id) AS rn
+    FROM scored8 WHERE in_bucket) WHERE rn <= 10
+),
+rec8 AS (
+  SELECT q.query_id, CAST(ROUND(10000.0 * COALESCE(h.n_hits, 0) / 10, 0)
+         AS BIGINT) AS recall_e4,
+         CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+  FROM q8 q LEFT JOIN (
+    SELECT e.query_id, COUNT(*) AS n_hits
+    FROM exact8 e JOIN ann8 a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id) h ON q.query_id = h.query_id
+),
+agg8 AS (
+  SELECT CAST(8 AS BIGINT) AS n_bits,
+         CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+         CAST(ROUND(AVG(recall_e4), 0) AS BIGINT) AS mean_recall_e4,
+         CAST(MIN(recall_e4) AS BIGINT) AS min_recall_e4
+  FROM rec8
+)
+SELECT * FROM (
+  SELECT * FROM agg0 UNION ALL SELECT * FROM agg2
+  UNION ALL SELECT * FROM agg4 UNION ALL SELECT * FROM agg8
+) ORDER BY n_bits
+""",
     "q108_ann_recall": f"""
 WITH b AS (
   SELECT vec_id, embedding, {_BUCKET2} AS bucket FROM embeddings

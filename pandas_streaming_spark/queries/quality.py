@@ -475,6 +475,55 @@ def q252_filter_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q257_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the classic fabricated-data screen
+    for financial columns (genuine multiplicative amounts follow
+    P(d) = log10(1 + 1/d); fabricated ones usually don't): leading
+    digit of each positive order total in cents, observed share per
+    digit in bp beside the Benford expectation (a 9-value LITERAL both
+    engines embed — computed once from log10 at build time, so no
+    transcendental enters the grade) and the absolute deviation.
+    A uniform synthetic price column FAILS this audit loudly — that is
+    the point of running it on a fixture. Scale: one map-side-combined
+    9-group aggregate over one scan."""
+    import math
+
+    benford_bp = [round(1e4 * math.log10(1 + 1 / d)) for d in range(1, 10)]
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .filter(F.col("cents") > 0)
+    )
+    per = (
+        o.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("__t"))
+    exp_arr = F.array(*[F.lit(int(b)) for b in benford_bp])
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.lit(1e4) * F.col("n") / F.col("__t"), 0)
+            .cast("long")
+            .alias("share_bp"),
+            F.element_at(exp_arr, F.col("digit").cast("int"))
+            .cast("long")
+            .alias("benford_bp"),
+        )
+        .withColumn(
+            "dev_bp", F.abs(F.col("share_bp") - F.col("benford_bp")).cast("long")
+        )
+        .orderBy("digit")
+    )
+
+
 def q246_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment winsorization — the outlier-capping normalization
     (clamp every value into its group's [p05, p95] before averaging;
@@ -536,6 +585,7 @@ def q246_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q242_trained_quality_gate": q242_trained_quality_gate,
     "q246_winsorized_stats": q246_winsorized_stats,
+    "q257_benford_audit": q257_benford_audit,
     "q252_filter_bias_audit": q252_filter_bias_audit,
     "q224_quarantine_routing": q224_quarantine_routing,
     "q233_trimmed_mean": q233_trimmed_mean,
@@ -628,6 +678,26 @@ SELECT len_quartile,
 FROM b
 GROUP BY len_quartile
 ORDER BY len_quartile
+""",
+    # identical first-digit extraction and Benford bp literals
+    "q257_benford_audit": """
+WITH o AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+per AS (
+  SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM o WHERE cents > 0 GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM per)
+SELECT digit, n,
+       CAST(ROUND(1e4 * n / t.t, 0) AS BIGINT) AS share_bp,
+       CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580 WHEN 8 THEN 512 WHEN 9 THEN 458 END AS BIGINT) AS benford_bp,
+       CAST(ABS(ROUND(1e4 * n / t.t, 0)
+                - (CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580 WHEN 8 THEN 512 WHEN 9 THEN 458 END)) AS BIGINT) AS dev_bp
+FROM per CROSS JOIN t
+ORDER BY digit
 """,
     # same cume_dist-discrete caps, greatest/least clamp, rounded means
     "q246_winsorized_stats": """

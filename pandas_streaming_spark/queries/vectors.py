@@ -416,6 +416,37 @@ def q253_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q259_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall-vs-bucket-bits TUNING curve (q108's single operating
+    point generalized — the q238/q258 curve convention): recall@10 of
+    the sign-bit-bucketed ANN at n_bits ∈ {0, 2, 4, 8} over the same 20
+    spread queries, one summary row per configuration (queries, total
+    hits, mean and min recall in e4). n_bits=0 is the exact-baseline
+    anchor (one bucket → recall 10000 by construction); the curve shows
+    what each added bit of pruning costs — the candidate-set-vs-recall
+    trade an ANN deployment tunes. Scale: each config is the q108 plan
+    (one scored corpus pass feeding both rankings); the four configs
+    are independent passes over the same cached scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = list(range(0, 100, 5))
+    outs = []
+    for nb in (0, 2, 4, 8):
+        r = ann_recall(emb, query_ids=qids, k=10, n_bits=nb)
+        outs.append(
+            r.agg(
+                F.lit(nb).cast("long").alias("n_bits"),
+                F.count("*").cast("long").alias("n_queries"),
+                F.sum("n_hits").cast("long").alias("total_hits"),
+                F.round(F.avg("recall_e4"), 0).cast("long").alias("mean_recall_e4"),
+                F.min("recall_e4").cast("long").alias("min_recall_e4"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("n_bits")
+
+
 def q235_split_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space distribution shift between train/val/test splits
     — the representation-level drift check a leakage-free split should
@@ -464,6 +495,7 @@ QUERIES = {
     "q218_mmr_rerank": q218_mmr_rerank,
     "q240_semdedup_scaled": q240_semdedup_scaled,
     "q253_jl_projection": q253_jl_projection,
+    "q259_ann_recall_curve": q259_ann_recall_curve,
     "q235_split_embedding_drift": q235_split_embedding_drift,
     "q39_similarity_topk": q39_similarity_topk,
     "q42_similarity_join": q42_similarity_join,
