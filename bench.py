@@ -249,6 +249,7 @@ def main() -> None:
         "q257_benford_audit",        # first-digit fraud screen
         "q258_packing_size_sweep",   # waste-vs-budget packing curve
         "q259_ann_recall_curve",     # recall-vs-bucket-bits curve
+        "q260_fulfillment_sla",      # ship-lag SLA percentiles
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

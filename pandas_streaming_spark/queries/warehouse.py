@@ -933,8 +933,63 @@ def q256_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q260_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment SLA table — the operational latency readout
+    (how long from order placement to FIRST shipment, by priority
+    class): per order the min lineitem shipdate, lag in whole days
+    (exact integer datediff), then per priority the discrete
+    median/p90 lag via the shared q157 cume_dist idiom plus the share
+    shipped within 7 days in bp. The per-order min is one
+    map-side-combined aggregate co-partitioned with the join; the
+    percentile window partitions on the 5-value priority key over the
+    |orders| frame — the data-reduced grain this report is defined on
+    (the q157 precedent; a billion-order run would swap in the q118
+    sketch contract). All integers until the two rounded shares."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    first_ship = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.to_date("l_shipdate")).alias("sd"))
+    )
+    lag = (
+        o.join(first_ship, o["o_orderkey"] == first_ship["l_orderkey"])
+        .select(
+            "o_orderpriority",
+            F.datediff("sd", "od").cast("long").alias("lag_days"),
+        )
+    )
+    wcd = Window.partitionBy("o_orderpriority").orderBy("lag_days")
+    return (
+        lag.select(
+            "o_orderpriority", "lag_days", F.cume_dist().over(wcd).alias("cd")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min(F.when(F.col("cd") >= 0.5, F.col("lag_days"))).alias(
+                "median_lag_days"
+            ),
+            F.min(F.when(F.col("cd") >= 0.9, F.col("lag_days"))).alias(
+                "p90_lag_days"
+            ),
+            F.round(
+                F.lit(1e4)
+                * F.sum(F.when(F.col("lag_days") <= 7, 1).otherwise(0))
+                / F.count("*"),
+                0,
+            )
+            .cast("long")
+            .alias("within_7d_bp"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "q250_time_to_convert": q250_time_to_convert,
+    "q260_fulfillment_sla": q260_fulfillment_sla,
     "q256_decile_lift": q256_decile_lift,
     "q195_funnel_window": q195_funnel_window,
     "q210_rfm_segments": q210_rfm_segments,
@@ -959,6 +1014,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same per-order min shipdate, integer day lag, cume_dist discretes
+    "q260_fulfillment_sla": """
+WITH fs AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS sd
+  FROM lineitem GROUP BY l_orderkey
+),
+lag AS (
+  SELECT o.o_orderpriority,
+         CAST(DATEDIFF('day', CAST(o.o_orderdate AS DATE), fs.sd)
+              AS BIGINT) AS lag_days
+  FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey
+),
+cd AS (
+  SELECT o_orderpriority, lag_days,
+         CUME_DIST() OVER (PARTITION BY o_orderpriority
+                           ORDER BY lag_days) AS cd
+  FROM lag
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(CASE WHEN cd >= 0.5 THEN lag_days END) AS median_lag_days,
+       MIN(CASE WHEN cd >= 0.9 THEN lag_days END) AS p90_lag_days,
+       CAST(ROUND(1e4 * SUM(CASE WHEN lag_days <= 7 THEN 1 ELSE 0 END)
+                  / COUNT(*), 0) AS BIGINT) AS within_7d_bp
+FROM cd
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
     # same first-signup / first-later-purchase mins, whole-minute floor
     # lag, Monday-truncated weeks, cume_dist-discrete percentiles
     # NTILE(10) over (-score, user) matches the global_index formula;
