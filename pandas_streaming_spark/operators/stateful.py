@@ -456,6 +456,14 @@ def cusum_stream(
         )
         pdf = _event_time_frame(pdfs)
         if pdf is not None and len(pdf):
+            if pdf["value"].isna().any():
+                # NaN would flow through np.floor(nan+0.5).astype(int64)
+                # as an undefined integer (typically INT64_MIN); reject
+                # loudly like clamped_running_balance (ADVICE r8/r10).
+                raise ValueError(
+                    "cusum_stream: NULL in value column; the exact-cent "
+                    "CUSUM scan has no NULL semantics"
+                )
             v = pdf["value"].to_numpy(dtype=np.float64) * 100.0
             cents = np.where(
                 v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)

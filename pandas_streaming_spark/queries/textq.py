@@ -490,10 +490,15 @@ def q146_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored.withColumn(
         "score_e4", F.round(F.col("score") * 1e4, 0).cast("long")
     )
+    # TakeOrdered first (per-partition top-k + merge, never a single-task
+    # global sort — the matched-doc frame grows with the corpus at common
+    # query terms), THEN rank the <= _BM25_TOPK survivors: the window is
+    # bounded by the limit, same output, oracle unchanged (VERDICT r10
+    # item 3; the q182 RRF idiom, queries/vectors.py).
+    top = scored.orderBy(F.col("score_e4").desc(), "doc_id").limit(_BM25_TOPK)
     w = Window.orderBy(F.col("score_e4").desc(), "doc_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _BM25_TOPK)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", F.col("score_e4").alias("bm25_e4"))
         .orderBy("rank")
     )

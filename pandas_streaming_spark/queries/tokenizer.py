@@ -329,14 +329,164 @@ def q251_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _bpe_chain_sql() -> str:
-    """WITH-prefix replaying the SAME 8 merges as ``_bpe_train_chain``:
-    identical wrapped-string representation, identical overlapping pair
+_BPE_ITER_STEPS = 24
+_BPE_CKPT_EVERY = 6
+
+
+def _bpe_train_iterative(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: int = _BPE_ITER_STEPS,
+    ckpt_every: int = _BPE_CKPT_EVERY,
+):
+    """The PRODUCTION form of BPE training (VERDICT r10 item 5): a
+    driver-side iteration that materializes the word-frequency table
+    every ``ckpt_every`` merges, instead of unrolling every merge into
+    ONE lazy plan like ``_bpe_train_chain``. The unrolled form is
+    analyzer-bound — plan depth (and optimization time) grows per
+    merge, so a real 32k-merge vocabulary cannot live in one plan; here
+    lineage is truncated at each checkpoint, keeping plan depth ≤
+    ``ckpt_every`` REPLACE layers regardless of merge count (measured
+    crossover vs the unrolled form: `plans/scale_notes.md`).
+
+    Each iteration still counts pairs / picks the winner IN-ENGINE
+    (orderBy cnt desc, x, y → limit 1); only the 1-row winner crosses
+    to the driver — the O(1)-rows-per-iteration collect every iterative
+    Spark algorithm (Lloyd, PageRank-until-convergence) performs, never
+    corpus-sized data. Merge semantics are byte-identical to
+    ``_bpe_train_chain``: marker-wrapped symbol strings, one
+    leftmost-non-overlap REPLACE per merge.
+
+    Returns ``(merges, cur)`` — the driver-side merge table rows
+    [(step, x, y, merged, cnt)] and the final (w, f, ws) vocabulary
+    frame. NOTE: unlike the unrolled twin this RUNS Spark jobs when
+    called — inherent to checkpointed iterative algorithms (the q244
+    eager-materialization precedent)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    cur = vocab.select(
+        "w",
+        "f",
+        F.concat(
+            F.lit("·"), F.array_join(F.split("w", ""), "··"), F.lit("·")
+        ).alias("ws"),
+    ).localCheckpoint()  # eager: the one corpus-sized pass
+    # marker-safety audit — the iterative form is already eager, so the
+    # audit can be a plain loud action instead of q241's assert_true plumbing
+    if cur.filter(F.col("w").contains("·")).limit(1).count() > 0:
+        raise ValueError(
+            "bpe_train_iterative: corpus word contains the · marker — the "
+            "wrapped-string BPE representation is unsound here"
+        )
+    pair_t = "array<struct<x:string,y:string>>"
+    merges: list[tuple[int, str, str, str, int]] = []
+    prev_ckpt = cur
+    for t in range(1, steps + 1):
+        sy = cur.select(
+            "f", F.split(F.expr("trim(BOTH '·' FROM ws)"), "··").alias("syms")
+        )
+        pr = sy.select(
+            "f",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("x"),
+                            F.element_at("syms", i + 1).alias("y"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast(pair_t))
+            ).alias("p"),
+        )
+        win = (
+            pr.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not win:
+            raise ValueError(
+                f"bpe_train_iterative: corpus exhausted at step {t} of "
+                f"{steps} — every word is a single symbol"
+            )
+        x, y, cnt = win[0]["x"], win[0]["y"], int(win[0]["cnt"])
+        merges.append((t, x, y, x + y, cnt))
+        cur = cur.select(
+            "w",
+            "f",
+            F.replace(
+                F.col("ws"),
+                F.lit(f"·{x}··{y}·"),
+                F.lit(f"·{x}{y}·"),
+            ).alias("ws"),
+        )
+        if t % ckpt_every == 0 and t < steps:
+            nxt = cur.localCheckpoint()  # eager: truncate lineage
+            prev_ckpt.unpersist()
+            cur, prev_ckpt = nxt, nxt
+    return merges, cur
+
+
+def q261_bpe_train_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training as the CHECKPOINTED ITERATIVE LOOP at 24 merges —
+    where the unrolled q241 plan stops being the right shape (VERDICT
+    r10 item 5: analyzer cost and plan depth grow per unrolled merge; a
+    32k-merge production vocabulary needs the loop form). Identical
+    merge semantics to q241 — same pair counting, same (cnt desc, x, y)
+    winner rule, same marker-wrapped leftmost-non-overlap REPLACE — so
+    q241's 8-merge table is a PREFIX of this one (pinned in
+    tests/test_round11.py); the oracle replays all 24 merges through
+    the shared ``_bpe_chain_sql`` generator. Graded: the 24-rule merge
+    table. Scale: one corpus tokenize+groupBy, then 24
+    vocabulary-sized jobs with lineage truncated every 6 merges — plan
+    depth is O(ckpt_every), not O(merges), which is what lets merge
+    count grow to real vocab sizes; only 1-row winners ever reach the
+    driver."""
+    merges, _cur = _bpe_train_iterative(spark, sf_dir)
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("step", LongType()),
+            StructField("x", StringType()),
+            StructField("y", StringType()),
+            StructField("merged", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(t, x, y, m, c) for t, x, y, m, c in merges], schema
+    ).orderBy("step")
+
+
+def _bpe_chain_sql(steps: int = _BPE_STEPS) -> str:
+    """WITH-prefix replaying the SAME ``steps`` merges as
+    ``_bpe_train_chain`` / ``_bpe_train_iterative``: identical
+    wrapped-string representation, identical overlapping pair
     counts / (cnt desc, x, y) winner / leftmost-non-overlap REPLACE
     apply per iteration. Each v{t} carries (wd, f, ws) so both the
-    merge-table grade (q241) and the encode grade (q251) read off it.
-    The word column is named ``wd`` — ``w`` would collide with the
-    per-iteration ``win{t} w`` alias."""
+    merge-table grade (q241/q261) and the encode grade (q251) read off
+    it. The word column is named ``wd`` — ``w`` would collide with the
+    per-iteration ``win{t} w`` alias. Every per-step CTE is
+    ``AS MATERIALIZED``: duckdb inlines plain CTEs, and v{t} is
+    referenced twice (by p{t+1} and v{t+1}), so inlining doubles the
+    scan tree per step — fine at 8 steps (2^8 leaf scans), fatal at
+    q261's 24 (2^24 → fd exhaustion); materialization computes each
+    step once, which is also exactly what the Spark side's lazy
+    checkpoints do."""
     return (
         """
 WITH w0 AS (
@@ -351,7 +501,7 @@ v0 AS (
 )"""
         + "".join(
             f""",
-p{t} AS (
+p{t} AS MATERIALIZED (
   SELECT pr.x AS x, pr.y AS y, CAST(SUM(f) AS BIGINT) AS cnt
   FROM (
     SELECT f, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(syms) - 1),
@@ -359,13 +509,14 @@ p{t} AS (
     FROM (SELECT f, STRING_SPLIT(TRIM(ws, '·'), '··') AS syms FROM v{t - 1}) q
   ) e GROUP BY 1, 2
 ),
-win{t} AS (SELECT x, y, cnt FROM p{t} ORDER BY cnt DESC, x, y LIMIT 1),
-v{t} AS (
+win{t} AS MATERIALIZED (
+  SELECT x, y, cnt FROM p{t} ORDER BY cnt DESC, x, y LIMIT 1),
+v{t} AS MATERIALIZED (
   SELECT wd, f, REPLACE(ws, '·' || w.x || '··' || w.y || '·',
                     '·' || w.x || w.y || '·') AS ws
   FROM v{t - 1}, win{t} w
 )"""
-            for t in range(1, _BPE_STEPS + 1)
+            for t in range(1, steps + 1)
         )
     )
 
@@ -375,9 +526,20 @@ QUERIES = {
     "q215_vocab_coverage": q215_vocab_coverage,
     "q241_bpe_train": q241_bpe_train,
     "q251_bpe_encode": q251_bpe_encode,
+    "q261_bpe_train_iterative": q261_bpe_train_iterative,
 }
 
 ORACLES = {
+    "q261_bpe_train_iterative": (
+        _bpe_chain_sql(_BPE_ITER_STEPS)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({t} AS BIGINT) AS step, x, y, x || y AS merged, "
+            f"cnt FROM win{t}"
+            for t in range(1, _BPE_ITER_STEPS + 1)
+        )
+        + "\n) ORDER BY step"
+    ),
     "q241_bpe_train": (
         _bpe_chain_sql()
         + "\nSELECT * FROM (\n"

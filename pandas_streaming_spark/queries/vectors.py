@@ -261,28 +261,42 @@ def q240_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = semdedup_scaled(
         _t(spark, sf_dir, "embeddings"), threshold=0.3, shard_size=200, k_fine=4
     )
-    mx = out.groupBy("shard", "fine").agg(F.count("*").alias("__c")).agg(
-        F.max("__c").alias("__max_cluster")
+    # The cluster-size bound `count <= shard_size` is IMPLIED by the
+    # id//shard_size arithmetic for any duplicate-free id column (a
+    # (shard, fine) cell can hold at most shard_size distinct ids), so
+    # the action-time assert guards the one thing the arithmetic can't:
+    # duplicate vec_ids, which are what would silently inflate a cluster
+    # past the bound (ADVICE r10). Non-dense id spaces degrade to
+    # UNDERsized clusters — a recall concern, never a linearity one.
+    mx = out.groupBy("shard", "fine").agg(
+        F.count("*").alias("__c"),
+        F.count_distinct("vec_id").alias("__cd"),
+    ).agg(
+        F.max("__c").alias("__max_cluster"),
+        F.max(F.col("__c") - F.col("__cd")).alias("__max_dup"),
     )
     return (
         out.join(F.broadcast(mx))
         .filter(
             F.coalesce(
                 F.assert_true(
-                    F.col("__max_cluster") <= F.lit(200),
+                    (F.col("__max_dup") == F.lit(0))
+                    & (F.col("__max_cluster") <= F.lit(200)),
                     F.concat(
                         F.lit(
-                            "q240 per-cluster candidate bound violated: "
-                            "largest cluster holds "
+                            "q240 duplicate-vec_id guard: largest cluster "
+                            "holds "
                         ),
                         F.col("__max_cluster").cast("string"),
-                        F.lit(" members > shard_size=200"),
+                        F.lit(" members with "),
+                        F.col("__max_dup").cast("string"),
+                        F.lit(" duplicate ids (shard_size=200)"),
                     ),
                 ).cast("boolean"),
                 F.lit(True),
             )
         )
-        .drop("__max_cluster")
+        .drop("__max_cluster", "__max_dup")
         .orderBy("vec_id")
     )
 

@@ -798,7 +798,6 @@ def q250_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(
             F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
         ).alias("s_us"),
-        F.max(F.unix_micros("ts")).alias("__mx"),
     )
     # first purchase AFTER the user's first signup (strictly later)
     p = (
