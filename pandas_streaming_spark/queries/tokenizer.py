@@ -136,10 +136,10 @@ def q211_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_STEPS = 8
 
 
-def _bpe_train_chain(spark: SparkSession, sf_dir: str):
+def _bpe_train_chain(spark: SparkSession, sf_dir: str, steps: int = _BPE_STEPS):
     """Shared BPE training loop (q241 grades the merge table; q251
     applies the trained merges back to the corpus): word-frequency
-    table → ``_BPE_STEPS`` unrolled merge iterations over the
+    table → ``steps`` unrolled merge iterations over the
     marker-wrapped symbol strings. Returns ``(winners, final_vocab,
     dirty)`` — the per-step 1-row winner frames, the final
     (w, f, ws) vocabulary after all merges, and the 1-row marker-
@@ -164,7 +164,7 @@ def _bpe_train_chain(spark: SparkSession, sf_dir: str):
     ).localCheckpoint(eager=False)
     winners = []
     pair_t = "array<struct<x:string,y:string>>"
-    for t in range(1, _BPE_STEPS + 1):
+    for t in range(1, steps + 1):
         sy = cur.select(
             "f", F.split(F.expr("trim(BOTH '·' FROM ws)"), "··").alias("syms")
         )
