@@ -461,16 +461,21 @@ def q217_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct test grams, how many also occur in train, leakage in ppm
     (rounded ratio of exact integers). Scale: each side is one distinct
     over the gram stream + a gram-keyed semi-join — the q90
-    decontamination plan applied to the split audit."""
-    from pandas_streaming_spark.functions import shingles
+    decontamination plan applied to the split audit. The token array is
+    MATERIALIZED into a column before shingling (round 11: `shingles`
+    over raw text inlines split(text) into every element_at — k=5 means
+    ~250 re-splits per doc in the interpreted HOF, measured >560 s for
+    one pass at 100×; `shingles_of` over the materialized array brought
+    it back to the linear gram-shuffle cost)."""
+    from pandas_streaming_spark.functions import shingles_of, tokens
 
     docs = load_table(spark, sf_dir, "documents")
 
     def audit(split_col: str, label: str) -> DataFrame:
         s = hash_split(docs, split_col, {"train": 80, "val": 10, "test": 10})
         grams = s.select(
-            "split", F.explode(shingles(F.col("text"), 5)).alias("g")
-        )
+            "split", tokens(F.col("text")).alias("__t")
+        ).select("split", F.explode(shingles_of(F.col("__t"), 5)).alias("g"))
         train_g = (
             grams.filter(F.col("split") == "train").select("g").distinct()
         )

@@ -15,7 +15,7 @@ from pandas_streaming_spark.catalog import load_table
 from pandas_streaming_spark.streaming.replay import run_stream_to_df
 from pandas_streaming_spark.queries.streaming_q import (
     K_BATCHES,
-    STATE_PARTITIONS,
+    jvm_state_partitions,
     ORACLES as _stream_oracles,
 )
 
@@ -65,7 +65,7 @@ def q107_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("ok")
     stream = kafka(spark, "events", "spool://" + spool)
     out = run_stream_to_df(
-        spark, stream, "append", state_partitions=STATE_PARTITIONS
+        spark, stream, "append", state_partitions=jvm_state_partitions(sf_dir)
     )
     return (
         out.groupBy("topic", "partition")
@@ -163,7 +163,7 @@ def q115_kafka_json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would stop at the first capped slice; drain keeps triggering until
     # the spool reports no new offsets (real micro-batches, full replay)
     out = run_stream_to_df(
-        spark, agg, "complete", state_partitions=STATE_PARTITIONS,
+        spark, agg, "complete", state_partitions=jvm_state_partitions(sf_dir),
         trigger="drain",
     )
     return (
@@ -214,7 +214,7 @@ def q128_kafka_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("ok")
     stream = kafka(spark, "events_sink", "spool://" + spool)
     out = run_stream_to_df(
-        spark, stream, "append", state_partitions=STATE_PARTITIONS
+        spark, stream, "append", state_partitions=jvm_state_partitions(sf_dir)
     )
     return out.agg(
         F.count("*").cast("long").alias("n_records"),

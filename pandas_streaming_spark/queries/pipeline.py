@@ -158,8 +158,88 @@ def q208_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(packed_row).orderBy("stage")
 
 
+def _semantic_drop(spark: SparkSession, sf_dir: str, survivors: DataFrame):
+    """The doc_ids the semantic-dedup stage removes from ``survivors``
+    (VERDICT r10 item 4: compose the q240 machinery INTO the pipeline,
+    not just beside it): join the surviving docs to their embeddings
+    (vec_id ≡ doc_id in the fixtures — the replica machinery shifts both
+    by the same KEY_OFFSET, so alignment holds at any scale factor), run
+    ``semdedup_scaled`` over that SUBSET, and drop the dominated
+    members. Docs without an embedding row pass through untouched (a
+    production corpus can't semantic-dedup what it hasn't embedded).
+
+    Shard note: survivors are a FILTERED id set, so ``id // shard_size``
+    yields UNDERSIZED clusters rather than ~shard_size/k_fine ones —
+    per the q240 duplicate-id-guard analysis that is a recall concern
+    (fewer candidate pairs), never a linearity one; the per-cluster
+    bound still holds by arithmetic."""
+    from pandas_streaming_spark.operators.similarity import semdedup_scaled
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    surv = emb.join(
+        survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    sem = semdedup_scaled(surv, threshold=0.3, shard_size=200, k_fine=4)
+    return sem.filter(F.col("kept") == 0).select(
+        F.col("vec_id").alias("doc_id")
+    )
+
+
+def q262_curation_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline v2 — q208 with a SEMANTIC-dedup stage composed between
+    the lexical near-dup simjoin and the quality gates, the ordering the
+    SemDeDup paper's production recipe prescribes (lexical dedup first
+    shrinks the embedding-stage input; gates after, so borderline docs
+    removed as semantic duplicates never reach gate accounting). Graded
+    stage by stage like q208: one summary row per boundary (n_docs,
+    n_tokens); '7_packed' reports total packed sequences. The oracle
+    re-derives EVERY stage from scratch, including the semantic stage's
+    membership — shards, fixed-point centroids, nearest-fine assignment,
+    and the keep-farthest dominance rule over the stage-3 survivor set.
+    Scale: stages inherit their graded twins' shapes (q38 window, q183
+    prefix-filter simjoin, q240 sharded SemDeDup, q185 gates, q186
+    split, q85 packing) — every stage bucketed/blocked/linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    s1, s2, neardup, gates, split_train, pack = _pipeline_stages(docs)
+    s2 = s2.localCheckpoint(eager=False)
+    s3 = neardup(s2).localCheckpoint(eager=False)
+    s4 = s3.join(
+        _semantic_drop(spark, sf_dir, s3), "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
+    s5 = gates(s4)
+    s6 = split_train(s5)
+    packed = pack(s6)
+
+    def row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    packed_row = (
+        packed.groupBy("source")
+        .agg((F.max("last_seq") + 1).alias("__k"), F.sum("n_tokens").alias("__t"))
+        .agg(
+            F.coalesce(F.sum("__k"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .select(F.lit("7_packed").alias("stage"), "n_docs", "n_tokens")
+    )
+    out = row("1_raw", s1)
+    for name, df in (
+        ("2_exact_dedup", s2),
+        ("3_neardup", s3),
+        ("4_semdedup", s4),
+        ("5_gates", s5),
+        ("6_split_train", s6),
+    ):
+        out = out.unionByName(row(name, df))
+    return out.unionByName(packed_row).orderBy("stage")
+
+
 def run_curation_pipeline(
-    spark: SparkSession, sf_dir: str, budget: int = 512, tau: float = 0.6
+    spark: SparkSession, sf_dir: str, budget: int = 512, tau: float = 0.6,
+    semantic: bool = False,
 ) -> dict:
     """Bench harness: execute the q208 pipeline with each stage boundary
     MATERIALIZED (eager localCheckpoint), so the per-stage wall seconds
@@ -196,6 +276,11 @@ def run_curation_pipeline(
         .drop("__rn"),
     )
     s3m = mat("3_neardup", neardup(s2m))
+    if semantic:  # pipeline v2 (q262): semantic stage between near-dup
+        s3m = mat(  # and gates; per-stage seconds stay honest
+            "3b_semdedup",
+            s3m.join(_semantic_drop(spark, sf_dir, s3m), "doc_id", "left_anti"),
+        )
     s4m = mat("4_gates", gates(s3m))
     s5m = mat("5_split_train", split_train(s4m))
     t0 = _time.perf_counter()
@@ -278,7 +363,14 @@ def q239_packing_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q208_curation_pipeline": q208_curation_pipeline,
     "q239_packing_comparison": q239_packing_comparison,
+    "q262_curation_pipeline_semantic": q262_curation_pipeline_semantic,
 }
+
+
+from pandas_streaming_spark.queries.llm import _cos as _cos_sql  # noqa: E402
+# (acyclic: llm imports only textq among query modules; reusing the exact
+# vec_cosine-mirroring SQL grammar keeps q262's semantic stage and q240's
+# oracle bit-identical)
 
 ORACLES = {
     # chop telescopes; next-fit re-walks the q209 recursive CTE
@@ -401,5 +493,138 @@ SELECT stage, n_docs, n_tokens FROM (
   UNION ALL SELECT '6_packed', n_seq, toks FROM packed
 ) ORDER BY stage
 """,
-
 }
+
+# pipeline v2: the q208 derivation with the q240 semantic stage spliced
+# between near-dup and gates — shards/fixed-point centroids/nearest-fine
+# assignment/keep-farthest dominance re-derived over the s3 survivor set
+ORACLES["q262_curation_pipeline_semantic"] = f"""
+WITH t AS (
+  SELECT doc_id, text, source,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tok
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, text, source, n_tok FROM (
+    SELECT t.*, ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                   ORDER BY doc_id) AS rn
+    FROM t
+  ) WHERE rn = 1
+),
+shg AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(tk) - 2, 0)),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM s2)
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
+cmn AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM shg a JOIN shg b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+nddrop AS (
+  SELECT DISTINCT id_b FROM cmn
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE 1.0 * c / (na.n + nb.n - c) >= 0.6
+),
+s3 AS (
+  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT id_b FROM nddrop)
+),
+e AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         CAST(FLOOR(vec_id / 200) AS BIGINT) AS shard,
+         CAST(vec_id % 4 AS BIGINT) AS seed
+  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM s3)
+),
+comps AS (
+  SELECT shard, seed, generate_subscripts(embedding, 1) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM e
+),
+cent AS (
+  SELECT shard, seed AS fine,
+         LIST(CAST(centroid_e6 AS DOUBLE) / 1000000.0 ORDER BY dim) AS cvec
+  FROM (
+    SELECT shard, seed, dim,
+           CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS centroid_e6
+    FROM comps GROUP BY shard, seed, dim
+  ) GROUP BY shard, seed
+),
+sims AS (
+  SELECT e.vec_id, e.shard, c.fine, {_cos_sql("e.embedding", "c.cvec")} AS sim
+  FROM e JOIN cent c ON c.shard = e.shard
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, shard, fine,
+         CAST(ROUND(10000.0 * sim, 0) AS BIGINT) AS cent_e4
+  FROM (
+    SELECT vec_id, shard, fine, sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC NULLS LAST, fine) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+semdrop AS (
+  SELECT DISTINCT x.vec_id
+  FROM assigned x
+  JOIN assigned y ON x.shard = y.shard AND x.fine = y.fine
+                 AND x.vec_id <> y.vec_id
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id
+  WHERE {_cos_sql('ex.embedding', 'ey.embedding')} >= 0.3
+    AND (y.cent_e4 < x.cent_e4
+         OR (y.cent_e4 = x.cent_e4 AND y.vec_id < x.vec_id))
+),
+s4 AS (
+  SELECT * FROM s3 WHERE doc_id NOT IN (SELECT vec_id FROM semdrop)
+),
+g AS (
+  SELECT doc_id, source, n_tok,
+         LEN(STRING_SPLIT(text, ' ')) AS n,
+         LEN(REPLACE(text, ' ', '')) AS sum_len,
+         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_dist,
+         LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                            ['the','a','of','to','and'])) AS n_stop,
+         LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                  x -> LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       y -> y = x)))) AS max_cnt
+  FROM s4
+),
+s5 AS (
+  SELECT doc_id, source, n_tok FROM g
+  WHERE n >= 30 AND n <= 10000
+    AND sum_len >= 3*n AND sum_len <= 10*n
+    AND n_dist*10 >= 3*n AND n_stop >= 2 AND max_cnt*5 <= n
+),
+s6 AS (
+  SELECT * FROM s5
+  WHERE {_BUCKET_SQL.format(id="source")} >= 10
+    AND {_BUCKET_SQL.format(id="source")} < 90
+),
+per_src AS (SELECT source, SUM(n_tok) AS tot FROM s6 GROUP BY source),
+packed AS (
+  SELECT CAST(COALESCE(SUM(CAST(FLOOR((tot - 1) / 512.0) AS BIGINT) + 1), 0)
+              AS BIGINT) AS n_seq,
+         CAST(COALESCE(SUM(tot), 0) AS BIGINT) AS toks
+  FROM per_src
+)
+SELECT stage, n_docs, n_tokens FROM (
+  SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM t
+  UNION ALL SELECT '2_exact_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+  UNION ALL SELECT '3_neardup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
+  UNION ALL SELECT '4_semdedup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4
+  UNION ALL SELECT '5_gates', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s5
+  UNION ALL SELECT '6_split_train', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s6
+  UNION ALL SELECT '7_packed', n_seq, toks FROM packed
+) ORDER BY stage
+"""

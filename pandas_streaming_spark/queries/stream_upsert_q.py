@@ -145,7 +145,7 @@ def q165_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum("l.cents").cast("long").alias("sum_cents"),
     )
-    out = _run(spark, agg, "append", state_partitions=_sq.STATE_PARTITIONS)
+    out = _run(spark, agg, "append", state_partitions=_sq.jvm_state_partitions(sf_dir))
     from pandas_streaming_spark.catalog import load_table as _lt
 
     max_real = _lt(spark, sf_dir, "events").agg(F.max("ts").alias("m"))
@@ -207,7 +207,7 @@ def _run_replay(spark, sf_dir, replay_dir, transform):
     n_files = len(_glob.glob(_os.path.join(replay_dir, "batch_*.parquet")))
     return _run(
         spark, transform(stream), "complete",
-        state_partitions=_sq.STATE_PARTITIONS,
+        state_partitions=_sq.jvm_state_partitions(sf_dir),
         final_batch_id=n_files - 1,
     )
 
