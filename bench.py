@@ -252,6 +252,15 @@ def main() -> None:
         "q260_fulfillment_sla",      # ship-lag SLA percentiles
         "q261_bpe_train_iterative",  # checkpointed 24-merge BPE loop
         "q262_curation_pipeline_semantic",  # pipeline v2 w/ semantic stage
+        "q263_product_quantization",  # 4x16-dim PQ codebooks + codes
+        "q264_abc_classification",   # Pareto revenue classes
+        "q265_gate_attribution",     # binding-gate marginal analysis
+        "q266_epoch_allocation",     # data-constrained epoch budgeting
+        "q267_ngram_novelty",        # df==1 gram share per doc
+        "q268_dim_variance_prune",   # exact-integer variance screening
+        "q269_session_bounce",       # weekly single-event-session rate
+        "q270_ks_drift",             # binned two-sample KS statistic
+        "q271_out_of_order_audit",   # watermark-depth measurement
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

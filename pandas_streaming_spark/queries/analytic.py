@@ -564,7 +564,64 @@ def q227_mrr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(mean).orderBy("user_id")
 
 
+def q269_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly BOUNCE RATE — the engagement-health readout product
+    analytics runs on top of sessionization (q105's islands, graded at
+    the session-quality level): sessions are 30-minute-gap islands per
+    user (head when the µs delta from the previous event exceeds 1800 s;
+    ties broken by event_id so the island decomposition is a total
+    order), a bounce is a single-event session, grouped by the session
+    head's Monday-truncated week. Graded per week: sessions, bounces,
+    bounce rate in bp. Scale: two user-partitioned windows + one
+    (user, session) aggregate + one weekly rollup — every shuffle keyed
+    on user_id or the tiny week key, no global sort."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("__us")
+    )
+    wo = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    heads = ev.withColumn(
+        "__head",
+        F.when(
+            F.col("__us") - F.lag("__us").over(wo) > 1_800_000_000, 1
+        ).otherwise(
+            F.when(F.lag("__us").over(wo).isNull(), 1).otherwise(0)
+        ),
+    ).withColumn(
+        "__sid",
+        F.sum("__head").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = heads.groupBy("user_id", "__sid").agg(
+        F.count("*").alias("__n"), F.min("ts").alias("__t0")
+    )
+    return (
+        sess.groupBy(
+            F.date_format(F.date_trunc("week", F.col("__t0")), "yyyy-MM-dd")
+            .alias("week")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("__n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+        )
+        .select(
+            "week",
+            "n_sessions",
+            "n_bounces",
+            F.round(F.lit(1e4) * F.col("n_bounces") / F.col("n_sessions"), 0)
+            .cast("long")
+            .alias("bounce_bp"),
+        )
+        .orderBy("week")
+    )
+
+
 QUERIES = {
+    "q269_session_bounce": q269_session_bounce,
     "q227_mrr_metric": q227_mrr_metric,
     "q190_pareto_front": q190_pareto_front,
     "q166_recursive_session": q166_recursive_session,
@@ -596,6 +653,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same 30-min µs islands with event_id tiebreak, Monday weeks
+    "q269_session_bounce": """
+WITH e AS (
+  SELECT user_id, event_id, ts, EPOCH_US(ts) AS us FROM events
+),
+l AS (
+  SELECT *, LAG(us) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS pus
+  FROM e
+),
+h AS (
+  SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000
+                 THEN 1 ELSE 0 END AS head
+  FROM l
+),
+s AS (
+  SELECT *, SUM(head) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM h
+),
+sess AS (
+  SELECT user_id, sid, COUNT(*) AS n, MIN(ts) AS t0
+  FROM s GROUP BY user_id, sid
+)
+SELECT STRFTIME(DATE_TRUNC('week', t0), '%Y-%m-%d') AS week,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(ROUND(1e4 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                  / COUNT(*), 0) AS BIGINT) AS bounce_bp
+FROM sess GROUP BY 1 ORDER BY week
+""",
     # same first-purchase position; MRR from the exact integer RR sum
     "q227_mrr_metric": """
 WITH r AS (

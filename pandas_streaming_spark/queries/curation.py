@@ -711,8 +711,70 @@ def q234_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q266_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation (the Muennighoff et al. 2023
+    question: when the mixing weights ask a source for more tokens than
+    it has, how many EPOCHS of it does the run repeat?): q216's n^0.5
+    temperature weights turned into a per-source token budget — total
+    budget = 30% of corpus tokens, target_s = the exact integer
+    ``floor(total·3·w_ppm / 10^7)`` — and graded as unique tokens used
+    (min(avail, target)), repeated tokens (the overflow the run must
+    re-epoch), and epochs in exact centi-epochs ``floor(100·target /
+    avail)``. Everything after the one corpus token count is integer
+    arithmetic on a |sources| frame (w_ppm rides the q216 sqrt-then-
+    round-then-ratio rule both engines agree on). Scale: one map-side-
+    combined per-source aggregate + a 1-row broadcast total."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_toks")
+    )
+    s = n.select(
+        "source",
+        "n_toks",
+        F.round(F.lit(1e6) * F.sqrt(F.col("n_toks")), 0)
+        .cast("long")
+        .alias("__s_e6"),
+    )
+    tot = s.agg(
+        F.sum("__s_e6").cast("long").alias("__tot_s"),
+        F.sum("n_toks").cast("long").alias("__tot_n"),
+    )
+    j = s.join(F.broadcast(tot)).select(
+        "source",
+        "n_toks",
+        F.round(F.lit(1e6) * F.col("__s_e6") / F.col("__tot_s"), 0)
+        .cast("long")
+        .alias("w_ppm"),
+        F.col("__tot_n"),
+    )
+    # integral `div`, not floor-of-double-division: at real corpus sizes
+    # (1e12 tokens) tn·3·w_ppm exceeds 2^53 and the double quotient can
+    # floor wrong; long div stays exact to the int64 limit
+    target = F.expr("(__tot_n * 3 * w_ppm) div 10000000").cast("long")
+    return j.select(
+        "source",
+        "n_toks",
+        "w_ppm",
+        target.alias("target_toks"),
+        F.least(F.col("n_toks"), target).cast("long").alias("unique_toks"),
+        F.greatest(F.lit(0), target - F.col("n_toks"))
+        .cast("long")
+        .alias("repeated_toks"),
+        (target * 100).cast("long").alias("__t100"),
+    ).select(
+        "source",
+        "n_toks",
+        "w_ppm",
+        "target_toks",
+        "unique_toks",
+        "repeated_toks",
+        F.expr("__t100 div n_toks").cast("long").alias("epochs_x100"),
+    ).orderBy("source")
+
+
 QUERIES = {
     "q196_negative_pairs": q196_negative_pairs,
+    "q266_epoch_allocation": q266_epoch_allocation,
     "q209_pack_bins": q209_pack_bins,
     "q258_packing_size_sweep": q258_packing_size_sweep,
     "q217_split_leakage": q217_split_leakage,
@@ -763,6 +825,38 @@ trg_{label} AS (SELECT DISTINCT g FROM g_{label} WHERE split = 'train')
 """
 
 ORACLES = {
+    # q216's sqrt-e6/ppm weight rule, 30% budget floor-divided exactly,
+    # centi-epoch floor
+    "q266_epoch_allocation": """
+WITH n AS (
+  SELECT source, CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_toks
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, n_toks,
+         CAST(ROUND(1e6 * SQRT(n_toks), 0) AS BIGINT) AS s_e6
+  FROM n
+),
+tot AS (
+  SELECT CAST(SUM(s_e6) AS BIGINT) AS ts, CAST(SUM(n_toks) AS BIGINT) AS tn
+  FROM s
+),
+j AS (
+  SELECT source, n_toks,
+         CAST(ROUND(1e6 * s_e6 / tot.ts, 0) AS BIGINT) AS w_ppm,
+         tot.tn AS tn
+  FROM s, tot
+)
+SELECT source, n_toks, w_ppm,
+       CAST((tn * 3 * w_ppm) // 10000000 AS BIGINT) AS target_toks,
+       CAST(LEAST(n_toks, (tn * 3 * w_ppm) // 10000000) AS BIGINT)
+         AS unique_toks,
+       CAST(GREATEST(0, (tn * 3 * w_ppm) // 10000000 - n_toks) AS BIGINT)
+         AS repeated_toks,
+       CAST(((tn * 3 * w_ppm) // 10000000) * 100 // n_toks AS BIGINT)
+         AS epochs_x100
+FROM j ORDER BY source
+""",
     # same rank mapping ceil(r*N/n_s)-1 onto the global order statistic
     "q234_quantile_normalize": """
 WITH c AS (

@@ -159,6 +159,86 @@ def q185_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("rule", "CAST(n AS BIGINT) AS n", "n_docs").orderBy("rule")
 
 
+def q265_gate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate ATTRIBUTION — the tuning companion q185's totals can't
+    answer: for each Gopher gate, how many docs fail it at all vs fail
+    ONLY it (the binding gate — exactly the docs that one threshold
+    change would recover). Same five integer gates as q185/q208
+    (word-count range, mean word length by cross-multiplication,
+    distinct ratio, stopword presence, dominance). Graded per gate:
+    n_fail, n_fail_only, and the recoverable share of the corpus in bp.
+    Scale: identical narrow per-row flag expressions, one 1-row
+    aggregate, a 5-row stack — zero data-sized shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    per = d.select(
+        F.size(w).alias("n"),
+        F.length(F.regexp_replace("text", " ", "")).alias("sum_len"),
+        F.size(F.array_distinct(w)).alias("n_dist"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(w),
+                F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")]),
+            )
+        ).alias("n_stop"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(w),
+                lambda x: F.size(F.filter(w, lambda y: y == x)),
+            )
+        ).alias("max_cnt"),
+    )
+    flags = per.select(
+        ((F.col("n") >= 30) & (F.col("n") <= 10000)).alias("r1"),
+        (
+            (F.col("sum_len") >= 3 * F.col("n"))
+            & (F.col("sum_len") <= 10 * F.col("n"))
+        ).alias("r2"),
+        (F.col("n_dist") * 10 >= 3 * F.col("n")).alias("r3"),
+        (F.col("n_stop") >= 2).alias("r4"),
+        (F.col("max_cnt") * 5 <= F.col("n")).alias("r5"),
+    ).select(
+        "*",
+        (
+            F.when(~F.col("r1"), 1).otherwise(0)
+            + F.when(~F.col("r2"), 1).otherwise(0)
+            + F.when(~F.col("r3"), 1).otherwise(0)
+            + F.when(~F.col("r4"), 1).otherwise(0)
+            + F.when(~F.col("r5"), 1).otherwise(0)
+        ).alias("nf"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("nd"),
+        *[
+            x
+            for i in range(1, 6)
+            for x in (
+                F.sum(F.when(~F.col(f"r{i}"), 1).otherwise(0)).alias(f"f{i}"),
+                F.sum(
+                    F.when((~F.col(f"r{i}")) & (F.col("nf") == 1), 1).otherwise(0)
+                ).alias(f"o{i}"),
+            )
+        ],
+    )
+    names = [
+        "word_count", "word_length", "distinct_ratio", "stopwords", "dominance",
+    ]
+    stacked = agg.selectExpr(
+        "stack(5, "
+        + ", ".join(f"'{names[i - 1]}', f{i}, o{i}" for i in range(1, 6))
+        + ") AS (gate, n_fail, n_fail_only)",
+        "nd",
+    )
+    return stacked.select(
+        "gate",
+        F.col("n_fail").cast("long").alias("n_fail"),
+        F.col("n_fail_only").cast("long").alias("n_fail_only"),
+        F.round(F.lit(1e4) * F.col("n_fail_only") / F.col("nd"), 0)
+        .cast("long")
+        .alias("recoverable_bp"),
+    ).orderBy("gate")
+
+
 def q198_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier screening per group — median/MAD (median absolute
     deviation), the quality gate that survives the heavy tails that
@@ -592,7 +672,62 @@ QUERIES = {
     "q177_constraint_audit": q177_constraint_audit,
     "q185_gopher_rules": q185_gopher_rules,
     "q198_robust_outliers": q198_robust_outliers,
+    "q265_gate_attribution": q265_gate_attribution,
 }
+
+# same integer gates as q185, fail/fail-only split, bp of the corpus
+_Q265_ORACLE = """
+WITH per AS (
+  SELECT LEN(STRING_SPLIT(text, ' ')) AS n,
+         LEN(REPLACE(text, ' ', '')) AS sum_len,
+         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_dist,
+         LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                            ['the','a','of','to','and'])) AS n_stop,
+         LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                  x -> LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       y -> y = x)))) AS max_cnt
+  FROM documents
+),
+flags AS (
+  SELECT (n >= 30 AND n <= 10000) AS r1,
+         (sum_len >= 3*n AND sum_len <= 10*n) AS r2,
+         (n_dist*10 >= 3*n) AS r3,
+         (n_stop >= 2) AS r4,
+         (max_cnt*5 <= n) AS r5
+  FROM per
+),
+nf AS (
+  SELECT r1, r2, r3, r4, r5,
+         (CASE WHEN r1 THEN 0 ELSE 1 END + CASE WHEN r2 THEN 0 ELSE 1 END
+          + CASE WHEN r3 THEN 0 ELSE 1 END + CASE WHEN r4 THEN 0 ELSE 1 END
+          + CASE WHEN r5 THEN 0 ELSE 1 END) AS k
+  FROM flags
+),
+agg AS (
+  SELECT COUNT(*) AS nd,
+         SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS f1,
+         SUM(CASE WHEN NOT r1 AND k = 1 THEN 1 ELSE 0 END) AS o1,
+         SUM(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS f2,
+         SUM(CASE WHEN NOT r2 AND k = 1 THEN 1 ELSE 0 END) AS o2,
+         SUM(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS f3,
+         SUM(CASE WHEN NOT r3 AND k = 1 THEN 1 ELSE 0 END) AS o3,
+         SUM(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS f4,
+         SUM(CASE WHEN NOT r4 AND k = 1 THEN 1 ELSE 0 END) AS o4,
+         SUM(CASE WHEN NOT r5 THEN 1 ELSE 0 END) AS f5,
+         SUM(CASE WHEN NOT r5 AND k = 1 THEN 1 ELSE 0 END) AS o5
+  FROM nf
+)
+SELECT gate, CAST(n_fail AS BIGINT) AS n_fail,
+       CAST(n_fail_only AS BIGINT) AS n_fail_only,
+       CAST(ROUND(1e4 * n_fail_only / nd, 0) AS BIGINT) AS recoverable_bp
+FROM (
+  SELECT 'word_count' AS gate, f1 AS n_fail, o1 AS n_fail_only, nd FROM agg
+  UNION ALL SELECT 'word_length', f2, o2, nd FROM agg
+  UNION ALL SELECT 'distinct_ratio', f3, o3, nd FROM agg
+  UNION ALL SELECT 'stopwords', f4, o4, nd FROM agg
+  UNION ALL SELECT 'dominance', f5, o5, nd FROM agg
+) ORDER BY gate
+"""
 
 # shared q242/q252 scoring chain: md5 split, length-rule teacher label,
 # ppm odds weights, neutral-500000 unseen tokens, per-doc m
@@ -641,6 +776,7 @@ sc AS (
 
 
 ORACLES = {
+    "q265_gate_attribution": _Q265_ORACLE,
     # same md5 split, mean-token-length >= 4.5 teacher label, ppm odds
     # weights, neutral-500000 unseen tokens, train-midpoint tau, m > tau
     "q242_trained_quality_gate": _QSCORE_PREFIX + """,

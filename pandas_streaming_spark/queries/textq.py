@@ -650,7 +650,52 @@ def q232_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q267_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the memorization/repetition audit
+    from the Lee et al. 2022 dedup line of work: what fraction of a
+    doc's distinct 5-grams appear in NO other document (document
+    frequency 1). Low-novelty docs are the boilerplate/template mass
+    near-dup thresholds miss. Graded for the 200 lowest doc_ids:
+    distinct grams, novel grams, novelty in bp. Scale: one
+    tokenize+shingle explode (token array MATERIALIZED before the HOF —
+    the q217 lesson), one (gram) map-side-combined DF aggregate, one
+    gram-keyed join back, one per-doc aggregate — all linear, gram keys
+    uniform."""
+    from pandas_streaming_spark.functions import shingles_of, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", tokens(F.col("text")).alias("__t"))
+        .select("doc_id", F.explode(shingles_of(F.col("__t"), 5)).alias("g"))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    df_counts = grams.groupBy("g").agg(F.count("*").alias("__df"))
+    per = (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.lit(1e4) * F.col("n_novel") / F.col("n_grams"), 0)
+            .cast("long")
+            .alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 QUERIES = {
+    "q267_ngram_novelty": q267_ngram_novelty,
     "q194_corpus_divergence": q194_corpus_divergence,
     "q232_skipgram_cooc": q232_skipgram_cooc,
     "q197_phrase_search": q197_phrase_search,
@@ -675,6 +720,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same distinct 5-grams, df==1 novelty, bp rounding
+    "q267_ngram_novelty": """
+WITH grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(tk) - 4, 0)),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                  || tk[i+3] || ' ' || tk[i+4])) AS g
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents)
+  )
+),
+dfc AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(ROUND(1e4 * SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END)
+                  / COUNT(*), 0) AS BIGINT) AS novelty_bp
+FROM grams JOIN dfc USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+LIMIT 200
+""",
     "q232_skipgram_cooc": """
 WITH t2 AS (
   -- the two UNNESTs zip positionally in duckdb (same-length lists)

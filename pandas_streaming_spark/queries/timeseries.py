@@ -785,7 +785,63 @@ def q228_rolling_zscore_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q271_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-depth audit — the measurement that SETS a streaming
+    watermark (q43–q48 all assert one; this query is how you choose it):
+    within each user's INGEST order (event_id is the arrival sequence),
+    an event is late if its event time precedes the running max event
+    time already ingested for that user; its lateness is the µs gap to
+    that frontier. Graded per event_type: events, late events, late
+    share in bp, and the max lateness in whole minutes — the watermark
+    delay that would have admitted everything. Scale: one
+    user-partitioned running-max window (rows between unbounded
+    preceding and 1 preceding) + one map-side-combined rollup; no
+    global sort."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("__us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lateness = ev.withColumn(
+        "__frontier", F.max("__us").over(w)
+    ).withColumn(
+        "__late_us",
+        F.when(
+            F.col("__frontier") > F.col("__us"),
+            F.col("__frontier") - F.col("__us"),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        lateness.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("__late_us") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+            F.floor(F.max("__late_us") / 60_000_000)
+            .cast("long")
+            .alias("max_late_min"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_late",
+            F.round(F.lit(1e4) * F.col("n_late") / F.col("n_events"), 0)
+            .cast("long")
+            .alias("late_bp"),
+            "max_late_min",
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "q271_out_of_order_audit": q271_out_of_order_audit,
     "q244_position_attribution": q244_position_attribution,
     "q245_seasonal_index": q245_seasonal_index,
     "q192_pit_scd2_join": q192_pit_scd2_join,
@@ -808,6 +864,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same ingest-order frontier (event_id), µs lateness, minute floor
+    "q271_out_of_order_audit": """
+WITH e AS (
+  SELECT user_id, event_id, event_type, EPOCH_US(ts) AS us FROM events
+),
+f AS (
+  SELECT *, MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
+  FROM e
+),
+l AS (
+  SELECT event_type,
+         CASE WHEN frontier > us THEN frontier - us ELSE 0 END AS late_us
+  FROM f
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(ROUND(1e4 * SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                  / COUNT(*), 0) AS BIGINT) AS late_bp,
+       CAST(FLOOR(MAX(late_us) / 60000000.0) AS BIGINT) AS max_late_min
+FROM l GROUP BY event_type ORDER BY event_type
+""",
     # same 1h inclusive lookback, sorted path ranks, 1000/500/400 exact
     # integer weights + round(200*cents/m) middles, direct fallback
     "q244_position_attribution": """

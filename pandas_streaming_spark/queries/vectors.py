@@ -503,8 +503,128 @@ def q235_split_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q263_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the codebook
+    compression every billion-vector ANN index (IVF-PQ / FAISS shape)
+    ships embeddings in, completing the repo's compression ladder
+    (int8 q95, JL q253, IVF q92): the 64-dim space splits into m=4
+    16-dim subspaces; each subspace trains k=4 codewords via one
+    seed-based E-step (seed = vec_id % 4, exact fixed-point centroids —
+    the q87/q96 policy), and each vector is encoded as 4 one-byte codes
+    by nearest codeword per subspace. ALL distance arithmetic is exact
+    BIGINT on e6-quantized components — Σ(c_e6 − cent_e6)² per
+    (vector, subspace, candidate) — so the argmin (ties → smaller code)
+    and the graded reconstruction error are engine-exact. Graded per
+    vector: the 4 codes + total squared quantization error (e12 units).
+    Scale: one posexplode (n·64 component rows), one (sub, dim)-keyed
+    join fanning each component to k=4 candidates (constant), two
+    map-side-combined aggregates, one per-(vector, subspace) argmin —
+    all linear, no global sort; codebooks are (m·k·16) cells — broadcast
+    size at any corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id",
+        F.pmod("vec_id", F.lit(4)).cast("long").alias("seed"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "seed",
+        F.floor(F.col("dim") / 16).cast("long").alias("sub"),
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("c_e6"),
+    )
+    cent = (
+        comps.groupBy("sub", "seed", "dim")
+        .agg(
+            F.round(F.sum("c_e6").cast("double") / F.count("*"), 0)
+            .cast("long")
+            .alias("cent_e6")
+        )
+        .withColumnRenamed("seed", "cand")
+    )
+    d = (
+        comps.drop("seed")
+        .join(cent, ["sub", "dim"])
+        .groupBy("vec_id", "sub", "cand")
+        .agg(
+            F.sum(
+                (F.col("c_e6") - F.col("cent_e6"))
+                * (F.col("c_e6") - F.col("cent_e6"))
+            )
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    # argmin with deterministic ties: min of (dist, cand) struct
+    best = d.groupBy("vec_id", "sub").agg(
+        F.min(F.struct(F.col("dist"), F.col("cand"))).alias("m")
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == s, F.col("m.cand")))
+                .cast("long")
+                .alias(f"code{s}")
+                for s in range(4)
+            ],
+            F.sum("m.dist").cast("long").alias("err_e12"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q268_dim_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance screening — the cheap embedding-pruning
+    pass (keep the high-variance dimensions) a pipeline runs before
+    paying for a learned projection (the deterministic cousin of q253's
+    JL sketch): variance per dimension as the EXACT integer numerator
+    n·Σx² − (Σx)² over e6-quantized components, graded as
+    ``var_e12 = floor(num / n²)`` (both engines floor-divide exact
+    integers — no float touches the grade; sums ride DECIMAL(38) on the
+    Spark side / int128 in duckdb so the squared term can't overflow
+    int64). Output: the top-16 dimensions by variance (ties → dim asc)
+    with rank. Scale: one posexplode + one 64-group map-side-combined
+    aggregate; the rank window runs over 64 rows — constant at any
+    corpus size."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1e6, 0)
+        .cast("decimal(38,0)")
+        .alias("c_e6"),
+    )
+    agg = comps.groupBy("dim").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("c_e6").alias("s1"),
+        F.sum(F.col("c_e6") * F.col("c_e6")).alias("s2"),
+    )
+    v = agg.select(
+        "dim",
+        F.floor(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            / (F.col("n") * F.col("n"))
+        )
+        .cast("long")
+        .alias("var_e12"),
+    )
+    w = Window.orderBy(F.col("var_e12").desc(), "dim")
+    return (
+        v.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 16)
+        .select("rank", "dim", "var_e12")
+        .orderBy("rank")
+    )
+
+
 QUERIES = {
     "q182_rrf_hybrid": q182_rrf_hybrid,
+    "q263_product_quantization": q263_product_quantization,
+    "q268_dim_variance_prune": q268_dim_variance_prune,
     "q207_semdedup": q207_semdedup,
     "q218_mmr_rerank": q218_mmr_rerank,
     "q240_semdedup_scaled": q240_semdedup_scaled,
@@ -528,6 +648,64 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same e6 quantization, fixed-point codebooks, exact integer L2
+    # argmin (ties -> smaller code), exact error sum
+    "q263_product_quantization": """
+WITH comps AS (
+  SELECT vec_id, CAST(vec_id % 4 AS BIGINT) AS seed,
+         CAST(FLOOR((generate_subscripts(embedding, 1) - 1) / 16) AS BIGINT) AS sub,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings
+),
+cent AS (
+  SELECT sub, seed AS cand, dim,
+         CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS cent_e6
+  FROM comps GROUP BY sub, seed, dim
+),
+d AS (
+  SELECT a.vec_id, a.sub, c.cand,
+         CAST(SUM((a.c_e6 - c.cent_e6) * (a.c_e6 - c.cent_e6)) AS BIGINT) AS dist
+  FROM comps a JOIN cent c ON c.sub = a.sub AND c.dim = a.dim
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, sub, cand, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY dist, cand) AS rn
+  FROM d
+)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN sub = 0 THEN cand END) AS BIGINT) AS code0,
+       CAST(MAX(CASE WHEN sub = 1 THEN cand END) AS BIGINT) AS code1,
+       CAST(MAX(CASE WHEN sub = 2 THEN cand END) AS BIGINT) AS code2,
+       CAST(MAX(CASE WHEN sub = 3 THEN cand END) AS BIGINT) AS code3,
+       CAST(SUM(dist) AS BIGINT) AS err_e12
+FROM best WHERE rn = 1
+GROUP BY vec_id ORDER BY vec_id
+""",
+    # exact integer variance numerator, floor-divided by n^2 (int128
+    # internally); same (var desc, dim) total order
+    "q268_dim_variance_prune": """
+WITH comps AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings
+),
+agg AS (
+  SELECT dim, COUNT(*) AS n, SUM(c_e6) AS s1, SUM(c_e6 * c_e6) AS s2
+  FROM comps GROUP BY dim
+),
+v AS (
+  SELECT dim,
+         CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_e12
+  FROM agg
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY var_e12 DESC, dim) AS BIGINT) AS rank,
+       dim, var_e12
+FROM v QUALIFY rank <= 16
+ORDER BY rank
+""",
     # identical literal sign matrix, index-order fold, 0.25 scale, e6
     "q253_jl_projection": (lambda signs: f"""
 WITH s AS (SELECT {signs} AS S)

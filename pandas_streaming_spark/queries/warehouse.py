@@ -986,8 +986,56 @@ def q260_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q264_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification — the inventory-analytics standard:
+    parts ranked by discounted revenue; A = parts whose cumulative share
+    stays within 80% of total revenue, B = within 95%, C = the tail.
+    Class boundaries compare EXACT integers by cross-multiplication
+    (cum·100 vs tot·80/95 — per-row-rounded cents, the q134/10x-axis
+    rule, so no float touches membership). Graded per class: parts,
+    revenue cents, share in bp. Scale: one map-side-combined per-part
+    aggregate reduces the fact scan to the |parts| frame; the cumulative
+    window then runs over that DATA-REDUCED frame (the q215 posture —
+    parts are thousands-of-times fewer than lineitems; a 100 TB run
+    would two-phase the cut like q210 if |parts| itself outgrew one
+    task)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long")
+        ).alias("rev_cents")
+    )
+    tot = rev.agg(F.sum("rev_cents").cast("long").alias("__tot"))
+    w = Window.orderBy(F.col("rev_cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "l_partkey", "rev_cents", F.sum("rev_cents").over(w).alias("__cum")
+    ).join(F.broadcast(tot))
+    cls = (
+        F.when(F.col("__cum") * 100 <= F.col("__tot") * 80, "A")
+        .when(F.col("__cum") * 100 <= F.col("__tot") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(cls.alias("abc_class"), "rev_cents", "__tot")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+            F.round(F.lit(1e4) * F.sum("rev_cents") / F.first("__tot"), 0)
+            .cast("long")
+            .alias("share_bp"),
+        )
+        .orderBy("abc_class")
+    )
+
+
 QUERIES = {
     "q250_time_to_convert": q250_time_to_convert,
+    "q264_abc_classification": q264_abc_classification,
     "q260_fulfillment_sla": q260_fulfillment_sla,
     "q256_decile_lift": q256_decile_lift,
     "q195_funnel_window": q195_funnel_window,
@@ -1013,6 +1061,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same per-row cents, same (rev desc, partkey) cumulative order,
+    # same cross-multiplied 80/95 boundaries
+    "q264_abc_classification": """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS t FROM rev),
+ranked AS (
+  SELECT rev_cents,
+         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM rev
+),
+cls AS (
+  SELECT CASE WHEN cum * 100 <= tot.t * 80 THEN 'A'
+              WHEN cum * 100 <= tot.t * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev_cents, tot.t AS t
+  FROM ranked, tot
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+       CAST(ROUND(1e4 * SUM(rev_cents) / ANY_VALUE(t), 0) AS BIGINT)
+         AS share_bp
+FROM cls GROUP BY abc_class ORDER BY abc_class
+""",
     # same per-order min shipdate, integer day lag, cume_dist discretes
     "q260_fulfillment_sla": """
 WITH fs AS (
