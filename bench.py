@@ -261,6 +261,7 @@ def main() -> None:
         "q269_session_bounce",       # weekly single-event-session rate
         "q270_ks_drift",             # binned two-sample KS statistic
         "q271_out_of_order_audit",   # watermark-depth measurement
+        "q272_minhash_calibration",  # sketch-vs-exact Jaccard table
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -63,6 +63,108 @@ def q52_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q272_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash CALIBRATION — the measurement behind q238's threshold
+    sweep: for every LSH candidate pair, the 8-component signature
+    agreement (the similarity the sketch CLAIMS, an unbiased Jaccard
+    estimator) against the exact shingle Jaccard, bucketed by agreement
+    count. The table answers "when the sketch says 6/8, what is the
+    true similarity?" — the estimator-bias readout that sizes n_hashes
+    for a production dedup run. est_bp = matches·1250 is EXACT (8
+    components divide 1e4 evenly); the true side is the q52 rounded
+    ratio of exact integers, averaged per bucket as a rounded ratio of
+    exact sums. Scale: candidates come from the banded LSH join
+    (max_bucket-capped, q50's plan), signatures ride one map-side-
+    combined min-aggregate, and the exact side reuses the inverted-
+    index join — every stage shuffle-keyed, no all-pairs. The exact
+    side is CANDIDATE-SCOPED: the shingle streams join through the
+    candidate list (fan-out = |candidates|·shingles-per-doc), NOT the
+    full inverted-index pair join — the all-co-shingle-pairs form
+    measured 7.6× at the 10× replica (q52's flood: duplicate shingle
+    mass grows pair counts quadratically, q52 alone probes 16.2×); the
+    scoped form probes 3.4×, tracking the candidate mass itself (q50
+    probes 2.8× on the same replica — true-duplicate pair growth is a
+    property of the DATA, bounded by max_bucket, not of this plan)."""
+    from pandas_streaming_spark.operators.dedup import _exploded_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(
+        docs, n_hashes=8, bands=4, k=3, max_bucket=64
+    ).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs, n_hashes=8, k=3)
+    est = (
+        cands.join(
+            sigs.select(
+                F.col("doc_id").alias("id_a"), F.col("signature").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("id_b"), F.col("signature").alias("__sb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(
+                F.filter(
+                    F.zip_with("__sa", "__sb", lambda x, y: x == y),
+                    lambda b: b,
+                )
+            )
+            .cast("long")
+            .alias("matches"),
+        )
+    )
+    shd = _exploded_shingles(docs, "doc_id", "text", 3).distinct()
+    sz = shd.groupBy("doc_id").agg(F.count("*").alias("__n"))
+    cm = (
+        cands.join(
+            shd.select(F.col("doc_id").alias("id_a"), "__sh"), "id_a"
+        )
+        .join(shd.select(F.col("doc_id").alias("id_b"), "__sh"), ["id_b", "__sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__common"))
+    )
+    jac = (
+        cands.join(cm, ["id_a", "id_b"], "left")
+        .join(sz.select(F.col("doc_id").alias("id_a"), F.col("__n").alias("__na")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(
+                F.round(
+                    F.lit(1e4)
+                    * F.col("__common")
+                    / (F.col("__na") + F.col("__nb") - F.col("__common")),
+                    0,
+                ).cast("long"),
+                F.lit(0),
+            ).alias("__jac_bp"),
+        )
+    )
+    per = est.join(jac, ["id_a", "id_b"]).select("matches", "__jac_bp")
+    return (
+        per.groupBy("matches")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.sum("__jac_bp") / F.count("*"), 0)
+            .cast("long")
+            .alias("mean_true_bp"),
+        )
+        .select(
+            "matches",
+            (F.col("matches") * 1250).cast("long").alias("est_bp"),
+            "n_pairs",
+            "mean_true_bp",
+        )
+        .orderBy("matches")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis extras
 # ---------------------------------------------------------------------------
@@ -580,6 +682,7 @@ def q249_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q272_minhash_calibration": q272_minhash_calibration,
     "q247_entity_resolution": q247_entity_resolution,
     "q249_containment_dedup": q249_containment_dedup,
     "q49_minhash_signatures": q49_minhash_signatures,

@@ -284,6 +284,57 @@ GROUP BY doc_id
 ORDER BY doc_id
 LIMIT 100
 """,
+    # q50's candidate grammar + per-pair signature agreement + the q52
+    # exact-Jaccard verify, bucketed by agreement count
+    "q272_minhash_calibration": f"""
+WITH bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM ({_MINHASH_SIG})
+  GROUP BY doc_id, s // 2
+),
+ok AS (
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sig AS MATERIALIZED ({_MINHASH_SIG}),
+m AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS matches
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY 1, 2
+),
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+cm AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS cmn
+  FROM cand c
+  JOIN shd a ON a.doc_id = c.id_a
+  JOIN shd b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT m.matches,
+         COALESCE(CAST(ROUND(1e4 * cm.cmn / (za.n + zb.n - cm.cmn), 0)
+                       AS BIGINT), 0) AS jac_bp
+  FROM m
+  LEFT JOIN cm ON cm.id_a = m.id_a AND cm.id_b = m.id_b
+  JOIN sz za ON za.doc_id = m.id_a
+  JOIN sz zb ON zb.doc_id = m.id_b
+)
+SELECT CAST(matches AS BIGINT) AS matches,
+       CAST(matches * 1250 AS BIGINT) AS est_bp,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(SUM(jac_bp) / COUNT(*), 0) AS BIGINT) AS mean_true_bp
+FROM j GROUP BY matches ORDER BY matches
+""",
     "q50_lsh_candidate_pairs": f"""
 WITH bands AS (
   SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
