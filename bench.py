@@ -262,6 +262,7 @@ def main() -> None:
         "q270_ks_drift",             # binned two-sample KS statistic
         "q271_out_of_order_audit",   # watermark-depth measurement
         "q272_minhash_calibration",  # sketch-vs-exact Jaccard table
+        "q273_embedding_norm_audit",  # norm-band ingest QA
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

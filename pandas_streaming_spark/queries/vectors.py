@@ -621,10 +621,67 @@ def q268_dim_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q273_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm QA — the sanity screen a vector pipeline runs at
+    ingest (zero vectors, truncated uploads, and un-normalized batches
+    all show up as norm-band anomalies before any ANN recall does):
+    per-vector L2 norm as ``round(sqrt(Σ c_e6²))`` (the sum is an exact
+    BIGINT over e6-quantized components; sqrt is the correctly-rounded
+    IEEE op both engines agree on — the q216 policy), histogrammed into
+    0.1-unit bands (norm_e6 // 100000). Graded per non-empty band:
+    vector count, band min/max norm (exact integers), plus a __TOTAL__
+    row carrying corpus n and the global norm range.
+    Scale: one posexplode + two map-side-combined aggregates
+    — the band frame is bounded by the value RANGE, not the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norms = (
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "x")
+        )
+        .select(
+            "vec_id",
+            F.round(F.col("x").cast("double") * 1e6, 0)
+            .cast("long")
+            .alias("c_e6"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("c_e6") * F.col("c_e6"))), 0)
+            .cast("long")
+            .alias("norm_e6")
+        )
+    )
+    bands = (
+        norms.groupBy(
+            F.expr("norm_e6 div 100000").cast("long").alias("band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.min("norm_e6").cast("long").alias("min_norm_e6"),
+            F.max("norm_e6").cast("long").alias("max_norm_e6"),
+        )
+        .select(
+            F.concat(F.lit("band_"), F.lpad(F.col("band").cast("string"), 3, "0"))
+            .alias("band"),
+            "n_vectors",
+            "min_norm_e6",
+            "max_norm_e6",
+        )
+    )
+    total = norms.agg(
+        F.lit("__TOTAL__").alias("band"),
+        F.count("*").cast("long").alias("n_vectors"),
+        F.min("norm_e6").cast("long").alias("min_norm_e6"),
+        F.max("norm_e6").cast("long").alias("max_norm_e6"),
+    )
+    return bands.unionByName(total).orderBy("band")
+
+
 QUERIES = {
     "q182_rrf_hybrid": q182_rrf_hybrid,
     "q263_product_quantization": q263_product_quantization,
     "q268_dim_variance_prune": q268_dim_variance_prune,
+    "q273_embedding_norm_audit": q273_embedding_norm_audit,
     "q207_semdedup": q207_semdedup,
     "q218_mmr_rerank": q218_mmr_rerank,
     "q240_semdedup_scaled": q240_semdedup_scaled,
@@ -648,6 +705,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    # exact BIGINT norm² over e6 components, IEEE sqrt, 0.1-unit bands
+    "q273_embedding_norm_audit": """
+WITH comps AS (
+  SELECT vec_id,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         CAST(ROUND(SQRT(SUM(c_e6 * c_e6)), 0) AS BIGINT) AS norm_e6
+  FROM comps GROUP BY vec_id
+),
+bands AS (
+  SELECT 'band_' || LPAD(CAST(norm_e6 // 100000 AS VARCHAR), 3, '0') AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(MIN(norm_e6) AS BIGINT) AS min_norm_e6,
+         CAST(MAX(norm_e6) AS BIGINT) AS max_norm_e6
+  FROM norms GROUP BY 1
+)
+SELECT band, n_vectors, min_norm_e6, max_norm_e6 FROM (
+  SELECT * FROM bands
+  UNION ALL
+  SELECT '__TOTAL__', CAST(COUNT(*) AS BIGINT), CAST(MIN(norm_e6) AS BIGINT),
+         CAST(MAX(norm_e6) AS BIGINT)
+  FROM norms
+) ORDER BY band
+""",
     # same e6 quantization, fixed-point codebooks, exact integer L2
     # argmin (ties -> smaller code), exact error sum
     "q263_product_quantization": """
