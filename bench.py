@@ -647,6 +647,7 @@ def main() -> None:
                 EXTRAS100 = [
                     "q217_split_leakage",
                     "q208_curation_pipeline",
+                    "q262_curation_pipeline_semantic",
                     "q229_stream_cusum",
                     "q240_semdedup_scaled",
                     "q254_poisson_bootstrap",
