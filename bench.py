@@ -263,6 +263,7 @@ def main() -> None:
         "q271_out_of_order_audit",   # watermark-depth measurement
         "q272_minhash_calibration",  # sketch-vs-exact Jaccard table
         "q273_embedding_norm_audit",  # norm-band ingest QA
+        "q274_pq_adc_search",        # ADC lookup-table PQ serving
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -503,25 +503,12 @@ def q235_split_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q263_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization (Jégou et al. 2011) — the codebook
-    compression every billion-vector ANN index (IVF-PQ / FAISS shape)
-    ships embeddings in, completing the repo's compression ladder
-    (int8 q95, JL q253, IVF q92): the 64-dim space splits into m=4
-    16-dim subspaces; each subspace trains k=4 codewords via one
-    seed-based E-step (seed = vec_id % 4, exact fixed-point centroids —
-    the q87/q96 policy), and each vector is encoded as 4 one-byte codes
-    by nearest codeword per subspace. ALL distance arithmetic is exact
-    BIGINT on e6-quantized components — Σ(c_e6 − cent_e6)² per
-    (vector, subspace, candidate) — so the argmin (ties → smaller code)
-    and the graded reconstruction error are engine-exact. Graded per
-    vector: the 4 codes + total squared quantization error (e12 units).
-    Scale: one posexplode (n·64 component rows), one (sub, dim)-keyed
-    join fanning each component to k=4 candidates (constant), two
-    map-side-combined aggregates, one per-(vector, subspace) argmin —
-    all linear, no global sort; codebooks are (m·k·16) cells — broadcast
-    size at any corpus."""
-    emb = _t(spark, sf_dir, "embeddings")
+def _pq_assign(emb: DataFrame):
+    """Shared PQ training/assignment chain (q263 grades the codes; q274
+    serves ADC queries over them): e6-quantized components with 16-dim
+    subspace ids, fixed-point codebooks per (sub, cand, dim), and the
+    per-(vector, subspace) exact-integer-L2 argmin as a (dist, cand)
+    min-struct. Returns ``(comps, cent, best)``."""
     comps = emb.select(
         "vec_id",
         F.pmod("vec_id", F.lit(4)).cast("long").alias("seed"),
@@ -559,6 +546,28 @@ def q263_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = d.groupBy("vec_id", "sub").agg(
         F.min(F.struct(F.col("dist"), F.col("cand"))).alias("m")
     )
+    return comps, cent, best
+
+
+def q263_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the codebook
+    compression every billion-vector ANN index (IVF-PQ / FAISS shape)
+    ships embeddings in, completing the repo's compression ladder
+    (int8 q95, JL q253, IVF q92): the 64-dim space splits into m=4
+    16-dim subspaces; each subspace trains k=4 codewords via one
+    seed-based E-step (seed = vec_id % 4, exact fixed-point centroids —
+    the q87/q96 policy), and each vector is encoded as 4 one-byte codes
+    by nearest codeword per subspace. ALL distance arithmetic is exact
+    BIGINT on e6-quantized components — Σ(c_e6 − cent_e6)² per
+    (vector, subspace, candidate) — so the argmin (ties → smaller code)
+    and the graded reconstruction error are engine-exact. Graded per
+    vector: the 4 codes + total squared quantization error (e12 units).
+    Scale: one posexplode (n·64 component rows), one (sub, dim)-keyed
+    join fanning each component to k=4 candidates (constant), two
+    map-side-combined aggregates, one per-(vector, subspace) argmin —
+    all linear, no global sort; codebooks are (m·k·16) cells — broadcast
+    size at any corpus."""
+    _comps, _cent, best = _pq_assign(_t(spark, sf_dir, "embeddings"))
     return (
         best.groupBy("vec_id")
         .agg(
@@ -617,6 +626,75 @@ def q268_dim_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 16)
         .select("rank", "dim", "var_e12")
+        .orderBy("rank")
+    )
+
+
+def q274_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (the SERVING half of q263 — how an
+    IVF-PQ index actually answers a query, Jégou et al. 2011 §IV): the
+    query vector is NOT quantized; instead a per-(subspace, codeword)
+    lookup table of exact integer squared distances to the query is
+    built once (m·k = 16 cells, broadcast size), and each database
+    vector's distance is the SUM of 4 table lookups on its codes — no
+    per-pair float math, the scan cost a billion-vector index pays per
+    probe. Graded: top-10 by ADC distance for query vec 0 (ties →
+    vec_id), with the exact squared L2 alongside — the
+    quantization-error audit (ADC ≥ exact never holds per-pair, but
+    the ranking agreement is the design readout). Every number is an
+    exact BIGINT on e6 components. Scale: codebook + table are
+    constant-size broadcasts; the scan is one (sub, code)-keyed join +
+    per-vector sum + TakeOrdered — linear, no global sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comps, cent, best = _pq_assign(emb)
+    codes = best.select(
+        "vec_id", "sub", F.col("m.cand").alias("cand")
+    )
+    qc = comps.filter(F.col("vec_id") == 0).select(
+        "sub", "dim", F.col("c_e6").alias("q_e6")
+    )
+    table = (
+        qc.join(cent, ["sub", "dim"])
+        .groupBy("sub", "cand")
+        .agg(
+            F.sum(
+                (F.col("q_e6") - F.col("cent_e6"))
+                * (F.col("q_e6") - F.col("cent_e6"))
+            )
+            .cast("long")
+            .alias("qd")
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(table), ["sub", "cand"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc_e12"))
+    )
+    exact = (
+        comps.filter(F.col("vec_id") != 0)
+        .join(qc.select("dim", "q_e6"), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("c_e6") - F.col("q_e6"))
+                * (F.col("c_e6") - F.col("q_e6"))
+            )
+            .cast("long")
+            .alias("exact_e12")
+        )
+    )
+    from pyspark.sql import Window
+
+    top = (
+        adc.join(exact, "vec_id")
+        .orderBy("adc_e12", "vec_id")
+        .limit(10)
+    )
+    w = Window.orderBy("adc_e12", "vec_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "vec_id", "adc_e12", "exact_e12")
         .orderBy("rank")
     )
 
@@ -682,6 +760,7 @@ QUERIES = {
     "q263_product_quantization": q263_product_quantization,
     "q268_dim_variance_prune": q268_dim_variance_prune,
     "q273_embedding_norm_audit": q273_embedding_norm_audit,
+    "q274_pq_adc_search": q274_pq_adc_search,
     "q207_semdedup": q207_semdedup,
     "q218_mmr_rerank": q218_mmr_rerank,
     "q240_semdedup_scaled": q240_semdedup_scaled,
@@ -705,6 +784,61 @@ QUERIES = {
 }
 
 ORACLES = {
+    # q263's codebook/assignment chain + the per-(sub, cand) query
+    # lookup table + 4-lookup ADC sums + exact-L2 audit, top-10
+    "q274_pq_adc_search": """
+WITH comps AS MATERIALIZED (
+  SELECT vec_id, CAST(vec_id % 4 AS BIGINT) AS seed,
+         CAST(FLOOR((generate_subscripts(embedding, 1) - 1) / 16) AS BIGINT) AS sub,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT sub, seed AS cand, dim,
+         CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS cent_e6
+  FROM comps GROUP BY sub, seed, dim
+),
+d AS (
+  SELECT a.vec_id, a.sub, c.cand,
+         CAST(SUM((a.c_e6 - c.cent_e6) * (a.c_e6 - c.cent_e6)) AS BIGINT) AS dist
+  FROM comps a JOIN cent c ON c.sub = a.sub AND c.dim = a.dim
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub, cand FROM (
+    SELECT vec_id, sub, cand,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, cand) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+qc AS (SELECT sub, dim, c_e6 AS q_e6 FROM comps WHERE vec_id = 0),
+tq AS (
+  SELECT c.sub, c.cand,
+         CAST(SUM((q.q_e6 - c.cent_e6) * (q.q_e6 - c.cent_e6)) AS BIGINT) AS qd
+  FROM qc q JOIN cent c ON c.sub = q.sub AND c.dim = q.dim
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT k.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_e12
+  FROM codes k JOIN tq t ON t.sub = k.sub AND t.cand = k.cand
+  WHERE k.vec_id <> 0
+  GROUP BY k.vec_id
+),
+ex AS (
+  SELECT a.vec_id,
+         CAST(SUM((a.c_e6 - q.q_e6) * (a.c_e6 - q.q_e6)) AS BIGINT) AS exact_e12
+  FROM comps a JOIN qc q ON q.dim = a.dim
+  WHERE a.vec_id <> 0
+  GROUP BY a.vec_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc_e12, vec_id) AS BIGINT) AS rank,
+       vec_id, adc_e12, exact_e12
+FROM adc JOIN ex USING (vec_id)
+QUALIFY rank <= 10
+ORDER BY rank
+""",
     # exact BIGINT norm² over e6 components, IEEE sqrt, 0.1-unit bands
     "q273_embedding_norm_audit": """
 WITH comps AS (
