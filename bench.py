@@ -55,6 +55,68 @@ def _mat(df) -> int:
     return len(df.toPandas())
 
 
+def _machine_busy_jiffies() -> int:
+    """Total busy CPU jiffies across all cores (/proc/stat first line,
+    everything except idle + iowait)."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals) - vals[3] - vals[4]
+
+
+def _proc_tree_jiffies() -> int:
+    """utime+stime+cutime+cstime summed over this process and every live
+    descendant (the Spark JVM, pyspark daemons and workers). Reaped
+    children roll their time into the parent's cutime/cstime, so
+    short-lived python workers that die between samples are still
+    counted through the daemon that reaped them."""
+    ppid_of: dict[int, int] = {}
+    jiff_of: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                raw = f.read().decode("ascii", "replace")
+        except OSError:
+            continue  # raced a process exit
+        rest = raw[raw.rfind(")") + 2 :].split()
+        ppid_of[int(d)] = int(rest[1])
+        jiff_of[int(d)] = sum(int(x) for x in rest[11:15])
+    members = {os.getpid()}
+    grew = True
+    while grew:
+        grew = False
+        for pid, pp in ppid_of.items():
+            if pp in members and pid not in members:
+                members.add(pid)
+                grew = True
+    return sum(jiff_of.get(p, 0) for p in members)
+
+
+def _contention_probe() -> tuple[float, int, int]:
+    """Start an external-CPU probe window: (wall t0, machine busy
+    jiffies, own process-tree jiffies)."""
+    return time.perf_counter(), _machine_busy_jiffies(), _proc_tree_jiffies()
+
+
+def _external_cores(probe: tuple[float, int, int]) -> float:
+    """Average EXTERNAL core usage since the probe started: (machine
+    busy CPU minus this process tree's CPU) / wall seconds. This — not
+    getloadavg() — is the only signal that can tell mid-run contention
+    from our own work: after a local[32] suite the 1-min load average is
+    dominated by our own executor threads, so a post-run loadavg gate
+    would self-trigger on every honest run (VERDICT r11 item 1 is
+    exactly the converse failure: the pre-JVM-only gate published
+    quiet:true for a run that went noisy mid-flight)."""
+    t0, busy0, own0 = probe
+    elapsed = time.perf_counter() - t0
+    if elapsed <= 0:
+        return 0.0
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    ext = (_machine_busy_jiffies() - busy0) - (_proc_tree_jiffies() - own0)
+    return max(0.0, ext / hz / elapsed)
+
+
 HEADLINE = [
     "q01_pricing_summary",      # scan + filter + hash agg (TPC-H Q1 shape)
     "q04_star_join_revenue",    # 5-way broadcast/SMJ star join
@@ -128,20 +190,63 @@ def main() -> None:
 
     load_start = os.getloadavg()[0]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    times: dict[str, float] = {}
-    spread: dict[str, dict] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            _mat(QUERIES[name](spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        times[name] = round(statistics.median(runs), 4)
-        spread[name] = {
-            "min": round(min(runs), 4),
-            "max": round(max(runs), 4),
-            "runs": n_runs,
+
+    def run_headline() -> tuple[dict, dict, float]:
+        probe = _contention_probe()
+        t: dict[str, float] = {}
+        s: dict[str, dict] = {}
+        for name in HEADLINE:
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                _mat(QUERIES[name](spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            t[name] = round(statistics.median(runs), 4)
+            s[name] = {
+                "min": round(min(runs), 4),
+                "max": round(max(runs), 4),
+                "runs": n_runs,
+            }
+        return t, s, round(_external_cores(probe), 2)
+
+    # VERDICT r11 item 1: the gate must cover the WHOLE run, not just
+    # the pre-JVM instant — r11's official record was taken on a machine
+    # that went noisy mid-flight (end-load 4.91) and published
+    # quiet:true while overstating the suite ~38%. Measure external CPU
+    # DURING the suite; if another workload burned more than the gate
+    # limit in average cores, wait for it to clear (external-CPU
+    # windows, not loadavg — see _external_cores) and re-run the
+    # headline suite ONCE, publishing the re-run and keeping the
+    # contaminated numbers in the record for transparency.
+    times, spread, ext_cores = run_headline()
+    run_quiet = ext_cores <= gate_limit
+    if not run_quiet:
+        print(
+            f"WARNING: external workload averaged {ext_cores} cores during"
+            f" the headline suite (> gate {gate_limit}) — waiting for it to"
+            " clear, then re-running once",
+            flush=True,
+        )
+        waited2 = 0.0
+        win = _contention_probe()
+        while waited2 < gate_wait:
+            time.sleep(10)
+            waited2 += 10
+            if _external_cores(win) <= gate_limit:
+                break
+            win = _contention_probe()
+        load_gate["contaminated_first_run"] = {
+            "value": round(sum(times.values()), 4),
+            "external_cores": ext_cores,
+            "rerun_waited_sec": round(waited2),
         }
+        times, spread, ext_cores = run_headline()
+        run_quiet = ext_cores <= gate_limit
+    load_gate["during_run_external_cores"] = ext_cores
+    load_gate["run_quiet"] = run_quiet
+    # the published flag now asserts BOTH ends: quiet at JVM start AND
+    # quiet while the published headline numbers were being taken
+    load_gate["quiet"] = bool(load_gate["quiet"] and run_quiet)
 
     # Round-5+ operators, timed single-run OUTSIDE the suite value so the
     # headline stays comparable across rounds; regressions in these show
@@ -485,11 +590,16 @@ def main() -> None:
             )
             layout_write_sec = round(time.perf_counter() - t_b, 1)
             t_section = time.perf_counter()  # budget covers the query loop only
-            # median-of-3 for the top-cost quartile (VERDICT r8 item 4):
-            # single-run-cold has twice produced round-over-round swings
-            # that were pure noise; the four most expensive queries get
-            # a spread record (run 1 cold, 2-3 warm — the cold number is
-            # kept in the spread as "cold")
+            # WARM median-of-3 for the top-cost quartile (VERDICT r8
+            # item 4 + r11 item 4): single-run-cold has twice produced
+            # round-over-round swings that were pure noise, and r11's
+            # q04 grid cell recorded a cold-dominated median (6.87 s)
+            # next to a warm bucketed median of 2.17 s — an apparent
+            # 1.81x regression that the same file disproved. The four
+            # most expensive queries now pay one RECORDED cold run
+            # (kept in spread as "cold") and the grid cell is the
+            # median of the three warm runs that follow — comparable
+            # cell-for-cell across rounds.
             TOP_COST = {
                 "q11_asof_join",
                 "q81_tfidf",
@@ -504,18 +614,21 @@ def main() -> None:
                     skipped.append(name)  # no silent caps: record the cut
                     continue
                 runs = []
-                for _ in range(3 if name in TOP_COST else 1):
+                for _ in range(4 if name in TOP_COST else 1):
                     t0 = time.perf_counter()
                     _mat(QUERIES[name](spark, dir100))
                     runs.append(time.perf_counter() - t0)
-                times100[name] = round(statistics.median(runs), 4)
                 if len(runs) > 1:
+                    warm = runs[1:]
+                    times100[name] = round(statistics.median(warm), 4)
                     spread100[name] = {
-                        "min": round(min(runs), 4),
-                        "max": round(max(runs), 4),
+                        "min": round(min(warm), 4),
+                        "max": round(max(warm), 4),
                         "cold": round(runs[0], 4),
                         "runs": len(runs),
                     }
+                else:
+                    times100[name] = round(runs[0], 4)
             if skipped:  # budget already blown: plan checks would add minutes
                 inv = {"skipped_on_budget": True}
             else:
@@ -576,8 +689,8 @@ def main() -> None:
                 },
                 "invariants": inv,
                 "protocol": (
-                    "median-of-3 for top-cost quartile (cold first run in "
-                    "spread), single-run cold otherwise"
+                    "WARM median-of-3 for top-cost quartile (recorded "
+                    "cold first run in spread), single-run cold otherwise"
                 ),
             }
 
@@ -620,9 +733,9 @@ def main() -> None:
                     result["scaled100"]["bucketed"] = {
                         "q04_default_bucketed_sec": default_warm_sec,
                         "q04_default_bucketed_spread": default_spread,
-                        "q04_default_cold_sec": times100[
-                            "q04_star_join_revenue"
-                        ],
+                        "q04_default_cold_sec": spread100.get(
+                            "q04_star_join_revenue", {}
+                        ).get("cold"),
                         "q04_plain_sec": plain_sec,
                         "q04_plain_spread": plain_spread,
                         "layout_write_sec": layout_write_sec,
@@ -702,7 +815,10 @@ def main() -> None:
         except Exception as e:  # the headline numbers must never be lost
             result["scaled100"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # end-of-run loadavg (recorded for transparency; it includes OUR own
+    # executor threads, which is why the gate rides external CPU instead)
     result["load_avg"]["end"] = round(os.getloadavg()[0], 2)
+    result["load_gate"]["post_run_loadavg"] = result["load_avg"]["end"]
 
     # Cross-round per-query history: one JSONL line per invocation, so a
     # future round can tell "q39 got slower" from "the machine was busy

@@ -220,22 +220,44 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.0,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard over distinct k-word shingles for every doc pair that
-    shares at least one shingle. Returns (id_a, id_b, jaccard).
+    """Exact Jaccard over distinct k-word shingles. Returns
+    (id_a, id_b, common, na, nb, jaccard).
 
-    The shingle self-join is the classic inverted-index plan: pairs are
-    generated per shingle then aggregated — no cross product. At 100 TB,
-    feed LSH candidates in as a semi-join filter first.
+    Two plans, one contract:
+
+    - ``candidates=None`` (brute): every pair sharing at least one
+      shingle, via the classic inverted-index self-join — pairs are
+      generated per shingle then aggregated, no cross product, but the
+      pair count still grows QUADRATICALLY with duplicate shingle mass
+      (measured 16.2x wall at a 10x replica). This is the ground-truth
+      form the audits (lsh_audit, q109, q238) need.
+    - ``candidates=(id_a, id_b frame)``: the exact computation is
+      SCOPED to the given pairs — both shingle streams join THROUGH the
+      candidate list (fan-out = |candidates| x shingles-per-doc), the
+      q272 plan. This is the production verify stage: LSH proposes,
+      this disposes, and the cost tracks the candidate mass (3.4x at
+      the same 10x replica), not the shingle-collision square. At
+      100 TB always pass candidates.
     """
     sh = _exploded_shingles(df, id_col, text_col, k).select(id_col, "__sh").distinct().withColumnRenamed("__sh", "sh")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
+    if candidates is not None:
+        common = (
+            candidates.select("id_a", "id_b")
+            .join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("common"))
+        )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (

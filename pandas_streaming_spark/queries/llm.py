@@ -385,12 +385,29 @@ WHERE 1.0 * c / (na.n + nb.n - c) >= 0.6
 ORDER BY id_a, id_b
 """,
     "q52_ngram_jaccard": f"""
-WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+WITH bands AS (  -- bands=8, rows=1: each component is its own band
+  SELECT doc_id, s AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM ({_MINHASH_SIG})
+  GROUP BY doc_id, s
+),
+ok AS (  -- mirror max_bucket=64: oversized buckets are dropped, not paired
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
+),
+cand AS (  -- the q50 candidate set: the exact verify is SCOPED to it
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.id_a, c.id_b, COUNT(*) AS c
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
 )
 SELECT id_a, id_b,
        CAST(ROUND(10000.0 * c / (na.n + nb.n - c), 0) AS BIGINT) AS jac_e4

@@ -53,7 +53,15 @@ def jvm_state_partitions(sf_dir: str) -> int:
     PY_STATE_PARTITIONS knee — commit overhead re-enters beyond it).
     Results are partition-count-invariant (split-invariance tests and
     the shared batch oracles pin this); at every graded SF this returns
-    1, so the graded plans are unchanged."""
+    1, so the graded plans are unchanged.
+
+    The footer scan is memoized per sf_dir (it runs on every streaming
+    query build otherwise), and a corrupt/truncated footer — pyarrow
+    raises ``ArrowInvalid``, a ``ValueError`` subclass, NOT ``OSError``
+    — falls back to STATE_PARTITIONS instead of crashing the query."""
+    cached = _JVM_STATE_PARTITIONS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     import glob as _glob
     import os as _os
 
@@ -67,9 +75,14 @@ def jvm_state_partitions(sf_dir: str) -> int:
             else [path]
         )
         n = sum(_pq.read_metadata(f).num_rows for f in files)
-    except OSError:
+    except (OSError, ValueError):
         return STATE_PARTITIONS
-    return max(STATE_PARTITIONS, min(8, n // 1_500_000))
+    out = max(STATE_PARTITIONS, min(8, n // 1_500_000))
+    _JVM_STATE_PARTITIONS_CACHE[sf_dir] = out
+    return out
+
+
+_JVM_STATE_PARTITIONS_CACHE: dict = {}
 
 #: state partitions for PYTHON-stateful operators
 #: (applyInPandasWithState / transformWithStateInPandas). Their

@@ -589,10 +589,15 @@ def q268_dim_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     paying for a learned projection (the deterministic cousin of q253's
     JL sketch): variance per dimension as the EXACT integer numerator
     n·Σx² − (Σx)² over e6-quantized components, graded as
-    ``var_e12 = floor(num / n²)`` (both engines floor-divide exact
-    integers — no float touches the grade; sums ride DECIMAL(38) on the
-    Spark side / int128 in duckdb so the squared term can't overflow
-    int64). Output: the top-16 dimensions by variance (ties → dim asc)
+    ``var_e12 = num div n²`` — Spark's integral ``div`` on the
+    DECIMAL(38) operands (NOT ``floor(a/b)``: decimal ``/`` rounds
+    HALF_UP to scale 6 BEFORE the floor, so a quotient with fractional
+    part ≥ 0.9999995 floors one HIGH vs duckdb's exact ``//`` — e.g.
+    floor(3999999999999/2000000000000) = 2 on Spark, 1 in duckdb; the
+    numerator is ≥ 0 so div == floor exactly, same policy as q266).
+    Sums ride DECIMAL(38) on the Spark side / int128 in duckdb so the
+    squared term can't overflow int64.
+    Output: the top-16 dimensions by variance (ties → dim asc)
     with rank. Scale: one posexplode + one 64-group map-side-combined
     aggregate; the rank window runs over 64 rows — constant at any
     corpus size."""
@@ -614,10 +619,7 @@ def q268_dim_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = agg.select(
         "dim",
-        F.floor(
-            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
-            / (F.col("n") * F.col("n"))
-        )
+        F.expr("(n * s2 - s1 * s1) div (n * n)")
         .cast("long")
         .alias("var_e12"),
     )
@@ -644,7 +646,9 @@ def q274_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranking agreement is the design readout). Every number is an
     exact BIGINT on e6 components. Scale: codebook + table are
     constant-size broadcasts; the scan is one (sub, code)-keyed join +
-    per-vector sum + TakeOrdered — linear, no global sort."""
+    per-vector sum + TakeOrdered — linear, no global sort — and the
+    exact-L2 audit runs AFTER the top-10, broadcast-scoped to the 10
+    survivors, so the probe pays the corpus scan once, not twice."""
     emb = _t(spark, sf_dir, "embeddings")
     comps, cent, best = _pq_assign(emb)
     codes = best.select(
@@ -671,8 +675,18 @@ def q274_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("qd").cast("long").alias("adc_e12"))
     )
+    from pyspark.sql import Window
+
+    # TakeOrdered the ADC frame FIRST, then compute the exact-L2 audit
+    # for the 10 survivors only (VERDICT r11 item 3: the old plan ran
+    # the n·64-row exact aggregate over the ENTIRE corpus and then kept
+    # 10 rows — linear, but at a billion vectors it doubles the probe
+    # cost for an audit column only the survivors need). The top-10
+    # frame is a broadcast, so the exact pass is a broadcast-joined
+    # scan over 10 vectors' components, not a second full aggregate.
+    top = adc.orderBy("adc_e12", "vec_id").limit(10)
     exact = (
-        comps.filter(F.col("vec_id") != 0)
+        comps.join(F.broadcast(top.select("vec_id")), "vec_id")
         .join(qc.select("dim", "q_e6"), "dim")
         .groupBy("vec_id")
         .agg(
@@ -684,16 +698,10 @@ def q274_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_e12")
         )
     )
-    from pyspark.sql import Window
-
-    top = (
-        adc.join(exact, "vec_id")
-        .orderBy("adc_e12", "vec_id")
-        .limit(10)
-    )
     w = Window.orderBy("adc_e12", "vec_id")
     return (
-        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        top.join(F.broadcast(exact), "vec_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "vec_id", "adc_e12", "exact_e12")
         .orderBy("rank")
     )
