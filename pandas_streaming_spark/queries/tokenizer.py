@@ -521,15 +521,373 @@ v{t} AS MATERIALIZED (
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training — the second real
+# tokenizer family next to BPE (VERDICT r11 item 6)
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_MAX_WORD = 12  # words longer than this are excluded (both engines)
+_UNIGRAM_MULTI_VOCAB = 200  # multi-char seed pieces kept (chars always kept)
+
+
+def _unigram_viterbi_expr() -> str:
+    """The E-step as ONE whole-stage JVM expression: per-word Viterbi
+    DP via ``aggregate`` over positions 1..len(word), accumulator = the
+    array of per-prefix best states ``struct(s: score, p: path)``. At
+    position i, candidates end with a vocab piece of length j ∈ {1,2,3}
+    (chars are always in the vocab, so every prefix is reachable and the
+    fold never dead-ends); the best is picked by score desc then path
+    asc via an ``array_sort`` comparator — the same (score DESC, path
+    ASC) total order the oracle applies to its full enumeration, and
+    the lex-min tie-break COMPOSES under suffix-append (two paths over
+    the same prefix spell the same letters, so neither can be a strict
+    prefix of the other — first-difference order survives appending).
+    Scores are integer HALF-BIT log-probs: w2(c) = length(bin(c*c)) - 1
+    = floor(2·log2 c), exact in both engines for c ≤ 3.03e9 (int64
+    square; duckdb rides HUGEINT), minus the same-quantized normalizer
+    qt = floor(2·log2 T) per piece — the "integer micro-log-units" that
+    keep the grade float-free. Model rides a 1-row broadcast map
+    (q242's fastText-shipping pattern), so the corpus pass is a narrow
+    map over the DISTINCT-WORD frame with no shuffle."""
+
+    def cand(j: int) -> str:
+        piece = f"substr(word, i - {j} + 1, {j})"
+        prev = f"element_at(acc, i - {j} + 1)"
+        return (
+            f"CASE WHEN i >= {j} "
+            f"AND element_at(__model, {piece}) IS NOT NULL THEN "
+            f"named_struct("
+            f"'s', {prev}.s + element_at(__model, {piece}) - __qt, "
+            f"'p', CASE WHEN {prev}.p = '' THEN {piece} "
+            f"ELSE concat({prev}.p, ' ', {piece}) END) "
+            f"ELSE NULL END"
+        )
+
+    return f"""aggregate(
+  sequence(1, length(word)),
+  array(named_struct('s', CAST(0 AS BIGINT), 'p', '')),
+  (acc, i) -> concat(acc, array(element_at(array_sort(
+      filter(array({cand(1)}, {cand(2)}, {cand(3)}), x -> x IS NOT NULL),
+      (a, b) -> CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1
+                     WHEN a.p < b.p THEN -1 WHEN a.p > b.p THEN 1
+                     ELSE 0 END), 1))),
+  acc -> element_at(acc, -1)
+)"""
+
+
+def _unigram_model(docs: DataFrame):
+    """Shared unigram-LM chain (q275 grades the EM re-estimation table;
+    q277 grades the corpus fertility readout): word-frequency table →
+    seed vocab (every char + top-200 substrings of length 2-3 by
+    freq-weighted occurrence count) → half-bit integer log scores →
+    one Viterbi E-step over distinct words. Returns
+    ``(words, vocab, seg)`` where seg = (word, freq, path, score_hb).
+
+    Scale: like BPE (q241), everything after the first groupBy is
+    VOCABULARY-sized — the corpus is touched once to build word
+    frequencies; the DP runs per distinct word (bounded ≤ 12 chars →
+    ≤ 36 interpreted candidate evals each) under a broadcast model."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(
+            (F.length("word") >= 1) & (F.length("word") <= _UNIGRAM_MAX_WORD)
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), i -> "
+                "filter(array(substr(word, i, 1), "
+                "IF(i + 1 <= length(word), substr(word, i, 2), NULL), "
+                "IF(i + 2 <= length(word), substr(word, i, 3), NULL)), "
+                "x -> x IS NOT NULL)))"
+            )
+        ).alias("piece"),
+    )
+    c0 = subs.groupBy("piece").agg(F.sum("freq").cast("long").alias("c0"))
+    wm = Window.orderBy(F.col("c0").desc(), "piece")
+    multi = (
+        c0.filter(F.length("piece") >= 2)
+        .withColumn("__rn", F.row_number().over(wm))
+        .filter(F.col("__rn") <= _UNIGRAM_MULTI_VOCAB)
+        .drop("__rn")
+    )
+    vocab = (
+        c0.filter(F.length("piece") == 1)
+        .unionByName(multi)
+        .select(
+            "piece",
+            "c0",
+            F.expr("CAST(length(bin(c0 * c0)) - 1 AS BIGINT)").alias("w2"),
+        )
+    )
+    model = vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("piece", "w2"))).alias(
+            "__model"
+        )
+    )
+    qt = vocab.agg(F.sum("c0").alias("__T")).select(
+        F.expr("CAST(length(bin(__T * __T)) - 1 AS BIGINT)").alias("__qt")
+    )
+    seg = (
+        words.crossJoin(F.broadcast(model))
+        .crossJoin(F.broadcast(qt))
+        .select("word", "freq", F.expr(_unigram_viterbi_expr()).alias("__v"))
+        .select(
+            "word",
+            "freq",
+            F.col("__v.p").alias("path"),
+            F.col("__v.s").cast("long").alias("score_hb"),
+        )
+    )
+    return words, vocab, seg
+
+
+def q275_unigram_lm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM iteration of unigram-LM (SentencePiece, Kudo 2018)
+    tokenizer training: E-step = Viterbi-segment every distinct word
+    under the seed model (integer half-bit log-probs, broadcast map,
+    deterministic score-desc/path-asc tie-break); M-step = re-estimate
+    piece frequencies as the freq-weighted count of each piece in the
+    chosen segmentations. Graded: top-30 pieces by re-estimated count
+    (ties → piece asc) with seed count c0, re-estimated count c1, and
+    both log-probs in half-bit units (logp = floor(2·log2 c) −
+    floor(2·log2 T) — every number an exact integer; see
+    _unigram_viterbi_expr for why the quantization is cross-engine
+    exact). The oracle replays the identical iteration by ENUMERATING
+    all vocab segmentations per word (recursive CTE over equi-joined
+    DP edges) and picking the same (score desc, path asc) winner —
+    so the DP's optimality itself is part of the grade.
+    Scale: corpus → word-frequency table once; vocab-sized model
+    broadcast; per-word bounded DP; M-step = one explode + map-side
+    combined aggregate over segmented DISTINCT words."""
+    docs = _t(spark, sf_dir, "documents")
+    _words, vocab, seg = _unigram_model(docs)
+    mstep = (
+        seg.select("freq", F.explode(F.split("path", " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("c1"))
+    )
+    qt0 = vocab.agg(F.sum("c0").alias("__T")).select(
+        F.expr("CAST(length(bin(__T * __T)) - 1 AS BIGINT)").alias("__qt0")
+    )
+    qt1 = mstep.agg(F.sum("c1").alias("__T1")).select(
+        F.expr("CAST(length(bin(__T1 * __T1)) - 1 AS BIGINT)").alias("__qt1")
+    )
+    w30 = Window.orderBy(F.col("c1").desc(), "piece")
+    return (
+        mstep.join(vocab, "piece")
+        .withColumn("rank", F.row_number().over(w30).cast("long"))
+        .filter(F.col("rank") <= 30)
+        .crossJoin(F.broadcast(qt0))
+        .crossJoin(F.broadcast(qt1))
+        .select(
+            "rank",
+            "piece",
+            "c0",
+            "c1",
+            (F.col("w2") - F.col("__qt0")).cast("long").alias("logp0_hb"),
+            (
+                F.expr("CAST(length(bin(c1 * c1)) - 1 AS BIGINT)")
+                - F.col("__qt1")
+            )
+            .cast("long")
+            .alias("logp1_hb"),
+        )
+        .orderBy("rank")
+    )
+
+
+def q277_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — the eval every tokenizer ships
+    with (pieces per word; chars per piece): apply the unigram-LM
+    Viterbi segmentation (q275's E-step — segment once per DISTINCT
+    word, then fan the piece counts onto corpus occurrences through a
+    word-keyed join, the q251 encode pattern) and aggregate per
+    language: token instances, total pieces, total chars, fertility
+    (pieces/word) and compression (chars/piece) as exact-integer e3
+    ratios. A language whose fertility runs high is under-served by
+    the vocab — the readout that drives vocab-size/allocation decisions
+    in multilingual tokenizer training. Scale: segmentation cost is
+    vocabulary-sized; the per-lang fan-out is one broadcast-ready join
+    from the distinct-word frame onto (lang, word) counts."""
+    docs = _t(spark, sf_dir, "documents")
+    _words, _vocab, seg = _unigram_model(docs)
+    per_word = seg.select(
+        "word",
+        F.size(F.split("path", " ")).cast("long").alias("n_pieces_w"),
+        F.length("word").cast("long").alias("n_chars_w"),
+    )
+    lw = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(
+            (F.length("word") >= 1) & (F.length("word") <= _UNIGRAM_MAX_WORD)
+        )
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        lw.join(per_word, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_pieces_w")).cast("long").alias("n_pieces"),
+            F.sum(F.col("n") * F.col("n_chars_w")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pieces",
+            "n_chars",
+            F.round(F.lit(1000.0) * F.col("n_pieces") / F.col("n_words"), 0)
+            .cast("long")
+            .alias("fertility_e3"),
+            F.round(F.lit(1000.0) * F.col("n_chars") / F.col("n_pieces"), 0)
+            .cast("long")
+            .alias("chars_per_piece_e3"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _unigram_sql() -> str:
+    """WITH-prefix replaying the SAME seeding + Viterbi E-step as
+    `_unigram_model`, by exhaustive enumeration: `wp` holds the
+    equi-joinable DP edges (word, start, piece, Δscore), the recursive
+    `seg` expands every vocab segmentation of every word (bounded:
+    pieces ≤ 3 chars and words ≤ 12 chars → ≤ 927 paths/word before
+    vocab restriction), and `best` picks the (score DESC, path ASC)
+    winner per word — the global optimum the Spark DP must equal."""
+    return f"""
+WITH RECURSIVE words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+  ) WHERE LEN(word) BETWEEN 1 AND {_UNIGRAM_MAX_WORD} GROUP BY word
+),
+subs AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS c0 FROM (
+    SELECT freq, UNNEST(LIST_TRANSFORM(
+        GENERATE_SERIES(1, LEN(word)), i -> SUBSTR(word, i, 1))) AS piece
+    FROM words
+    UNION ALL
+    SELECT freq, UNNEST(LIST_TRANSFORM(
+        GENERATE_SERIES(1, GREATEST(LEN(word) - 1, 0)),
+        i -> SUBSTR(word, i, 2)))
+    FROM words
+    UNION ALL
+    SELECT freq, UNNEST(LIST_TRANSFORM(
+        GENERATE_SERIES(1, GREATEST(LEN(word) - 2, 0)),
+        i -> SUBSTR(word, i, 3)))
+    FROM words
+  ) GROUP BY piece
+),
+vocab AS MATERIALIZED (
+  SELECT piece, c0,
+         CAST(LENGTH(BIN((c0::HUGEINT) * c0)) - 1 AS BIGINT) AS w2
+  FROM (
+    SELECT piece, c0 FROM subs WHERE LEN(piece) = 1
+    UNION ALL
+    SELECT piece, c0 FROM (
+      SELECT piece, c0 FROM subs WHERE LEN(piece) >= 2
+      ORDER BY c0 DESC, piece LIMIT {_UNIGRAM_MULTI_VOCAB})
+  )
+),
+tot AS (
+  SELECT CAST(LENGTH(BIN((SUM(c0)::HUGEINT) * SUM(c0))) - 1 AS BIGINT) AS qt
+  FROM vocab
+),
+wsub AS (
+  SELECT word, i AS start, SUBSTR(word, i, j) AS piece, j AS pl
+  FROM words,
+       UNNEST(GENERATE_SERIES(1, LEN(word))) AS s(i),
+       (VALUES (1), (2), (3)) lj(j)
+  WHERE i + j - 1 <= LEN(word)
+),
+wp AS MATERIALIZED (
+  SELECT ws.word, ws.start, ws.piece, ws.pl, v.w2 - t.qt AS dw
+  FROM wsub ws JOIN vocab v USING (piece) CROSS JOIN tot t
+),
+seg(word, i, score, path) AS (
+  SELECT word, 0, CAST(0 AS BIGINT), '' FROM words
+  UNION ALL
+  SELECT s.word, s.i + e.pl, s.score + e.dw,
+         CASE WHEN s.path = '' THEN e.piece
+              ELSE s.path || ' ' || e.piece END
+  FROM seg s JOIN wp e ON e.word = s.word AND e.start = s.i + 1
+),
+best AS MATERIALIZED (
+  SELECT word, path FROM (
+    SELECT word, path,
+           ROW_NUMBER() OVER (PARTITION BY word
+                              ORDER BY score DESC, path) AS rn
+    FROM seg WHERE i = LEN(word)
+  ) WHERE rn = 1
+)"""
+
+
 QUERIES = {
     "q211_bpe_merge_step": q211_bpe_merge_step,
     "q215_vocab_coverage": q215_vocab_coverage,
     "q241_bpe_train": q241_bpe_train,
     "q251_bpe_encode": q251_bpe_encode,
     "q261_bpe_train_iterative": q261_bpe_train_iterative,
+    "q275_unigram_lm_step": q275_unigram_lm_step,
+    "q277_unigram_fertility": q277_unigram_fertility,
 }
 
 ORACLES = {
+    # enumeration-based replay of the Viterbi E-step + M-step recount
+    "q275_unigram_lm_step": _unigram_sql()
+    + """,
+mstep AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS c1 FROM (
+    SELECT w.freq, UNNEST(STRING_SPLIT(b.path, ' ')) AS piece
+    FROM best b JOIN words w USING (word)
+  ) GROUP BY piece
+),
+t1 AS (
+  SELECT CAST(LENGTH(BIN((SUM(c1)::HUGEINT) * SUM(c1))) - 1 AS BIGINT) AS qt1
+  FROM mstep
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY c1 DESC, piece) AS BIGINT) AS rank,
+       piece, v.c0, m.c1,
+       CAST(v.w2 - t.qt AS BIGINT) AS logp0_hb,
+       CAST(LENGTH(BIN((m.c1::HUGEINT) * m.c1)) - 1 - t1.qt1 AS BIGINT)
+         AS logp1_hb
+FROM mstep m JOIN vocab v USING (piece) CROSS JOIN tot t CROSS JOIN t1
+QUALIFY rank <= 30
+ORDER BY rank
+""",
+    # same segmentation fanned onto (lang, word) occurrence counts
+    "q277_unigram_fertility": _unigram_sql()
+    + f""",
+pw AS (
+  SELECT word, CAST(LEN(STRING_SPLIT(path, ' ')) AS BIGINT) AS n_pieces_w,
+         CAST(LEN(word) AS BIGINT) AS n_chars_w
+  FROM best
+),
+lw AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+  ) WHERE LEN(word) BETWEEN 1 AND {_UNIGRAM_MAX_WORD} GROUP BY lang, word
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_words,
+       CAST(SUM(n * n_pieces_w) AS BIGINT) AS n_pieces,
+       CAST(SUM(n * n_chars_w) AS BIGINT) AS n_chars,
+       CAST(ROUND(1000.0 * SUM(n * n_pieces_w) / SUM(n), 0) AS BIGINT)
+         AS fertility_e3,
+       CAST(ROUND(1000.0 * SUM(n * n_chars_w) / SUM(n * n_pieces_w), 0)
+            AS BIGINT) AS chars_per_piece_e3
+FROM lw JOIN pw USING (word)
+GROUP BY lang
+ORDER BY lang
+""",
     "q261_bpe_train_iterative": (
         _bpe_chain_sql(_BPE_ITER_STEPS)
         + "\nSELECT * FROM (\n"
