@@ -646,6 +646,48 @@ def normalize_embeddings(
     )
 
 
+def ivf_candidate_ids(
+    embeddings: DataFrame,
+    query_id: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF coarse-probe half of :func:`ivf_topk`, exposed so the
+    PQ-ADC serving path (q276) can re-rank the same candidate cells:
+    assign every vector to its nearest label centroid, pick the
+    ``n_probe`` centroids nearest the query by cosine, return the ids
+    of the vectors in those cells. At corpus scale the assignment is a
+    precomputed partition column and this is a partition-pruned scan."""
+    assigned = assign_to_centroids(embeddings, None, id_col, label_col, vec_col)
+    cents = label_centroids(embeddings, label_col, vec_col)
+    cent = (
+        cents.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid_e6"))),
+                lambda s: s["centroid_e6"].cast("double") / F.lit(1000000.0),
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    q = _query_vec(embeddings, query_id, id_col, vec_col)
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("c_label", vec_cosine("cvec", "__qvec").alias("sim"))
+        .orderBy(F.desc_nulls_last("sim"), "c_label")
+        .limit(n_probe)
+        .select(F.col("c_label").alias("assigned_label"))
+    )
+    # candidate ids = members of the probed cells; no explicit broadcast —
+    # the filtered set's runtime size is what matters, and AQE promotes
+    # small sides to broadcast after the probe filter materializes
+    return assigned.join(
+        F.broadcast(probes), "assigned_label", "left_semi"
+    ).select(id_col)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -670,33 +712,10 @@ def ivf_topk(
     scan; here it is derived inline so the operator is self-contained
     and oracle-gradable end-to-end.
     """
-    assigned = assign_to_centroids(embeddings, None, id_col, label_col, vec_col)
-    # which cells does the query probe? its n_probe highest-sim centroids
-    cents = label_centroids(embeddings, label_col, vec_col)
-    cent = (
-        cents.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "centroid_e6"))),
-                lambda s: s["centroid_e6"].cast("double") / F.lit(1000000.0),
-            ).alias("cvec")
-        )
-        .select(F.col("label").alias("c_label"), "cvec")
+    cand_ids = ivf_candidate_ids(
+        embeddings, query_id, n_probe, id_col, label_col, vec_col
     )
     q = _query_vec(embeddings, query_id, id_col, vec_col)
-    probes = (
-        cent.crossJoin(F.broadcast(q))
-        .select("c_label", vec_cosine("cvec", "__qvec").alias("sim"))
-        .orderBy(F.desc_nulls_last("sim"), "c_label")
-        .limit(n_probe)
-        .select(F.col("c_label").alias("assigned_label"))
-    )
-    # candidate ids = members of the probed cells; no explicit broadcast —
-    # the filtered set's runtime size is what matters, and AQE promotes
-    # small sides to broadcast after the probe filter materializes
-    cand_ids = assigned.join(F.broadcast(probes), "assigned_label", "left_semi").select(
-        id_col
-    )
     candidates = embeddings.join(cand_ids, id_col, "left_semi")
     sim_e4 = F.round(F.lit(10000.0) * vec_cosine(vec_col, "__qvec"), 0).cast("long")
     return (

@@ -632,6 +632,29 @@ def q268_dim_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adc_table(comps, cent, query_id: int = 0):
+    """Shared ADC machinery (q274 serves it corpus-wide; q276/q278 scope
+    it to IVF-probed cells): the query's e6 components ``qc`` and the
+    per-(subspace, codeword) exact-BIGINT squared-distance lookup table
+    — m·k = 16 cells, broadcast size at any corpus scale."""
+    qc = comps.filter(F.col("vec_id") == query_id).select(
+        "sub", "dim", F.col("c_e6").alias("q_e6")
+    )
+    table = (
+        qc.join(cent, ["sub", "dim"])
+        .groupBy("sub", "cand")
+        .agg(
+            F.sum(
+                (F.col("q_e6") - F.col("cent_e6"))
+                * (F.col("q_e6") - F.col("cent_e6"))
+            )
+            .cast("long")
+            .alias("qd")
+        )
+    )
+    return qc, table
+
+
 def q274_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance PQ search (the SERVING half of q263 — how an
     IVF-PQ index actually answers a query, Jégou et al. 2011 §IV): the
@@ -654,21 +677,7 @@ def q274_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = best.select(
         "vec_id", "sub", F.col("m.cand").alias("cand")
     )
-    qc = comps.filter(F.col("vec_id") == 0).select(
-        "sub", "dim", F.col("c_e6").alias("q_e6")
-    )
-    table = (
-        qc.join(cent, ["sub", "dim"])
-        .groupBy("sub", "cand")
-        .agg(
-            F.sum(
-                (F.col("q_e6") - F.col("cent_e6"))
-                * (F.col("q_e6") - F.col("cent_e6"))
-            )
-            .cast("long")
-            .alias("qd")
-        )
-    )
+    qc, table = _adc_table(comps, cent, query_id=0)
     adc = (
         codes.filter(F.col("vec_id") != 0)
         .join(F.broadcast(table), ["sub", "cand"])
@@ -705,6 +714,256 @@ def q274_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "vec_id", "adc_e12", "exact_e12")
         .orderBy("rank")
     )
+
+
+def _ivf_cell_frames(emb):
+    """Shared IVFADC machinery (q276 grades the n_probe=2 end-to-end
+    probe; q278 the n_probe sweep; q279 the cell-health audit): the
+    inverted lists are the STORED label partitions (how an IVF index
+    lays vectors out on disk — assignment happened at build time), the
+    per-cell centroids are exact fixed-point e6 means over the full 64
+    dims, and cell ranking for a query is by exact BIGINT squared L2
+    between query and centroid — every number in the coarse stage an
+    exact integer, like the PQ stage it feeds. Returns
+    ``(lcomps, lcent, codes, qc, table, exact)`` where exact is the
+    corpus-wide exact-L2 frame ground truth comes from."""
+    comps, cent, best = _pq_assign(emb)
+    codes = best.select("vec_id", "sub", F.col("m.cand").alias("cand"))
+    qc, table = _adc_table(comps, cent, query_id=0)
+    lcomps = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("c_e6"),
+    )
+    lcent = lcomps.groupBy("label", "dim").agg(
+        F.round(F.sum("c_e6").cast("double") / F.count("*"), 0)
+        .cast("long")
+        .alias("ce_e6")
+    )
+    exact = (
+        comps.filter(F.col("vec_id") != 0)
+        .join(qc.select("dim", "q_e6"), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("c_e6") - F.col("q_e6"))
+                * (F.col("c_e6") - F.col("q_e6"))
+            )
+            .cast("long")
+            .alias("exact_e12")
+        )
+    )
+    return lcomps, lcent, codes, qc, table, exact
+
+
+def _ivfpq_rerank(emb, np_: int, shortlist: int = 50):
+    """One IVFADC+R probe (Jégou et al. 2011 §IV.D): rank cells by
+    exact integer L2 (query vs centroid), take ``np_`` cells, ADC-score
+    ONLY their members, keep the top-``shortlist`` by ADC, then re-rank
+    those survivors by exact L2 on the original vectors (a
+    broadcast-scoped pass — the same survivor-scoping as q274). Returns
+    (rerank_top10, n_candidates_1row, exact_top10) sharing one chain."""
+    lcomps, lcent, codes, qc, table, exact = _ivf_cell_frames(emb)
+    cells = (
+        lcent.join(F.broadcast(qc.select("dim", "q_e6")), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (F.col("ce_e6") - F.col("q_e6"))
+                * (F.col("ce_e6") - F.col("q_e6"))
+            )
+            .cast("long")
+            .alias("cd")
+        )
+        .orderBy("cd", "label")
+        .limit(np_)
+        .select("label")
+    )
+    cand_ids = (
+        emb.join(F.broadcast(cells), "label", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    n_cand = cand_ids.agg(F.count("*").cast("long").alias("n_candidates"))
+    adc = (
+        codes.join(cand_ids, "vec_id", "left_semi")
+        .join(F.broadcast(table), ["sub", "cand"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc_e12"))
+    )
+    short = adc.orderBy("adc_e12", "vec_id").limit(shortlist)
+    rerank = (
+        short.join(F.broadcast(exact.join(short.select("vec_id"), "vec_id", "left_semi")), "vec_id")
+        .orderBy("exact_e12", "vec_id")
+        .limit(10)
+    )
+    exact_top10 = exact.orderBy("exact_e12", "vec_id").limit(10)
+    return rerank, n_cand, exact_top10
+
+
+def q276_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED IVF-PQ probe with exact re-ranking — IVFADC+R,
+    Jégou et al. 2011 §IV end-to-end, the way a billion-vector index
+    actually answers a query (VERDICT r11 item 7): (1) coarse stage
+    ranks the stored label cells by EXACT BIGINT squared L2 between the
+    query and each cell centroid and probes the nearest 2; (2) every
+    member of the probed cells is scored by 4 ADC lookups on its PQ
+    codes (q274's broadcast m·k table); (3) the ADC top-50 shortlist is
+    re-ranked by exact L2 on the original vectors (broadcast-scoped to
+    the 50 survivors — q274's survivor-scoping); top-10 by exact L2.
+    The audit the item asked for: recall@10 against the exact
+    corpus-wide top-10 (q108's method — per-row hit flag + the constant
+    recall_at_10_e4). On this synthetic corpus label cells are only
+    weakly geometric, so the curve is honest about coarse-prune loss —
+    exactly what the audit exists to catch (q278 shows recall rising
+    with n_probe; q279 shows WHY via per-cell coherence).
+    Scale: centroids, probe list, ADC table, and the 50-row shortlist
+    are broadcasts; the scan is a cell-pruned read + 4 lookups/vector;
+    only the ground-truth audit touches the full corpus (production
+    monitors recall on sampled probes exactly this way)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rerank, _n_cand, exact_top10 = _ivfpq_rerank(emb, np_=2)
+    hits = rerank.join(
+        F.broadcast(exact_top10.select("vec_id", F.lit(1).alias("__h"))),
+        "vec_id",
+        "left",
+    ).select(
+        "vec_id",
+        "adc_e12",
+        "exact_e12",
+        F.coalesce("__h", F.lit(0)).cast("long").alias("hit_exact"),
+    )
+    rec = hits.agg(
+        (F.sum("hit_exact") * 1000).cast("long").alias("recall_at_10_e4")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("exact_e12", "vec_id")
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(rec))
+        .select(
+            "rank", "vec_id", "adc_e12", "exact_e12", "hit_exact",
+            "recall_at_10_e4",
+        )
+        .orderBy("rank")
+    )
+
+
+_Q278_PROBES = (1, 2, 4)
+
+
+def q278_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ OPERATING-POINT curve — recall@10 vs scan cost as
+    n_probe sweeps {1, 2, 4}: per probe width, the candidate count (the
+    per-query scan cost an IVF deployment pays) and the IVFADC+R
+    top-10's recall vs the exact corpus-wide top-10. This is the table
+    that picks n_probe in production (Jégou §V reports exactly this
+    curve); composed from q276's chain so the sweep grades the
+    composition, not a reimplementation. Scale: one PQ/ADC chain
+    shared across the sweep; each width adds a cell-pruned scan, never
+    a corpus pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = []
+    for np_ in _Q278_PROBES:
+        rerank, n_cand, exact_top10 = _ivfpq_rerank(emb, np_=np_)
+        rec = rerank.join(
+            F.broadcast(exact_top10.select("vec_id", F.lit(1).alias("__h"))),
+            "vec_id",
+            "left",
+        ).agg(
+            (F.sum(F.coalesce("__h", F.lit(0))) * 1000)
+            .cast("long")
+            .alias("recall_at_10_e4")
+        )
+        rows.append(
+            n_cand.crossJoin(rec).select(
+                F.lit(np_).cast("long").alias("n_probe"),
+                "n_candidates",
+                "recall_at_10_e4",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("n_probe")
+
+
+def q279_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-health audit — load balance AND geometric coherence of
+    the stored cells: a fat cell makes every probe that touches it
+    expensive (cost variance), and a cell whose members sit no closer
+    to its centroid than random makes the coarse prune lose recall —
+    the exact failure q276/q278 measure downstream. Per cell: vector
+    count, corpus share in ppm, and mean squared distance to the cell
+    centroid (mean_dist_e12, a rounded ratio of exact BIGINT sums); the
+    __TOTAL__ row carries the corpus count, the max-over-mean load
+    factor in e3 (the number an IVF rebalance triggers on), and the
+    global mean dispersion for comparison — cells whose mean_dist_e12
+    approaches the global value are not separating the space.
+    Scale: one pass for centroids, one narrow join for distances, all
+    aggregates map-side combined; the frame is |cells| rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    lcomps = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("c_e6"),
+    )
+    lcent = lcomps.groupBy("label", "dim").agg(
+        F.round(F.sum("c_e6").cast("double") / F.count("*"), 0)
+        .cast("long")
+        .alias("ce_e6")
+    )
+    pv = (
+        lcomps.join(lcent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("c_e6") - F.col("ce_e6"))
+                * (F.col("c_e6") - F.col("ce_e6"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    cells = pv.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.sum("d2") / F.count("*"), 0).cast("long").alias("mean_dist_e12"),
+    )
+    tot = pv.agg(
+        F.count("*").cast("long").alias("__N"),
+        F.round(F.sum("d2") / F.count("*"), 0).cast("long").alias("__md"),
+    ).crossJoin(
+        cells.agg(
+            F.count("*").cast("long").alias("__k"),
+            F.max("n_vectors").cast("long").alias("__mx"),
+        )
+    )
+    per = cells.crossJoin(F.broadcast(tot)).select(
+        F.concat(F.lit("cell_"), F.col("label").cast("string")).alias("cell"),
+        "n_vectors",
+        F.round(F.lit(1e6) * F.col("n_vectors") / F.col("__N"), 0)
+        .cast("long")
+        .alias("share_ppm"),
+        "mean_dist_e12",
+        F.lit(None).cast("long").alias("load_factor_e3"),
+    )
+    total = tot.select(
+        F.lit("__TOTAL__").alias("cell"),
+        F.col("__N").alias("n_vectors"),
+        F.lit(1000000).cast("long").alias("share_ppm"),
+        F.col("__md").alias("mean_dist_e12"),
+        F.round(F.lit(1e3) * F.col("__mx") * F.col("__k") / F.col("__N"), 0)
+        .cast("long")
+        .alias("load_factor_e3"),
+    )
+    return per.unionByName(total).orderBy("cell")
 
 
 def q273_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +1028,9 @@ QUERIES = {
     "q268_dim_variance_prune": q268_dim_variance_prune,
     "q273_embedding_norm_audit": q273_embedding_norm_audit,
     "q274_pq_adc_search": q274_pq_adc_search,
+    "q276_ivfpq_search": q276_ivfpq_search,
+    "q278_ivfpq_probe_sweep": q278_ivfpq_probe_sweep,
+    "q279_ivf_cell_balance": q279_ivf_cell_balance,
     "q207_semdedup": q207_semdedup,
     "q218_mmr_rerank": q218_mmr_rerank,
     "q240_semdedup_scaled": q240_semdedup_scaled,
@@ -791,10 +1053,10 @@ QUERIES = {
     "q108_ann_recall": q108_ann_recall,
 }
 
-ORACLES = {
-    # q263's codebook/assignment chain + the per-(sub, cand) query
-    # lookup table + 4-lookup ADC sums + exact-L2 audit, top-10
-    "q274_pq_adc_search": """
+#: q263's codebook/assignment chain + the per-(sub, cand) query lookup
+#: table — the shared WITH-prefix for every PQ/ADC oracle (q274 serves
+#: corpus-wide; llm.py's q276/q278 append the IVF coarse probe to it)
+_PQ_SQL = """
 WITH comps AS MATERIALIZED (
   SELECT vec_id, CAST(vec_id % 4 AS BIGINT) AS seed,
          CAST(FLOOR((generate_subscripts(embedding, 1) - 1) / 16) AS BIGINT) AS sub,
@@ -813,7 +1075,7 @@ d AS (
   FROM comps a JOIN cent c ON c.sub = a.sub AND c.dim = a.dim
   GROUP BY 1, 2, 3
 ),
-codes AS (
+codes AS MATERIALIZED (
   SELECT vec_id, sub, cand FROM (
     SELECT vec_id, sub, cand,
            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
@@ -822,12 +1084,151 @@ codes AS (
   ) WHERE rn = 1
 ),
 qc AS (SELECT sub, dim, c_e6 AS q_e6 FROM comps WHERE vec_id = 0),
-tq AS (
+tq AS MATERIALIZED (
   SELECT c.sub, c.cand,
          CAST(SUM((q.q_e6 - c.cent_e6) * (q.q_e6 - c.cent_e6)) AS BIGINT) AS qd
   FROM qc q JOIN cent c ON c.sub = q.sub AND c.dim = q.dim
   GROUP BY 1, 2
+)"""
+
+#: the IVFADC+R coarse stage as a WITH-continuation of _PQ_SQL: stored
+#: label cells, exact-integer centroid ranking for query vec 0, and the
+#: exact-L2 ground-truth frames the recall audit reads
+_IVF_COARSE_SQL = """,
+lcomps AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings
 ),
+lcent AS MATERIALIZED (
+  SELECT label, dim,
+         CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS ce_e6
+  FROM lcomps GROUP BY label, dim
+),
+crank AS MATERIALIZED (
+  SELECT label, ROW_NUMBER() OVER (ORDER BY cd, label) AS pr FROM (
+    SELECT l.label,
+           CAST(SUM((l.ce_e6 - q.q_e6) * (l.ce_e6 - q.q_e6)) AS BIGINT) AS cd
+    FROM lcent l JOIN qc q ON q.dim = l.dim
+    GROUP BY l.label
+  )
+),
+exall AS MATERIALIZED (
+  SELECT a.vec_id,
+         CAST(SUM((a.c_e6 - q.q_e6) * (a.c_e6 - q.q_e6)) AS BIGINT) AS exact_e12
+  FROM comps a JOIN qc q ON q.dim = a.dim
+  WHERE a.vec_id <> 0
+  GROUP BY a.vec_id
+),
+ex10 AS MATERIALIZED (
+  SELECT vec_id FROM exall ORDER BY exact_e12, vec_id LIMIT 10
+)"""
+
+
+def _ivfpq_probe_sql(np_: int) -> str:
+    """Per-probe-width continuation for the q276/q278 oracles: probed
+    cell members, their ADC shortlist-50, and the exact re-rank top-10
+    — the same IVFADC+R stages as _ivfpq_rerank."""
+    return f""",
+cand{np_} AS (
+  SELECT e.vec_id FROM embeddings e
+  WHERE e.label IN (SELECT label FROM crank WHERE pr <= {np_})
+    AND e.vec_id <> 0
+),
+adc{np_} AS (
+  SELECT k.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_e12
+  FROM codes k JOIN tq t ON t.sub = k.sub AND t.cand = k.cand
+  WHERE k.vec_id IN (SELECT vec_id FROM cand{np_})
+  GROUP BY k.vec_id
+),
+short{np_} AS (
+  SELECT vec_id, adc_e12 FROM adc{np_} ORDER BY adc_e12, vec_id LIMIT 50
+),
+rr{np_} AS (
+  SELECT s.vec_id, s.adc_e12, x.exact_e12
+  FROM short{np_} s JOIN exall x USING (vec_id)
+  ORDER BY x.exact_e12, s.vec_id LIMIT 10
+)"""
+
+
+ORACLES = {
+    # IVFADC+R composed: L2 cell probe (2 cells) -> ADC shortlist-50 ->
+    # exact re-rank top-10, recall audited vs the exact corpus top-10
+    "q276_ivfpq_search": _PQ_SQL
+    + _IVF_COARSE_SQL
+    + _ivfpq_probe_sql(2)
+    + """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY exact_e12, vec_id) AS BIGINT) AS rank,
+       vec_id, adc_e12, exact_e12,
+       CAST(CASE WHEN vec_id IN (SELECT vec_id FROM ex10)
+                 THEN 1 ELSE 0 END AS BIGINT) AS hit_exact,
+       (SELECT CAST(SUM(CASE WHEN r.vec_id IN (SELECT vec_id FROM ex10)
+                             THEN 1 ELSE 0 END) * 1000 AS BIGINT)
+        FROM rr2 r) AS recall_at_10_e4
+FROM rr2
+ORDER BY rank
+""",
+    # the same composition swept over n_probe ∈ {1, 2, 4}
+    "q278_ivfpq_probe_sweep": _PQ_SQL
+    + _IVF_COARSE_SQL
+    + "".join(_ivfpq_probe_sql(p) for p in (1, 2, 4))
+    + "\nSELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({p} AS BIGINT) AS n_probe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{p}) AS n_candidates,
+       (SELECT CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM ex10)
+                             THEN 1 ELSE 0 END) * 1000 AS BIGINT)
+        FROM rr{p}) AS recall_at_10_e4"""
+        for p in (1, 2, 4)
+    )
+    + "\n) ORDER BY n_probe\n",
+    # per-cell load + geometric coherence, __TOTAL__ carries the
+    # max-over-mean load factor and the global dispersion
+    "q279_ivf_cell_balance": """
+WITH lcomps AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0) AS BIGINT) AS c_e6
+  FROM embeddings
+),
+lcent AS (
+  SELECT label, dim,
+         CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS ce_e6
+  FROM lcomps GROUP BY label, dim
+),
+pv AS (
+  SELECT a.vec_id, a.label,
+         CAST(SUM((a.c_e6 - l.ce_e6) * (a.c_e6 - l.ce_e6)) AS BIGINT) AS d2
+  FROM lcomps a JOIN lcent l ON l.label = a.label AND l.dim = a.dim
+  GROUP BY a.vec_id, a.label
+),
+cells AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(d2) / COUNT(*), 0) AS BIGINT) AS md
+  FROM pv GROUP BY label
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(MAX(n) AS BIGINT) AS mx
+  FROM cells
+),
+gmd AS (SELECT CAST(ROUND(SUM(d2) / COUNT(*), 0) AS BIGINT) AS md FROM pv)
+SELECT cell, n_vectors, share_ppm, mean_dist_e12, load_factor_e3 FROM (
+  SELECT 'cell_' || CAST(label AS VARCHAR) AS cell, n AS n_vectors,
+         CAST(ROUND(1e6 * n / tot.nt, 0) AS BIGINT) AS share_ppm,
+         md AS mean_dist_e12,
+         CAST(NULL AS BIGINT) AS load_factor_e3
+  FROM cells, tot
+  UNION ALL
+  SELECT '__TOTAL__', nt, CAST(1000000 AS BIGINT), gmd.md,
+         CAST(ROUND(1e3 * mx * k / nt, 0) AS BIGINT)
+  FROM tot, gmd
+) ORDER BY cell
+""",
+    # 4-lookup ADC sums + exact-L2 audit, top-10
+    "q274_pq_adc_search": _PQ_SQL
+    + """,
 adc AS (
   SELECT k.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_e12
   FROM codes k JOIN tq t ON t.sub = k.sub AND t.cand = k.cand
