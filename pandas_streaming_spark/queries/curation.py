@@ -772,8 +772,163 @@ def q266_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q280_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced SHARD MANIFEST for N=8 data-loader workers — the
+    assignment a distributed trainer computes before the first step (an
+    unbalanced shard makes every gradient step wait for the fattest
+    worker): docs ranked by (token count desc, doc_id), then dealt
+    SERPENTINE over 16 positions (0..7 then 7..0 — the folded
+    round-robin that cancels the size gradient a plain modulo deal
+    leaves: consecutive size-ranked docs land on mirrored workers, so
+    each pair of passes gives every shard one big + one small). Graded:
+    per-shard doc/token counts and token share in ppm, plus a __TOTAL__
+    row carrying the max-minus-min token imbalance in ppm of the mean —
+    the number the manifest is rebuilt to minimize. Everything integer:
+    serpentine position is pure modular arithmetic on the rank.
+    Scale: one window over the doc-count-sized (doc, tokens) frame;
+    at real scale the rank comes from q180's two-phase global index."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("toks")
+    )
+    w = Window.orderBy(F.col("toks").desc(), "doc_id")
+    dealt = toks.withColumn("__r", F.row_number().over(w)).select(
+        "doc_id",
+        "toks",
+        F.expr(
+            "CAST(CASE WHEN (__r - 1) % 16 < 8 THEN (__r - 1) % 16 "
+            "ELSE 15 - ((__r - 1) % 16) END AS BIGINT)"
+        ).alias("shard"),
+    )
+    cells = dealt.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+    )
+    tot = cells.agg(
+        F.sum("n_tokens").cast("long").alias("__T"),
+        F.sum("n_docs").cast("long").alias("__D"),
+        F.count("*").cast("long").alias("__k"),
+        F.max("n_tokens").cast("long").alias("__mx"),
+        F.min("n_tokens").cast("long").alias("__mn"),
+    )
+    per = cells.crossJoin(F.broadcast(tot)).select(
+        F.concat(F.lit("shard_"), F.col("shard").cast("string")).alias("shard"),
+        "n_docs",
+        "n_tokens",
+        F.round(F.lit(1e6) * F.col("n_tokens") / F.col("__T"), 0)
+        .cast("long")
+        .alias("share_ppm"),
+        F.lit(None).cast("long").alias("imbalance_ppm"),
+    )
+    total = tot.select(
+        F.lit("__TOTAL__").alias("shard"),
+        F.col("__D").alias("n_docs"),
+        F.col("__T").alias("n_tokens"),
+        F.lit(1000000).cast("long").alias("share_ppm"),
+        F.round(
+            F.lit(1e6) * (F.col("__mx") - F.col("__mn")) * F.col("__k")
+            / F.col("__T"),
+            0,
+        )
+        .cast("long")
+        .alias("imbalance_ppm"),
+    )
+    return per.unionByName(total).orderBy("shard")
+
+
+def q281_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRIDE-INTERLEAVED training order across sources —
+    the data-loader schedule that turns q216-style mixing weights into
+    an actual document SEQUENCE (stride scheduling: source s's r-th doc
+    runs at virtual time (2r−1)/(2·n_s), so each source's docs spread
+    evenly through the epoch instead of arriving in source-sized
+    blocks; a shuffled-concat order would put early training entirely
+    on one source). Virtual time rides an exact integer key:
+    ``(2r−1)·1e9 div n_s`` (both engines integral-divide int64; r ≤ 1e7
+    keeps the product in range), ties broken (source, doc_id). Graded:
+    the first 40 positions of the epoch — the interleaving is visible
+    as source alternation — with each row's source, doc_id, in-source
+    rank and the integer virtual-time key. Scale: one per-source rank
+    window + a TakeOrdered-40 over the keyed frame; no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    keyed = (
+        docs.select("source", "doc_id")
+        .withColumn("r", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n_s", F.count("*").over(Window.partitionBy("source")).cast("long")
+        )
+        .select(
+            "source",
+            "doc_id",
+            "r",
+            F.expr("CAST((2 * r - 1) * 1000000000 div n_s AS BIGINT)").alias(
+                "vt_key"
+            ),
+        )
+    )
+    first = keyed.orderBy("vt_key", "source", "doc_id").limit(40)
+    wp = Window.orderBy("vt_key", "source", "doc_id")
+    return (
+        first.withColumn("position", F.row_number().over(wp).cast("long"))
+        .select("position", "source", "doc_id", "r", "vt_key")
+        .orderBy("position")
+    )
+
+
+def q283_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window TRUNCATION-LOSS audit — what a fixed sequence
+    budget (C=256 tokens) silently throws away, per source: docs over
+    budget, tokens lost (Σ max(toks−C, 0)), and the loss share in ppm.
+    The q239/q258 packing entries optimize HOW to cut; this measures
+    WHAT a naive truncate-at-C policy costs per source — the number
+    that decides whether a source needs chunking (q84) instead of
+    truncation. All exact integers except the rounded ppm ratios.
+    Scale: one narrow map (token count per doc) + a map-side-combined
+    per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 256
+    t = docs.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("toks")
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("toks") > budget).cast("long"))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.sum(F.greatest(F.col("toks") - budget, F.lit(0)))
+            .cast("long")
+            .alias("tokens_lost"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_truncated",
+            "n_tokens",
+            "tokens_lost",
+            F.round(F.lit(1e6) * F.col("tokens_lost") / F.col("n_tokens"), 0)
+            .cast("long")
+            .alias("loss_ppm"),
+            F.round(F.lit(1e6) * F.col("n_truncated") / F.col("n_docs"), 0)
+            .cast("long")
+            .alias("truncated_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q196_negative_pairs": q196_negative_pairs,
+    "q280_shard_manifest": q280_shard_manifest,
+    "q281_interleave_order": q281_interleave_order,
+    "q283_truncation_loss": q283_truncation_loss,
     "q266_epoch_allocation": q266_epoch_allocation,
     "q209_pack_bins": q209_pack_bins,
     "q258_packing_size_sweep": q258_packing_size_sweep,
@@ -825,6 +980,81 @@ trg_{label} AS (SELECT DISTINCT g FROM g_{label} WHERE split = 'train')
 """
 
 ORACLES = {
+    # serpentine deal over the (toks desc, doc_id) rank; ppm shares
+    "q280_shard_manifest": """
+WITH t AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS toks
+  FROM documents
+),
+dealt AS (
+  SELECT toks,
+         CAST(CASE WHEN (r - 1) % 16 < 8 THEN (r - 1) % 16
+              ELSE 15 - ((r - 1) % 16) END AS BIGINT) AS shard
+  FROM (SELECT doc_id, toks,
+               ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) AS r
+        FROM t)
+),
+cells AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens
+  FROM dealt GROUP BY shard
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt, CAST(SUM(n_docs) AS BIGINT) AS dd,
+         CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(n_tokens) AS BIGINT) AS mx,
+         CAST(MIN(n_tokens) AS BIGINT) AS mn
+  FROM cells
+)
+SELECT shard, n_docs, n_tokens, share_ppm, imbalance_ppm FROM (
+  SELECT 'shard_' || CAST(shard AS VARCHAR) AS shard, n_docs, n_tokens,
+         CAST(ROUND(1e6 * n_tokens / tot.tt, 0) AS BIGINT) AS share_ppm,
+         CAST(NULL AS BIGINT) AS imbalance_ppm
+  FROM cells, tot
+  UNION ALL
+  SELECT '__TOTAL__', dd, tt, CAST(1000000 AS BIGINT),
+         CAST(ROUND(1e6 * (mx - mn) * k / tt, 0) AS BIGINT)
+  FROM tot
+) ORDER BY shard
+""",
+    # stride-scheduled virtual-time key, integral div, first 40
+    "q281_interleave_order": """
+WITH keyed AS (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+  FROM documents
+),
+vt AS (
+  SELECT source, doc_id, r,
+         CAST((2 * r - 1) * 1000000000 // n_s AS BIGINT) AS vt_key
+  FROM keyed
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt_key, source, doc_id) AS BIGINT)
+         AS position,
+       source, doc_id, r, vt_key
+FROM vt
+QUALIFY position <= 40
+ORDER BY position
+""",
+    # per-source truncation loss at C=256, exact sums + rounded ppm
+    "q283_truncation_loss": """
+WITH t AS (
+  SELECT source, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS toks
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN toks > 256 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(GREATEST(toks - 256, 0)) AS BIGINT) AS tokens_lost,
+       CAST(ROUND(1e6 * SUM(GREATEST(toks - 256, 0)) / SUM(toks), 0)
+            AS BIGINT) AS loss_ppm,
+       CAST(ROUND(1e6 * SUM(CASE WHEN toks > 256 THEN 1 ELSE 0 END)
+                  / COUNT(*), 0) AS BIGINT) AS truncated_ppm
+FROM t GROUP BY source ORDER BY source
+""",
     # q216's sqrt-e6/ppm weight rule, 30% budget floor-divided exactly,
     # centi-epoch floor
     "q266_epoch_allocation": """

@@ -830,6 +830,65 @@ best AS MATERIALIZED (
 )"""
 
 
+def q282_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW vocabulary-growth curve — the scaling measurement
+    behind every vocab-size decision (V(n) ≈ K·n^β: if vocabulary still
+    grows steeply at the corpus edge, the tokenizer's vocab budget is
+    under-provisioned and OOV/fertility will degrade on the next data
+    scale-up; q215 answers "how much does a top-V vocab cover TODAY",
+    this answers "where is V heading"): docs in doc_id order are cut at
+    integral deciles (n_docs_d = N·d div 10, exact both engines), and
+    each checkpoint reports cumulative tokens, cumulative DISTINCT
+    vocabulary, and the decile's new-type count. The distinct-count is
+    computed by first-occurrence rank (min doc rank per token) so the
+    10 checkpoints share ONE vocabulary-sized frame instead of 10
+    distinct-aggregates. Scale: one explode + min-aggregate (map-side
+    combined) + two 10-row broadcast theta joins — the curve costs one
+    corpus pass regardless of checkpoint count."""
+    docs = _t(spark, sf_dir, "documents")
+    ranked = (
+        docs.select("doc_id", F.split("text", " ").alias("__t"))
+        .withColumn(
+            "__r", F.row_number().over(Window.orderBy("doc_id")).cast("long")
+        )
+    )
+    n_row = ranked.agg(F.count("*").cast("long").alias("__N"))
+    cps = n_row.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"), "__N"
+    ).select(
+        F.col("decile").cast("long").alias("decile"),
+        F.expr("CAST(__N * decile div 10 AS BIGINT)").alias("n_docs"),
+    )
+    first = (
+        ranked.select("__r", F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("__r").alias("fr"))
+    )
+    v = (
+        first.crossJoin(F.broadcast(cps))
+        .filter(F.col("fr") <= F.col("n_docs"))
+        .groupBy("decile", "n_docs")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    c = (
+        ranked.select("__r", F.size("__t").cast("long").alias("toks"))
+        .crossJoin(F.broadcast(cps))
+        .filter(F.col("__r") <= F.col("n_docs"))
+        .groupBy("decile", "n_docs")
+        .agg(F.sum("toks").cast("long").alias("n_tokens_cum"))
+    )
+    wd = Window.orderBy("decile")
+    return (
+        v.join(c, ["decile", "n_docs"])
+        .withColumn(
+            "new_tokens",
+            (F.col("vocab") - F.lag("vocab", 1, 0).over(wd)).cast("long"),
+        )
+        .select("decile", "n_docs", "n_tokens_cum", "vocab", "new_tokens")
+        .orderBy("decile")
+    )
+
+
 QUERIES = {
     "q211_bpe_merge_step": q211_bpe_merge_step,
     "q215_vocab_coverage": q215_vocab_coverage,
@@ -838,9 +897,40 @@ QUERIES = {
     "q261_bpe_train_iterative": q261_bpe_train_iterative,
     "q275_unigram_lm_step": q275_unigram_lm_step,
     "q277_unigram_fertility": q277_unigram_fertility,
+    "q282_heaps_curve": q282_heaps_curve,
 }
 
 ORACLES = {
+    # first-occurrence-rank vocabulary counting at integral deciles
+    "q282_heaps_curve": """
+WITH ranked AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+         CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS r
+  FROM documents
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+firsts AS (
+  SELECT tok, CAST(MIN(r) AS BIGINT) AS fr
+  FROM (SELECT r, UNNEST(t) AS tok FROM ranked) GROUP BY tok
+),
+cps AS (
+  SELECT CAST(d AS BIGINT) AS decile, CAST(nn.n * d // 10 AS BIGINT) AS n_docs
+  FROM UNNEST(GENERATE_SERIES(1, 10)) AS g(d), nn
+),
+v AS (
+  SELECT decile, n_docs, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM firsts, cps WHERE fr <= n_docs GROUP BY decile, n_docs
+),
+c AS (
+  SELECT decile, n_docs, CAST(SUM(LEN(t)) AS BIGINT) AS n_tokens_cum
+  FROM ranked, cps WHERE r <= n_docs GROUP BY decile, n_docs
+)
+SELECT v.decile, v.n_docs, c.n_tokens_cum, v.vocab,
+       CAST(v.vocab - COALESCE(LAG(v.vocab) OVER (ORDER BY v.decile), 0)
+            AS BIGINT) AS new_tokens
+FROM v JOIN c USING (decile, n_docs)
+ORDER BY decile
+""",
     # enumeration-based replay of the Viterbi E-step + M-step recount
     "q275_unigram_lm_step": _unigram_sql()
     + """,
