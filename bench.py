@@ -369,6 +369,15 @@ def main() -> None:
         "q272_minhash_calibration",  # sketch-vs-exact Jaccard table
         "q273_embedding_norm_audit",  # norm-band ingest QA
         "q274_pq_adc_search",        # ADC lookup-table PQ serving
+        "q275_unigram_lm_step",      # unigram-LM EM step (JVM Viterbi HOF)
+        "q276_ivfpq_search",         # composed IVFADC+R probe + recall
+        "q277_unigram_fertility",    # pieces/word by language
+        "q278_ivfpq_probe_sweep",    # recall-vs-cost n_probe curve
+        "q279_ivf_cell_balance",     # cell load + coherence audit
+        "q280_shard_manifest",       # serpentine token-balanced shards
+        "q281_interleave_order",     # stride-scheduled training order
+        "q282_heaps_curve",          # vocabulary-growth deciles
+        "q283_truncation_loss",      # context-budget loss audit
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -108,3 +108,130 @@ def test_bench_external_cpu_probe_ignores_own_work():
     time.sleep(0.2)
     ext = bench._external_cores(probe)
     assert ext < 0.75, f"own subprocess counted as external: {ext} cores"
+
+
+def test_q275_segmentation_reconstructs_words(spark, sf_dir):
+    """Every Viterbi path must spell its word exactly (pieces joined in
+    order == word), and every piece must be in the seed vocab."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.queries.tokenizer import _unigram_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    _words, vocab, seg = _unigram_model(docs)
+    pieces = {r["piece"] for r in vocab.collect()}
+    rows = seg.collect()
+    assert len(rows) > 0
+    for r in rows:
+        parts = r["path"].split(" ")
+        assert "".join(parts) == r["word"]
+        assert all(p in pieces for p in parts)
+        assert r["score_hb"] < 0  # log-probs are negative
+
+
+def test_q277_fertility_bounds(spark, sf_dir):
+    """Fertility must be >= 1 piece/word and <= chars/word (a piece is
+    1..3 chars), per language."""
+    from pandas_streaming_spark.queries.tokenizer import q277_unigram_fertility
+
+    rows = q277_unigram_fertility(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_pieces"] >= r["n_words"]
+        assert r["n_pieces"] <= r["n_chars"]
+        assert r["fertility_e3"] >= 1000
+
+
+def test_q278_recall_monotone_in_probe_width(spark, sf_dir):
+    """Widening the probe can only add candidates, so recall@10 must be
+    non-decreasing in n_probe and candidate counts strictly ordered."""
+    from pandas_streaming_spark.queries.vectors import q278_ivfpq_probe_sweep
+
+    rows = q278_ivfpq_probe_sweep(spark, sf_dir).collect()
+    assert [r["n_probe"] for r in rows] == [1, 2, 4]
+    cands = [r["n_candidates"] for r in rows]
+    recalls = [r["recall_at_10_e4"] for r in rows]
+    assert cands[0] <= cands[1] <= cands[2]
+    assert recalls[0] <= recalls[1] <= recalls[2]
+
+
+def test_q276_survivors_come_from_probed_cells(spark, sf_dir):
+    """Composition invariant: every q276 result vector must belong to
+    one of the 2 cells nearest the query by exact centroid L2."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.queries.vectors import (
+        _ivf_cell_frames,
+        q276_ivfpq_search,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _l, lcent, _c, qc, _t2, _e = _ivf_cell_frames(emb)
+    cells = {
+        r["label"]
+        for r in lcent.join(
+            qc.select("dim", "q_e6"), "dim"
+        )
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (F.col("ce_e6") - F.col("q_e6"))
+                * (F.col("ce_e6") - F.col("q_e6"))
+            ).alias("cd")
+        )
+        .orderBy("cd", "label")
+        .limit(2)
+        .collect()
+    }
+    lab = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    out = q276_ivfpq_search(spark, sf_dir).collect()
+    assert len(out) == 10
+    assert all(lab[r["vec_id"]] in cells for r in out)
+
+
+def test_q280_serpentine_balance(spark, sf_dir):
+    """8 shards, doc counts within the serpentine deal's +-2 bound, and
+    token sums + shares consistent with the __TOTAL__ row."""
+    from pandas_streaming_spark.queries.curation import q280_shard_manifest
+
+    rows = q280_shard_manifest(spark, sf_dir).collect()
+    per = [r for r in rows if r["shard"] != "__TOTAL__"]
+    tot = [r for r in rows if r["shard"] == "__TOTAL__"][0]
+    assert len(per) == 8
+    assert sum(r["n_docs"] for r in per) == tot["n_docs"]
+    assert sum(r["n_tokens"] for r in per) == tot["n_tokens"]
+    counts = [r["n_docs"] for r in per]
+    assert max(counts) - min(counts) <= 2
+    assert tot["imbalance_ppm"] >= 0
+
+
+def test_q281_interleaves_sources(spark, sf_dir):
+    """The stride schedule must interleave: the first 40 positions span
+    more than one source, the virtual-time key is non-decreasing, and
+    within a source the in-source rank is strictly increasing."""
+    from collections import defaultdict
+
+    from pandas_streaming_spark.queries.curation import q281_interleave_order
+
+    rows = q281_interleave_order(spark, sf_dir).collect()
+    assert len(rows) == 40
+    assert len({r["source"] for r in rows}) > 1
+    keys = [r["vt_key"] for r in rows]
+    assert keys == sorted(keys)
+    seen = defaultdict(int)
+    for r in rows:
+        assert r["r"] == seen[r["source"]] + 1
+        seen[r["source"]] = r["r"]
+
+
+def test_q282_heaps_monotone(spark, sf_dir):
+    """Vocabulary and cumulative tokens are non-decreasing across
+    deciles; new_tokens telescopes back to the final vocabulary."""
+    from pandas_streaming_spark.queries.tokenizer import q282_heaps_curve
+
+    rows = q282_heaps_curve(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b["vocab"] >= a["vocab"]
+        assert b["n_tokens_cum"] >= a["n_tokens_cum"]
+        assert b["n_docs"] >= a["n_docs"]
+    assert sum(r["new_tokens"] for r in rows) == rows[-1]["vocab"]
