@@ -378,6 +378,9 @@ def main() -> None:
         "q281_interleave_order",     # stride-scheduled training order
         "q282_heaps_curve",          # vocabulary-growth deciles
         "q283_truncation_loss",      # context-budget loss audit
+        "q284_source_neardup_matrix",  # cross-source near-dup pairs
+        "q285_pq_codebook_refine",   # PQ Lloyd M-step + error delta
+        "q286_dedup_retention",      # per-source dedup survivorship
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -705,7 +705,112 @@ def q249_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_pairs(docs: DataFrame, threshold_e4: int = 8000) -> DataFrame:
+    """Shared near-dup pair frame (q284 grades the cross-source matrix;
+    q286 the per-source retention): q50's production LSH candidates
+    (4×2 banding, max_bucket=64) verified by the candidate-scoped exact
+    Jaccard (q52's plan), kept at rounded jac_e4 ≥ threshold. At a 0.8
+    threshold the 4×2 banding's per-pair miss is (1−j²)⁴ ≤ 1.7% — the
+    retrieval operating point; the oracle re-derives the identical
+    candidate set so the grade is parity-exact regardless."""
+    cands = lsh_candidate_pairs(docs, n_hashes=8, bands=4, k=3, max_bucket=64)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.0, candidates=cands)
+    jac_e4 = F.round(
+        F.lit(10000.0)
+        * F.col("common")
+        / (F.col("na") + F.col("nb") - F.col("common")),
+        0,
+    ).cast("long")
+    return pairs.select("id_a", "id_b", jac_e4.alias("jac_e4")).filter(
+        F.col("jac_e4") >= threshold_e4
+    )
+
+
+def q284_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source NEAR-DUP CONTAMINATION MATRIX — which sources copy
+    from each other (the provenance/licensing audit a corpus governance
+    pass runs; q231's token-set overlap is the distributional view,
+    this counts actual near-duplicate DOCUMENT pairs): near-dup pairs
+    at jac ≥ 0.8 (LSH-proposed, exactly verified — _neardup_pairs),
+    each attributed to its unordered source pair, with the pair count
+    and mean similarity (rounded ratio of exact integer sums). The
+    diagonal (source_a == source_b) is within-source duplication; the
+    off-diagonal is cross-source copying. Scale: everything rides the
+    bucketed LSH + candidate-scoped verify; the source attribution is
+    two id-keyed joins against a (doc_id, source) projection."""
+    docs = _t(spark, sf_dir, "documents")
+    nd = _neardup_pairs(docs, 8000)
+    s = docs.select("doc_id", "source")
+    m = (
+        nd.join(
+            s.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            s.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")),
+            "id_b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            "jac_e4",
+        )
+    )
+    return (
+        m.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.sum("jac_e4") / F.count("*"), 0)
+            .cast("long")
+            .alias("mean_jac_e4"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def q286_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup RETENTION — the survivorship-bias readout a
+    curation report ships next to its dedup stage (a source that loses
+    30% to near-dup removal was probably scraped twice; one that loses
+    nothing may be under-crawled): apply the pairwise keep-smallest
+    rule (a doc is removed iff it is the LARGER id of any qualifying
+    near-dup pair — the greedy form; q82's connected-components
+    canonicalization is the exhaustive variant) and report per source:
+    docs, removed, retained, retention in ppm. Scale: the removal set
+    is one distinct projection of the pair frame; retention is one
+    map-side-combined aggregate after a left join."""
+    docs = _t(spark, sf_dir, "documents")
+    nd = _neardup_pairs(docs, 8000)
+    removed = nd.select(F.col("id_b").alias("doc_id")).distinct().withColumn(
+        "__rm", F.lit(1)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(removed, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce("__rm", F.lit(0))).cast("long").alias("n_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_removed",
+            (F.col("n_docs") - F.col("n_removed")).cast("long").alias("n_retained"),
+            F.round(
+                F.lit(1e6) * (F.col("n_docs") - F.col("n_removed")) / F.col("n_docs"),
+                0,
+            )
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "q284_source_neardup_matrix": q284_source_neardup_matrix,
+    "q286_dedup_retention": q286_dedup_retention,
     "q272_minhash_calibration": q272_minhash_calibration,
     "q247_entity_resolution": q247_entity_resolution,
     "q249_containment_dedup": q249_containment_dedup,

@@ -417,6 +417,102 @@ JOIN sizes nb ON nb.doc_id = id_b
 ORDER BY jac_e4 DESC, id_a, id_b
 LIMIT 20
 """,
+    # q50 candidates + candidate-scoped exact Jaccard at >= 0.8,
+    # attributed to unordered source pairs
+    "q284_source_neardup_matrix": f"""
+WITH bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM ({_MINHASH_SIG})
+  GROUP BY doc_id, s // 2
+),
+ok AS (
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS c
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+nd AS (
+  SELECT * FROM (
+    SELECT id_a, id_b,
+           CAST(ROUND(10000.0 * c / (na.n + nb.n - c), 0) AS BIGINT) AS jac_e4
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+  ) WHERE jac_e4 >= 8000
+)
+SELECT LEAST(sa.source, sb.source) AS source_a,
+       GREATEST(sa.source, sb.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(SUM(jac_e4) / COUNT(*), 0) AS BIGINT) AS mean_jac_e4
+FROM nd
+JOIN documents sa ON sa.doc_id = nd.id_a
+JOIN documents sb ON sb.doc_id = nd.id_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    # same near-dup frame; pairwise keep-smallest removal, per-source
+    # retention ppm
+    "q286_dedup_retention": f"""
+WITH bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM ({_MINHASH_SIG})
+  GROUP BY doc_id, s // 2
+),
+ok AS (
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS c
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+nd AS (
+  SELECT * FROM (
+    SELECT id_a, id_b,
+           CAST(ROUND(10000.0 * c / (na.n + nb.n - c), 0) AS BIGINT) AS jac_e4
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+  ) WHERE jac_e4 >= 8000
+),
+removed AS (SELECT DISTINCT id_b AS doc_id FROM nd)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed,
+       CAST(COUNT(*) - SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_retained,
+       CAST(ROUND(1e6 * (COUNT(*) - SUM(CASE WHEN r.doc_id IS NULL
+                                             THEN 0 ELSE 1 END))
+                  / COUNT(*), 0) AS BIGINT) AS retention_ppm
+FROM documents d LEFT JOIN removed r ON r.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
     "q82_dedup_clusters": f"""
 WITH RECURSIVE bands AS (
   SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh

@@ -966,6 +966,73 @@ def q279_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(total).orderBy("cell")
 
 
+def q285_pq_codebook_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One LLOYD REFINEMENT of the PQ codebooks — the training step
+    that turns q263's seed codebooks into a real quantizer (production
+    PQ trains each subspace's codewords with k-means; q263 is the
+    E-step under seed centroids, this adds the M-step and re-measures):
+    per (subspace, codeword): assigned-vector count, quantization error
+    under the OLD codebook (exact BIGINT, the sum of q263's argmin
+    distances), error under the RE-ESTIMATED codebook (fixed-point mean
+    of the assigned components — the q96 policy), and the squared
+    codeword shift. err_after ≤ err_before per cell up to the e6
+    rounding of the mean (the mean is the exact L2 minimizer) — the
+    convergence readout a PQ trainer monitors per iteration.
+    Scale: same linear shapes as q263 (component join + map-side
+    combined aggregates); codebooks stay m·k·16 cells — broadcast
+    size at any corpus."""
+    comps, cent, best = _pq_assign(_t(spark, sf_dir, "embeddings"))
+    assigned = best.select(
+        "vec_id",
+        "sub",
+        F.col("m.cand").alias("cand"),
+        F.col("m.dist").alias("dist"),
+    )
+    joined = comps.drop("seed").join(assigned, ["vec_id", "sub"])
+    newcent = joined.groupBy("sub", "cand", "dim").agg(
+        F.round(F.sum("c_e6").cast("double") / F.count("*"), 0)
+        .cast("long")
+        .alias("new_e6")
+    )
+    eb = assigned.groupBy("sub", "cand").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("dist").cast("long").alias("err_before_e12"),
+    )
+    ea = (
+        joined.join(newcent, ["sub", "cand", "dim"])
+        .groupBy("sub", "cand")
+        .agg(
+            F.sum(
+                (F.col("c_e6") - F.col("new_e6"))
+                * (F.col("c_e6") - F.col("new_e6"))
+            )
+            .cast("long")
+            .alias("err_after_e12")
+        )
+    )
+    sh = (
+        newcent.join(cent, ["sub", "cand", "dim"])
+        .groupBy("sub", "cand")
+        .agg(
+            F.sum(
+                (F.col("new_e6") - F.col("cent_e6"))
+                * (F.col("new_e6") - F.col("cent_e6"))
+            )
+            .cast("long")
+            .alias("shift_e12")
+        )
+    )
+    return (
+        eb.join(ea, ["sub", "cand"])
+        .join(sh, ["sub", "cand"])
+        .select(
+            "sub", "cand", "n_vectors", "err_before_e12", "err_after_e12",
+            "shift_e12",
+        )
+        .orderBy("sub", "cand")
+    )
+
+
 def q273_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-norm QA — the sanity screen a vector pipeline runs at
     ingest (zero vectors, truncated uploads, and un-normalized batches
@@ -1031,6 +1098,7 @@ QUERIES = {
     "q276_ivfpq_search": q276_ivfpq_search,
     "q278_ivfpq_probe_sweep": q278_ivfpq_probe_sweep,
     "q279_ivf_cell_balance": q279_ivf_cell_balance,
+    "q285_pq_codebook_refine": q285_pq_codebook_refine,
     "q207_semdedup": q207_semdedup,
     "q218_mmr_rerank": q218_mmr_rerank,
     "q240_semdedup_scaled": q240_semdedup_scaled,
@@ -1153,6 +1221,51 @@ rr{np_} AS (
 
 
 ORACLES = {
+    # Lloyd M-step over the q263 assignment: re-estimated codebooks,
+    # before/after quantization error, codeword shift
+    "q285_pq_codebook_refine": _PQ_SQL
+    + """,
+assigned AS MATERIALIZED (
+  SELECT vec_id, sub, cand, dist FROM (
+    SELECT vec_id, sub, cand, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, cand) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+newcent AS MATERIALIZED (
+  SELECT a.sub, a.cand, c.dim,
+         CAST(ROUND(CAST(SUM(c.c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS new_e6
+  FROM assigned a JOIN comps c ON c.vec_id = a.vec_id AND c.sub = a.sub
+  GROUP BY 1, 2, 3
+),
+eb AS (
+  SELECT sub, cand, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(dist) AS BIGINT) AS err_before_e12
+  FROM assigned GROUP BY 1, 2
+),
+ea AS (
+  SELECT a.sub, a.cand,
+         CAST(SUM((c.c_e6 - n.new_e6) * (c.c_e6 - n.new_e6)) AS BIGINT)
+           AS err_after_e12
+  FROM assigned a
+  JOIN comps c ON c.vec_id = a.vec_id AND c.sub = a.sub
+  JOIN newcent n ON n.sub = a.sub AND n.cand = a.cand AND n.dim = c.dim
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT n.sub, n.cand,
+         CAST(SUM((n.new_e6 - o.cent_e6) * (n.new_e6 - o.cent_e6)) AS BIGINT)
+           AS shift_e12
+  FROM newcent n
+  JOIN cent o ON o.sub = n.sub AND o.cand = n.cand AND o.dim = n.dim
+  GROUP BY 1, 2
+)
+SELECT eb.sub, eb.cand, eb.n_vectors, eb.err_before_e12, ea.err_after_e12,
+       sh.shift_e12
+FROM eb JOIN ea USING (sub, cand) JOIN sh USING (sub, cand)
+ORDER BY sub, cand
+""",
     # IVFADC+R composed: L2 cell probe (2 cells) -> ADC shortlist-50 ->
     # exact re-rank top-10, recall audited vs the exact corpus top-10
     "q276_ivfpq_search": _PQ_SQL

@@ -235,3 +235,46 @@ def test_q282_heaps_monotone(spark, sf_dir):
         assert b["n_tokens_cum"] >= a["n_tokens_cum"]
         assert b["n_docs"] >= a["n_docs"]
     assert sum(r["new_tokens"] for r in rows) == rows[-1]["vocab"]
+
+
+def test_q285_lloyd_step_reduces_error(spark, sf_dir):
+    """The M-step mean is the exact L2 minimizer, so per-cell error
+    under the re-estimated codebook must not exceed the seed-codebook
+    error beyond the e6 rounding slack of the mean (<= 0.25 per
+    component x 16 dims x n members); shifts are positive (the seeds
+    were not the means) and membership covers every (vector, subspace)."""
+    from pandas_streaming_spark.queries.vectors import q285_pq_codebook_refine
+
+    rows = q285_pq_codebook_refine(spark, sf_dir).collect()
+    assert len(rows) > 0
+    total_members = 0
+    for r in rows:
+        slack = 4 * 16 * r["n_vectors"]  # (0.5 e6-ulp)^2 x dims x members
+        assert r["err_after_e12"] <= r["err_before_e12"] + slack, r
+        assert r["shift_e12"] >= 0
+        total_members += r["n_vectors"]
+    from pandas_streaming_spark.catalog import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert total_members == n_vecs * 4  # every vector in all 4 subspaces
+
+
+def test_q284_q286_consistency(spark, sf_dir):
+    """The matrix's pair total must equal the near-dup frame's count,
+    and q286's removals must equal the distinct larger-ids of the same
+    frame, summed across sources."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.queries.dedup_q import (
+        _neardup_pairs,
+        q284_source_neardup_matrix,
+        q286_dedup_retention,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    nd = _neardup_pairs(docs, 8000).collect()
+    matrix = q284_source_neardup_matrix(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in matrix) == len(nd)
+    ret = q286_dedup_retention(spark, sf_dir).collect()
+    assert sum(r["n_removed"] for r in ret) == len({p["id_b"] for p in nd})
+    assert all(0 < r["retention_ppm"] <= 1000000 for r in ret)
+    assert sum(r["n_docs"] for r in ret) == docs.count()
