@@ -381,6 +381,8 @@ def main() -> None:
         "q284_source_neardup_matrix",  # cross-source near-dup pairs
         "q285_pq_codebook_refine",   # PQ Lloyd M-step + error delta
         "q286_dedup_retention",      # per-source dedup survivorship
+        "q287_dup_cluster_histogram",  # CC size distribution + dup factor
+        "q288_gate_calibration",     # gate threshold-response curve
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -808,9 +808,64 @@ def q286_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q287_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — "how duplicated is this
+    corpus" as one histogram (the third panel of the dedup report next
+    to q284's source matrix and q286's retention): connected components
+    over the VERIFIED near-dup pairs (jac ≥ 0.8 — q82 clusters the raw
+    LSH candidates; this clusters what the exact verify confirmed),
+    bucketed by cluster size with doc shares in ppm, plus a __TOTAL__
+    row carrying the corpus DUPLICATION FACTOR in e3 (docs per
+    canonical document = N / #components — the multiplier dedup will
+    reclaim). Scale: pointer-jumping CC is O(log diameter) rounds of
+    shuffle joins; the histogram frame is bounded by the largest
+    cluster size, not the corpus."""
+    from pandas_streaming_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    nd = _neardup_pairs(docs, 8000).select("id_a", "id_b")
+    cc = connected_components(docs, nd)
+    sizes = cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    tot = sizes.agg(
+        F.sum("cluster_size").cast("long").alias("__N"),
+        F.count("*").cast("long").alias("__comp"),
+    )
+    per = hist.crossJoin(F.broadcast(tot)).select(
+        F.concat(
+            F.lit("size_"),
+            F.lpad(F.col("cluster_size").cast("string"), 3, "0"),
+        ).alias("bucket"),
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        F.round(
+            F.lit(1e6) * F.col("cluster_size") * F.col("n_clusters") / F.col("__N"),
+            0,
+        )
+        .cast("long")
+        .alias("share_ppm"),
+        F.lit(None).cast("long").alias("dup_factor_e3"),
+    )
+    total = tot.select(
+        F.lit("__TOTAL__").alias("bucket"),
+        F.col("__comp").alias("n_clusters"),
+        F.col("__N").alias("n_docs"),
+        F.lit(1000000).cast("long").alias("share_ppm"),
+        F.round(F.lit(1e3) * F.col("__N") / F.col("__comp"), 0)
+        .cast("long")
+        .alias("dup_factor_e3"),
+    )
+    return per.unionByName(total).orderBy("bucket")
+
+
 QUERIES = {
     "q284_source_neardup_matrix": q284_source_neardup_matrix,
     "q286_dedup_retention": q286_dedup_retention,
+    "q287_dup_cluster_histogram": q287_dup_cluster_histogram,
     "q272_minhash_calibration": q272_minhash_calibration,
     "q247_entity_resolution": q247_entity_resolution,
     "q249_containment_dedup": q249_containment_dedup,

@@ -513,6 +513,79 @@ FROM documents d LEFT JOIN removed r ON r.doc_id = d.doc_id
 GROUP BY d.source
 ORDER BY d.source
 """,
+    # CC over the VERIFIED (>=0.8) pairs; size histogram + dup factor
+    "q287_dup_cluster_histogram": f"""
+WITH RECURSIVE bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM ({_MINHASH_SIG})
+  GROUP BY doc_id, s // 2
+),
+ok AS (
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS c
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+nd AS (
+  SELECT * FROM (
+    SELECT id_a, id_b,
+           CAST(ROUND(10000.0 * c / (na.n + nb.n - c), 0) AS BIGINT) AS jac_e4
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+  ) WHERE jac_e4 >= 8000
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM nd
+  UNION
+  SELECT id_b, id_a FROM nd
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
+),
+cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+csz AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM cc GROUP BY component
+),
+hist AS (
+  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+  FROM csz GROUP BY cluster_size
+),
+tot AS (
+  SELECT CAST(SUM(cluster_size) AS BIGINT) AS nn,
+         CAST(COUNT(*) AS BIGINT) AS comp
+  FROM csz
+)
+SELECT bucket, n_clusters, n_docs, share_ppm, dup_factor_e3 FROM (
+  SELECT 'size_' || LPAD(CAST(cluster_size AS VARCHAR), 3, '0') AS bucket,
+         n_clusters,
+         CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+         CAST(ROUND(1e6 * cluster_size * n_clusters / tot.nn, 0) AS BIGINT)
+           AS share_ppm,
+         CAST(NULL AS BIGINT) AS dup_factor_e3
+  FROM hist, tot
+  UNION ALL
+  SELECT '__TOTAL__', comp, nn, CAST(1000000 AS BIGINT),
+         CAST(ROUND(1e3 * nn / comp, 0) AS BIGINT)
+  FROM tot
+) ORDER BY bucket
+""",
     "q82_dedup_clusters": f"""
 WITH RECURSIVE bands AS (
   SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh

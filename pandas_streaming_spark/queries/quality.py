@@ -662,8 +662,59 @@ def q246_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q288_THRESHOLDS = (35, 40, 45, 50, 55)
+
+
+def q288_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate THRESHOLD-RESPONSE curve — how the pass rate moves
+    as the mean-token-length gate sweeps 3.5→5.5, per source (the table
+    that SETS the gate: q185 applies fixed Gopher thresholds, q265 says
+    which gate binds, q252 measures the bias of a chosen gate — this is
+    the knob-response you look at BEFORE choosing). Pass test is the
+    exact integer cross-multiplication ``10·sum_len ≥ t_e1·n`` (q185's
+    convention: sum_len = non-space chars, n = split length — no float
+    in any gate decision); pass shares in ppm. Scale: one narrow map
+    per doc + a 5-row explode + one map-side-combined aggregate — the
+    whole sweep is one corpus pass."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias("sum_len"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    grid = per.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in _Q288_THRESHOLDS])
+        ).alias("threshold_e1"),
+    )
+    return (
+        grid.groupBy("source", "threshold_e1")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                (F.lit(10) * F.col("sum_len") >= F.col("threshold_e1") * F.col("n"))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("n_pass"),
+        )
+        .select(
+            "source",
+            "threshold_e1",
+            "n_docs",
+            "n_pass",
+            F.round(F.lit(1e6) * F.col("n_pass") / F.col("n_docs"), 0)
+            .cast("long")
+            .alias("pass_ppm"),
+        )
+        .orderBy("source", "threshold_e1")
+    )
+
+
 QUERIES = {
     "q242_trained_quality_gate": q242_trained_quality_gate,
+    "q288_gate_calibration": q288_gate_calibration,
     "q246_winsorized_stats": q246_winsorized_stats,
     "q257_benford_audit": q257_benford_audit,
     "q252_filter_bias_audit": q252_filter_bias_audit,
@@ -776,6 +827,29 @@ sc AS (
 
 
 ORACLES = {
+    # 5-threshold sweep of the mean-token-length gate, integer cross-mult
+    "q288_gate_calibration": """
+WITH per AS (
+  SELECT source,
+         CAST(LEN(REPLACE(text, ' ', '')) AS BIGINT) AS sum_len,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+grid AS (
+  SELECT CAST(t AS BIGINT) AS threshold_e1
+  FROM UNNEST([35, 40, 45, 50, 55]) AS u(t)
+)
+SELECT source, threshold_e1,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN 10 * sum_len >= threshold_e1 * n
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(ROUND(1e6 * SUM(CASE WHEN 10 * sum_len >= threshold_e1 * n
+                                 THEN 1 ELSE 0 END) / COUNT(*), 0)
+            AS BIGINT) AS pass_ppm
+FROM per, grid
+GROUP BY source, threshold_e1
+ORDER BY source, threshold_e1
+""",
     "q265_gate_attribution": _Q265_ORACLE,
     # same md5 split, mean-token-length >= 4.5 teacher label, ppm odds
     # weights, neutral-500000 unseen tokens, train-midpoint tau, m > tau

@@ -278,3 +278,39 @@ def test_q284_q286_consistency(spark, sf_dir):
     assert sum(r["n_removed"] for r in ret) == len({p["id_b"] for p in nd})
     assert all(0 < r["retention_ppm"] <= 1000000 for r in ret)
     assert sum(r["n_docs"] for r in ret) == docs.count()
+
+
+def test_q287_histogram_consistency(spark, sf_dir):
+    """Cluster-size histogram must telescope: Σ(size·clusters) = corpus
+    size, the singleton bucket dominates, and the duplication factor is
+    ≥ 1000 (e3 of docs-per-canonical)."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.queries.dedup_q import q287_dup_cluster_histogram
+
+    rows = q287_dup_cluster_histogram(spark, sf_dir).collect()
+    per = [r for r in rows if r["bucket"] != "__TOTAL__"]
+    tot = [r for r in rows if r["bucket"] == "__TOTAL__"][0]
+    n = load_table(spark, sf_dir, "documents").count()
+    assert tot["n_docs"] == n
+    assert sum(r["n_docs"] for r in per) == n
+    assert sum(r["n_clusters"] for r in per) == tot["n_clusters"]
+    assert tot["dup_factor_e3"] >= 1000
+
+
+def test_q288_pass_rate_monotone_in_threshold(spark, sf_dir):
+    """Raising the gate can only reject more: per source, n_pass must be
+    non-increasing as the threshold sweeps up, and pass_ppm ≤ 1e6."""
+    from collections import defaultdict
+
+    from pandas_streaming_spark.queries.quality import q288_gate_calibration
+
+    rows = q288_gate_calibration(spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append((r["threshold_e1"], r["n_pass"], r["pass_ppm"]))
+    assert len(by_src) > 1
+    for src, seq in by_src.items():
+        assert [t for t, _, _ in seq] == [35, 40, 45, 50, 55]
+        passes = [p for _, p, _ in seq]
+        assert passes == sorted(passes, reverse=True), (src, passes)
+        assert all(0 <= ppm <= 1000000 for _, _, ppm in seq)
