@@ -924,7 +924,118 @@ def q283_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_B = 256  # hashed-feature buckets (Xie et al. 2023 use 10k; 256 keeps
+# every bucket populated at the grading corpus so the estimator is exercised)
+
+
+def q289_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023),
+    the hashed-n-gram importance estimator modern pretraining pipelines
+    use to up-weight target-domain-like documents: featurize every word
+    into one of ``_DSIR_B`` md5 buckets (content-addressed, so the duckdb
+    oracle computes IDENTICAL features), fit two unigram bucket models —
+    target = the ``lang = 'en'`` slice (the "trusted domain"), raw = the
+    whole corpus — with add-one smoothing, and score each document by
+    the bag-of-features log-likelihood ratio Σ_w [log p_tgt(b(w)) −
+    log p_raw(b(w))]. All log-probs are integer HALF-BIT units
+    (hb(c) = length(bin(c·c)) − 1 = floor(2·log2 c), the q275
+    quantization — exact in both engines for c ≤ 3.03e9; beyond that the
+    squares ride decimal/int128), so every score is an exact integer.
+    Graded per source: docs, exact score sum, mean score (e3), and the
+    resampling readout — how many docs score ABOVE the corpus-wide
+    lower-median score (the deterministic analog of importance
+    resampling at rate 1/2: keep the most-target-like half; a fixed
+    ``> 0`` cut is degenerate when target and raw share a vocabulary,
+    as this synthetic corpus does) with the selected share in ppm.
+    Scale: one corpus pass for the 256-row bucket models (map-side
+    combined), one scoring pass (broadcast weight table — constant size
+    at any corpus), one exact-median rank pass over DOC-level rows
+    (the q202/q157 exact-median convention — production would swap in
+    an approx-quantile sketch for the cut point), one rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").cast("long").alias("__tgt"),
+        F.explode(F.split("text", " ")).alias("__w"),
+    ).select(
+        "doc_id",
+        "source",
+        "__tgt",
+        (
+            F.conv(F.substring(F.md5("__w"), 1, 7), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("__b"),
+    )
+    bc = words.groupBy("__b").agg(
+        F.sum("__tgt").cast("long").alias("__ct"),
+        F.count("*").cast("long").alias("__cr"),
+    )
+    tots = bc.agg(
+        F.sum("__ct").alias("__st"), F.sum("__cr").alias("__sr")
+    ).select(
+        F.expr(
+            f"CAST(length(bin((__st + {_DSIR_B}) * (__st + {_DSIR_B}))) - 1"
+            " AS BIGINT)"
+        ).alias("__qt"),
+        F.expr(
+            f"CAST(length(bin((__sr + {_DSIR_B}) * (__sr + {_DSIR_B}))) - 1"
+            " AS BIGINT)"
+        ).alias("__qr"),
+    )
+    w = bc.crossJoin(F.broadcast(tots)).select(
+        "__b",
+        (
+            F.expr("CAST(length(bin((__ct + 1) * (__ct + 1))) - 1 AS BIGINT)")
+            - F.col("__qt")
+            - F.expr("CAST(length(bin((__cr + 1) * (__cr + 1))) - 1 AS BIGINT)")
+            + F.col("__qr")
+        )
+        .cast("long")
+        .alias("__whb"),
+    )
+    ds = (
+        words.join(F.broadcast(w), "__b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("__whb").cast("long").alias("__s"))
+    )
+    from pyspark.sql import Window
+
+    wm = Window.orderBy("__s", "doc_id")
+    med = (
+        ds.withColumn("__rn", F.row_number().over(wm))
+        .crossJoin(F.broadcast(ds.agg(F.count("*").alias("__n"))))
+        .filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        .select(F.col("__s").alias("__med"))
+    )
+    return (
+        ds.crossJoin(F.broadcast(med))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__s").cast("long").alias("sum_score_hb"),
+            F.sum((F.col("__s") > F.col("__med")).cast("long"))
+            .cast("long")
+            .alias("n_selected"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_score_hb",
+            F.round(F.lit(1e3) * F.col("sum_score_hb") / F.col("n_docs"), 0)
+            .cast("long")
+            .alias("mean_score_hb_e3"),
+            "n_selected",
+            F.round(F.lit(1e6) * F.col("n_selected") / F.col("n_docs"), 0)
+            .cast("long")
+            .alias("selected_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "q289_dsir_importance": q289_dsir_importance,
     "q196_negative_pairs": q196_negative_pairs,
     "q280_shard_manifest": q280_shard_manifest,
     "q281_interleave_order": q281_interleave_order,
@@ -980,6 +1091,56 @@ trg_{label} AS (SELECT DISTINCT g FROM g_{label} WHERE split = 'train')
 """
 
 ORACLES = {
+    # identical md5 bucket features, add-one bucket models, half-bit
+    # integer log-ratio scores, per-source resampling readout
+    "q289_dsir_importance": f"""
+WITH words AS MATERIALIZED (
+  SELECT doc_id, source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt,
+         CAST(CONCAT('0x', SUBSTR(MD5(word), 1, 7)) AS BIGINT) % {_DSIR_B} AS b
+  FROM (SELECT doc_id, source, lang,
+               UNNEST(STRING_SPLIT(text, ' ')) AS word
+        FROM documents)
+),
+bc AS MATERIALIZED (
+  SELECT b, CAST(SUM(is_tgt) AS BIGINT) AS ct,
+         CAST(COUNT(*) AS BIGINT) AS cr
+  FROM words GROUP BY b
+),
+tots AS (
+  SELECT CAST(LENGTH(BIN(((SUM(ct) + {_DSIR_B})::HUGEINT)
+                          * (SUM(ct) + {_DSIR_B}))) - 1 AS BIGINT) AS qt,
+         CAST(LENGTH(BIN(((SUM(cr) + {_DSIR_B})::HUGEINT)
+                          * (SUM(cr) + {_DSIR_B}))) - 1 AS BIGINT) AS qr
+  FROM bc
+),
+w AS (
+  SELECT b,
+         CAST(LENGTH(BIN(((ct + 1)::HUGEINT) * (ct + 1))) - 1 AS BIGINT) - qt
+         - CAST(LENGTH(BIN(((cr + 1)::HUGEINT) * (cr + 1))) - 1 AS BIGINT) + qr
+           AS w_hb
+  FROM bc CROSS JOIN tots
+),
+ds AS MATERIALIZED (
+  SELECT doc_id, source, CAST(SUM(w_hb) AS BIGINT) AS s
+  FROM words JOIN w USING (b) GROUP BY doc_id, source
+),
+med AS (
+  SELECT s AS med FROM (
+    SELECT s, ROW_NUMBER() OVER (ORDER BY s, doc_id) AS rn,
+           COUNT(*) OVER () AS n
+    FROM ds
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s) AS BIGINT) AS sum_score_hb,
+       CAST(ROUND(1e3 * SUM(s) / COUNT(*), 0) AS BIGINT) AS mean_score_hb_e3,
+       CAST(SUM(CASE WHEN s > med THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(ROUND(1e6 * SUM(CASE WHEN s > med THEN 1 ELSE 0 END)
+                  / COUNT(*), 0) AS BIGINT) AS selected_ppm
+FROM ds CROSS JOIN med GROUP BY source ORDER BY source
+""",
     # serpentine deal over the (toks desc, doc_id) rank; ppm shares
     "q280_shard_manifest": """
 WITH t AS (

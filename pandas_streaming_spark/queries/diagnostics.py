@@ -733,7 +733,75 @@ def q270_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q293_spearman_length_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation between document length and distinct
+    vocabulary, per source — the robust (rank-based) companion to the
+    Pearson family (q130): a source whose length↔diversity rank
+    correlation is LOW relative to its peers is template/boilerplate
+    suspect (length grows without new types — the q89 repetition signal
+    at corpus granularity, in a scale-free statistic). Ranks are
+    tie-AVERAGED in doubled integer units (2·avg_rank = 2·RANK() +
+    tie_count − 1 — exact longs, no float until the final ratio), then
+    ρ = Pearson over the integer rank pairs with exact int64 sums; the
+    only floats are one sqrt and one divide over exactly-representable
+    operands (< 2^53), rounded at e4 — the q181 bounded-divergence
+    argument. Degenerate sources (all lengths tied) report 0. Scale:
+    two rank windows partitioned BY SOURCE (each source sorts its own
+    rows — no global sort), one map-side-combined moment aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.col("doc_id"),
+        F.size(F.split("text", " ")).cast("long").alias("__x"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("__y"),
+    )
+    wx = Window.partitionBy("source").orderBy("__x")
+    wxt = Window.partitionBy("source", "__x")
+    wy = Window.partitionBy("source").orderBy("__y")
+    wyt = Window.partitionBy("source", "__y")
+    ranked = per.select(
+        "source",
+        (F.lit(2) * F.rank().over(wx) + F.count("*").over(wxt) - 1)
+        .cast("long")
+        .alias("__rx"),
+        (F.lit(2) * F.rank().over(wy) + F.count("*").over(wyt) - 1)
+        .cast("long")
+        .alias("__ry"),
+    )
+    mom = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__rx").cast("long").alias("__sx"),
+        F.sum("__ry").cast("long").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).cast("long").alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).cast("long").alias("__syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).cast("long").alias("__sxy"),
+    )
+    num = (F.col("n_docs") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n_docs") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+            "double"
+        )
+        * (F.col("n_docs") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+            "double"
+        )
+    )
+    return (
+        mom.select(
+            "source",
+            "n_docs",
+            F.when(den == 0, F.lit(0))
+            .otherwise(F.round(F.lit(1e4) * num / den, 0))
+            .cast("long")
+            .alias("rho_e4"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "q293_spearman_length_diversity": q293_spearman_length_diversity,
     "q243_sampled_quantiles": q243_sampled_quantiles,
     "q270_ks_drift": q270_ks_drift,
     "q254_poisson_bootstrap": q254_poisson_bootstrap,
@@ -746,6 +814,41 @@ QUERIES = {
 }
 
 ORACLES = {
+    # tie-averaged doubled integer ranks, exact int64 moments, one
+    # sqrt+divide at e4
+    "q293_spearman_length_diversity": """
+WITH per AS (
+  SELECT source, doc_id,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS x,
+         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS y
+  FROM documents
+),
+ranked AS (
+  SELECT source,
+         CAST(2 * RANK() OVER (PARTITION BY source ORDER BY x)
+              + COUNT(*) OVER (PARTITION BY source, x) - 1 AS BIGINT) AS rx,
+         CAST(2 * RANK() OVER (PARTITION BY source ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY source, y) - 1 AS BIGINT) AS ry
+  FROM per
+),
+mom AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs,
+       CASE WHEN (n_docs * sxx - sx * sx) * (n_docs * syy - sy * sy) = 0
+            THEN 0
+            ELSE CAST(ROUND(1e4 * (n_docs * sxy - sx * sy)
+                            / SQRT(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                                   * CAST(n_docs * syy - sy * sy AS DOUBLE)),
+                            0) AS BIGINT)
+       END AS rho_e4
+FROM mom ORDER BY source
+""",
     # same 500-dollar bins, cumulative counts, exact cross-multiplied sup
     "q270_ks_drift": """
 WITH o AS (

@@ -712,7 +712,117 @@ def q288_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPL_B = 4096  # hashed word-vocab buckets — bounds the LM to <= B² cells
+# at ANY corpus size (the KenLM-pruning analog that keeps it broadcastable)
+
+
+def q290_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020) — the
+    head/middle/tail split web-scale curation applies after training a
+    reference LM on a trusted domain: train a hashed word-bigram LM on
+    the ``lang = 'en'`` slice (md5 buckets, ``_PPL_B = 4096`` — the
+    model is count-bounded and broadcastable at any corpus size, the
+    KenLM-pruning analog), score EVERY document's cross-entropy under
+    it with add-one smoothing, and cut each language into perplexity
+    terciles (ntile(3) over the exact e3 per-doc cross-entropy with
+    doc_id tie-break — a deterministic total order both engines share).
+    Every per-bigram log-prob is the integer half-bit difference
+    hb(c1 + B) − hb(c12 + 1) ≥ 0 (hb = the q275 quantization), so doc
+    scores are exact longs. Graded per (lang, bucket): docs, mean
+    cross-entropy per bigram (e3, rounded ratio of exact sums), and the
+    bucket's token share of its language in ppm — the table CCNet uses
+    to decide which tail to drop. Docs with < 2 words have no bigrams
+    and are excluded (they go to length gates, not the LM). Scale: one
+    pass to build the bounded model, one broadcast-join scoring pass,
+    one per-lang window over doc-level rows, one rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    hash_words = (
+        "transform(split(text, ' '), w -> "
+        "CAST(conv(substring(md5(w), 1, 7), 16, 10) AS BIGINT) % " + str(_PPL_B) + ")"
+    )
+    bi = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(hash_words).alias("__hw"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "explode(transform(sequence(1, size(__hw) - 1), i -> "
+            "struct(element_at(__hw, i) AS b1, element_at(__hw, i + 1) AS b2)))"
+        ).alias("__bg"),
+    ).select("doc_id", "lang", F.col("__bg.b1").alias("b1"), F.col("__bg.b2").alias("b2"))
+    en = bi.filter(F.col("lang") == "en")
+    c2 = en.groupBy("b1", "b2").agg(F.count("*").cast("long").alias("__c2"))
+    c1 = en.groupBy("b1").agg(F.count("*").cast("long").alias("__c1"))
+    scored = (
+        bi.join(F.broadcast(c2), ["b1", "b2"], "left")
+        .join(F.broadcast(c1), "b1", "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.expr(
+                    f"CAST(length(bin((coalesce(__c1, 0) + {_PPL_B}) * "
+                    f"(coalesce(__c1, 0) + {_PPL_B}))) - 1 AS BIGINT)"
+                )
+                - F.expr(
+                    "CAST(length(bin((coalesce(__c2, 0) + 1) * "
+                    "(coalesce(__c2, 0) + 1))) - 1 AS BIGINT)"
+                )
+            ).alias("__ce"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.sum("__ce").cast("long").alias("__ces"),
+        F.count("*").cast("long").alias("__nbi"),
+    ).select(
+        "doc_id",
+        "lang",
+        "__ces",
+        "__nbi",
+        F.round(F.lit(1e3) * F.col("__ces") / F.col("__nbi"), 0)
+        .cast("long")
+        .alias("__ce_e3"),
+    )
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("lang").orderBy("__ce_e3", "doc_id")
+    cut = per_doc.withColumn("__t", F.ntile(3).over(wl)).select(
+        "lang",
+        F.when(F.col("__t") == 1, F.lit("head"))
+        .when(F.col("__t") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "__ces",
+        "__nbi",
+    )
+    agg = cut.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__ces").alias("__s"),
+        F.sum("__nbi").alias("__n"),
+    )
+    wtot = Window.partitionBy("lang")
+    return (
+        agg.select(
+            "lang",
+            "bucket",
+            "n_docs",
+            F.round(F.lit(1e3) * F.col("__s") / F.col("__n"), 0)
+            .cast("long")
+            .alias("mean_ce_hb_e3"),
+            F.round(
+                F.lit(1e6) * F.col("__n") / F.sum("__n").over(wtot), 0
+            )
+            .cast("long")
+            .alias("token_share_ppm"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 QUERIES = {
+    "q290_perplexity_buckets": q290_perplexity_buckets,
     "q242_trained_quality_gate": q242_trained_quality_gate,
     "q288_gate_calibration": q288_gate_calibration,
     "q246_winsorized_stats": q246_winsorized_stats,
@@ -827,6 +937,62 @@ sc AS (
 
 
 ORACLES = {
+    # identical md5-hashed bigram LM on the en slice, half-bit integer
+    # cross-entropy, per-lang NTILE(3) terciles over (ce_e3, doc_id)
+    "q290_perplexity_buckets": f"""
+WITH hw AS MATERIALIZED (
+  SELECT doc_id, lang,
+         LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+           w -> CAST(CONCAT('0x', SUBSTR(MD5(w), 1, 7)) AS BIGINT)
+                % {_PPL_B}) AS h
+  FROM documents
+),
+bi AS MATERIALIZED (
+  SELECT doc_id, lang, h[i] AS b1, h[i + 1] AS b2
+  FROM hw, UNNEST(GENERATE_SERIES(1, LEN(h) - 1)) AS s(i)
+),
+c2 AS MATERIALIZED (
+  SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM bi WHERE lang = 'en' GROUP BY b1, b2
+),
+c1 AS MATERIALIZED (
+  SELECT b1, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM bi WHERE lang = 'en' GROUP BY b1
+),
+sc AS (
+  SELECT bi.doc_id, bi.lang,
+         CAST(LENGTH(BIN(((COALESCE(c1.c1, 0) + {_PPL_B})::HUGEINT)
+                          * (COALESCE(c1.c1, 0) + {_PPL_B}))) - 1 AS BIGINT)
+         - CAST(LENGTH(BIN(((COALESCE(c2.c2, 0) + 1)::HUGEINT)
+                            * (COALESCE(c2.c2, 0) + 1))) - 1 AS BIGINT) AS ce
+  FROM bi
+  LEFT JOIN c2 ON c2.b1 = bi.b1 AND c2.b2 = bi.b2
+  LEFT JOIN c1 ON c1.b1 = bi.b1
+),
+pd AS (
+  SELECT doc_id, lang, CAST(SUM(ce) AS BIGINT) AS ces,
+         CAST(COUNT(*) AS BIGINT) AS nbi,
+         CAST(ROUND(1e3 * SUM(ce) / COUNT(*), 0) AS BIGINT) AS ce3
+  FROM sc GROUP BY doc_id, lang
+),
+cut AS (
+  SELECT lang,
+         CASE NTILE(3) OVER (PARTITION BY lang ORDER BY ce3, doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         ces, nbi
+  FROM pd
+),
+agg AS (
+  SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(ces) AS s, SUM(nbi) AS n
+  FROM cut GROUP BY lang, bucket
+)
+SELECT lang, bucket, n_docs,
+       CAST(ROUND(1e3 * s / n, 0) AS BIGINT) AS mean_ce_hb_e3,
+       CAST(ROUND(1e6 * n / (SUM(n) OVER (PARTITION BY lang)), 0) AS BIGINT)
+         AS token_share_ppm
+FROM agg ORDER BY lang, bucket
+""",
     # 5-threshold sweep of the mean-token-length gate, integer cross-mult
     "q288_gate_calibration": """
 WITH per AS (

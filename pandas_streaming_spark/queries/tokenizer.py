@@ -830,6 +830,106 @@ best AS MATERIALIZED (
 )"""
 
 
+_UNIGRAM_EM_ITERS = 3
+
+
+def q292_unigram_em_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE unigram-LM training — the full EM loop (Kudo 2018 /
+    SentencePiece) that q275's single step seeds, completing the
+    tokenizer-training story the way q261's iterative loop completed
+    BPE: 3 EM iterations over the FIXED seed support (chars + top-200
+    substrings; SentencePiece's vocab pruning is deferred — add-one
+    smoothing keeps every support piece scoreable so a piece that loses
+    all its mass in iteration i can re-enter in iteration i+1, and the
+    grade stays engine-exact). Each iteration: E-step = per-distinct-
+    word Viterbi under the smoothed model (w2 = hb(c_i + 1), normalizer
+    qt = hb(T_i + V); hb = the half-bit integer quantization
+    _unigram_viterbi_expr documents), M-step = freq-weighted recount of
+    winning-path pieces. Graded: top-30 pieces by final count (ties →
+    piece asc) with the full count TRAJECTORY c0→c1→c2→c3 and the final
+    half-bit log-prob. The oracle enumerates every vocab segmentation
+    of every word ONCE (the q275 recursive CTE), then re-scores the
+    same path set under each iteration's counts — so the DP's
+    optimality is graded at ALL THREE models, not just the seed.
+    Scale/plan: the corpus is touched once (word-frequency table, then
+    localCheckpoint — the distinct-word working set every trainer
+    materializes); each iteration is a vocabulary-sized broadcast model
+    + one bounded DP pass over distinct words + one map-side-combined
+    recount, with the counts frame localCheckpoint'd so plan depth is
+    O(1) per iteration at ANY iteration count (the q261 lineage
+    policy measured in plans/scale_notes.md)."""
+    docs = _t(spark, sf_dir, "documents")
+    words, vocab, _seg = _unigram_model(docs)
+    words = words.localCheckpoint()
+    support = vocab.select("piece", "c0").localCheckpoint()
+    cur = support.select("piece", F.col("c0").alias("c"))
+    traj = []
+    for _i in range(_UNIGRAM_EM_ITERS):
+        model = cur.select(
+            "piece",
+            F.expr("CAST(length(bin((c + 1) * (c + 1))) - 1 AS BIGINT)").alias(
+                "w2"
+            ),
+        )
+        mrow = model.agg(
+            F.map_from_entries(F.collect_list(F.struct("piece", "w2"))).alias(
+                "__model"
+            )
+        )
+        qt = cur.agg((F.sum("c") + F.count("*")).alias("__tv")).select(
+            F.expr("CAST(length(bin(__tv * __tv)) - 1 AS BIGINT)").alias("__qt")
+        )
+        seg = (
+            words.crossJoin(F.broadcast(mrow))
+            .crossJoin(F.broadcast(qt))
+            .select("word", "freq", F.expr(_unigram_viterbi_expr()).alias("__v"))
+        )
+        mstep = (
+            seg.select("freq", F.explode(F.split("__v.p", " ")).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("__c"))
+        )
+        cur = (
+            support.select("piece")
+            .join(mstep, "piece", "left")
+            .select(
+                "piece", F.coalesce("__c", F.lit(0)).cast("long").alias("c")
+            )
+            .localCheckpoint()
+        )
+        traj.append(cur)
+    c1f, c2f, c3f = traj
+    out = (
+        support.join(c1f.withColumnRenamed("c", "c1"), "piece")
+        .join(c2f.withColumnRenamed("c", "c2"), "piece")
+        .join(c3f.withColumnRenamed("c", "c3"), "piece")
+    )
+    qt3 = c3f.agg((F.sum("c") + F.count("*")).alias("__tv")).select(
+        F.expr("CAST(length(bin(__tv * __tv)) - 1 AS BIGINT)").alias("__qt3")
+    )
+    w30 = Window.orderBy(F.col("c3").desc(), "piece")
+    return (
+        out.withColumn("rank", F.row_number().over(w30).cast("long"))
+        .filter(F.col("rank") <= 30)
+        .crossJoin(F.broadcast(qt3))
+        .select(
+            "rank",
+            "piece",
+            "c0",
+            "c1",
+            "c2",
+            "c3",
+            (
+                F.expr("CAST(length(bin((c3 + 1) * (c3 + 1))) - 1 AS BIGINT)")
+                - F.col("__qt3")
+            )
+            .cast("long")
+            .alias("logp3_hb"),
+        )
+        .orderBy("rank")
+    )
+
+
 def q282_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEAPS'-LAW vocabulary-growth curve — the scaling measurement
     behind every vocab-size decision (V(n) ≈ K·n^β: if vocabulary still
@@ -898,6 +998,7 @@ QUERIES = {
     "q275_unigram_lm_step": q275_unigram_lm_step,
     "q277_unigram_fertility": q277_unigram_fertility,
     "q282_heaps_curve": q282_heaps_curve,
+    "q292_unigram_em_train": q292_unigram_em_train,
 }
 
 ORACLES = {
@@ -930,6 +1031,106 @@ SELECT v.decile, v.n_docs, c.n_tokens_cum, v.vocab,
             AS BIGINT) AS new_tokens
 FROM v JOIN c USING (decile, n_docs)
 ORDER BY decile
+""",
+    # the SAME enumerated path set re-scored under each EM iteration's
+    # smoothed counts — DP optimality graded at all three models
+    "q292_unigram_em_train": _unigram_sql()
+    + """,
+paths AS MATERIALIZED (SELECT word, path FROM seg WHERE i = LEN(word)),
+pp AS MATERIALIZED (
+  SELECT word, path, UNNEST(STRING_SPLIT(path, ' ')) AS piece FROM paths
+),
+vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+q1 AS (
+  SELECT CAST(LENGTH(BIN(((t + v)::HUGEINT) * (t + v))) - 1 AS BIGINT) AS qt
+  FROM (SELECT CAST(SUM(c0) AS BIGINT) AS t FROM vocab), vv
+),
+s1 AS (
+  SELECT pp.word, pp.path,
+         CAST(SUM(LENGTH(BIN(((v.c0 + 1)::HUGEINT) * (v.c0 + 1))) - 1)
+              - COUNT(*) * qq.qt AS BIGINT) AS s
+  FROM pp JOIN vocab v USING (piece) CROSS JOIN q1 qq
+  GROUP BY pp.word, pp.path, qq.qt
+),
+win1 AS MATERIALIZED (
+  SELECT word, path FROM (
+    SELECT word, path,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY s DESC, path) AS rn
+    FROM s1
+  ) WHERE rn = 1
+),
+cc1 AS MATERIALIZED (
+  SELECT pp.piece, CAST(SUM(w.freq) AS BIGINT) AS c
+  FROM win1 JOIN pp USING (word, path) JOIN words w USING (word)
+  GROUP BY pp.piece
+),
+q2 AS (
+  SELECT CAST(LENGTH(BIN(((t + v)::HUGEINT) * (t + v))) - 1 AS BIGINT) AS qt
+  FROM (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t FROM cc1), vv
+),
+s2 AS (
+  SELECT pp.word, pp.path,
+         CAST(SUM(LENGTH(BIN(((COALESCE(m.c, 0) + 1)::HUGEINT)
+                             * (COALESCE(m.c, 0) + 1))) - 1)
+              - COUNT(*) * qq.qt AS BIGINT) AS s
+  FROM pp LEFT JOIN cc1 m USING (piece) CROSS JOIN q2 qq
+  GROUP BY pp.word, pp.path, qq.qt
+),
+win2 AS MATERIALIZED (
+  SELECT word, path FROM (
+    SELECT word, path,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY s DESC, path) AS rn
+    FROM s2
+  ) WHERE rn = 1
+),
+cc2 AS MATERIALIZED (
+  SELECT pp.piece, CAST(SUM(w.freq) AS BIGINT) AS c
+  FROM win2 JOIN pp USING (word, path) JOIN words w USING (word)
+  GROUP BY pp.piece
+),
+q3 AS (
+  SELECT CAST(LENGTH(BIN(((t + v)::HUGEINT) * (t + v))) - 1 AS BIGINT) AS qt
+  FROM (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t FROM cc2), vv
+),
+s3 AS (
+  SELECT pp.word, pp.path,
+         CAST(SUM(LENGTH(BIN(((COALESCE(m.c, 0) + 1)::HUGEINT)
+                             * (COALESCE(m.c, 0) + 1))) - 1)
+              - COUNT(*) * qq.qt AS BIGINT) AS s
+  FROM pp LEFT JOIN cc2 m USING (piece) CROSS JOIN q3 qq
+  GROUP BY pp.word, pp.path, qq.qt
+),
+win3 AS MATERIALIZED (
+  SELECT word, path FROM (
+    SELECT word, path,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY s DESC, path) AS rn
+    FROM s3
+  ) WHERE rn = 1
+),
+cc3 AS MATERIALIZED (
+  SELECT pp.piece, CAST(SUM(w.freq) AS BIGINT) AS c
+  FROM win3 JOIN pp USING (word, path) JOIN words w USING (word)
+  GROUP BY pp.piece
+),
+qfin AS (
+  SELECT CAST(LENGTH(BIN(((t + v)::HUGEINT) * (t + v))) - 1 AS BIGINT) AS qt
+  FROM (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t FROM cc3), vv
+)
+SELECT CAST(rank AS BIGINT) AS rank, piece, c0, c1, c2, c3,
+       CAST(LENGTH(BIN(((c3 + 1)::HUGEINT) * (c3 + 1))) - 1 - qfin.qt
+            AS BIGINT) AS logp3_hb
+FROM (
+  SELECT v.piece, v.c0,
+         COALESCE(a.c, 0) AS c1, COALESCE(b.c, 0) AS c2,
+         COALESCE(d.c, 0) AS c3,
+         ROW_NUMBER() OVER (ORDER BY COALESCE(d.c, 0) DESC, v.piece) AS rank
+  FROM vocab v
+  LEFT JOIN cc1 a USING (piece)
+  LEFT JOIN cc2 b USING (piece)
+  LEFT JOIN cc3 d USING (piece)
+) CROSS JOIN qfin
+WHERE rank <= 30
+ORDER BY rank
 """,
     # enumeration-based replay of the Viterbi E-step + M-step recount
     "q275_unigram_lm_step": _unigram_sql()

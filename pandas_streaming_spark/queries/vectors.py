@@ -1089,7 +1089,100 @@ def q273_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands.unionByName(total).orderBy("band")
 
 
+def q291_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY sign-quantized ANN (Charikar 2002 SimHash for dense
+    vectors / the 1-bit tier of the compression ladder: float32 → int8
+    q95 → PQ q263 → 1 bit/dim here, a 32× memory cut): binarize each
+    64-dim embedding by component sign, pack the bits into TWO BIGINT
+    words (32 bits each — 2^63 would overflow the signed top bit in one
+    word), and answer "nearest to vec 0" by Hamming distance = popcount
+    of the XOR'd words — integer-exact in both engines (Spark
+    ``bit_count``/duckdb ``BIT_COUNT`` both count two's-complement set
+    bits). Top-10 by (hamming, vec_id) with the q108/q276 audit:
+    per-row hit flag against the EXACT e12 integer-L2 top-10 plus the
+    constant recall@10 (e4). This is the coarsest, fastest serving tier
+    — a billion packed codes fit in 16 GB and a probe is two XORs + two
+    popcounts per vector, the prefilter binary-rescoring systems run
+    before PQ/exact re-rank. Scale: the pack is one narrow map; the
+    scan is embarrassingly parallel with a broadcast 1-row query; only
+    the ground-truth audit touches full vectors (sampled in
+    production, exactly like q276's)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def pack(lo: int):
+        return F.expr(
+            f"aggregate(sequence({lo}, {lo + 31}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + IF(element_at(embedding, i + 1) > 0, "
+            f"shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT)))"
+        )
+
+    codes = emb.select("vec_id", pack(0).alias("h_lo"), pack(32).alias("h_hi"))
+    q = codes.filter(F.col("vec_id") == 0).select(
+        F.col("h_lo").alias("q_lo"), F.col("h_hi").alias("q_hi")
+    )
+    ham = (
+        codes.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.col("h_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("h_hi").bitwiseXOR(F.col("q_hi")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    top = ham.orderBy("hamming", "vec_id").limit(10)
+    comps = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("c_e6"),
+    )
+    qc = comps.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("c_e6").alias("q_e6")
+    )
+    exact = (
+        comps.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qc), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("c_e6") - F.col("q_e6"))
+                * (F.col("c_e6") - F.col("q_e6"))
+            )
+            .cast("long")
+            .alias("exact_e12")
+        )
+    )
+    ex10 = (
+        exact.orderBy("exact_e12", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("__h"))
+    )
+    hits = top.join(F.broadcast(ex10), "vec_id", "left").select(
+        "vec_id",
+        "hamming",
+        F.coalesce("__h", F.lit(0)).cast("long").alias("hit_exact"),
+    )
+    rec = hits.agg(
+        (F.sum("hit_exact") * 1000).cast("long").alias("recall_at_10_e4")
+    )
+    w = Window.orderBy("hamming", "vec_id")
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(rec))
+        .select("rank", "vec_id", "hamming", "hit_exact", "recall_at_10_e4")
+        .orderBy("rank")
+    )
+
+
 QUERIES = {
+    "q291_hamming_ann": q291_hamming_ann,
     "q182_rrf_hybrid": q182_rrf_hybrid,
     "q263_product_quantization": q263_product_quantization,
     "q268_dim_variance_prune": q268_dim_variance_prune,
@@ -1221,6 +1314,56 @@ rr{np_} AS (
 
 
 ORACLES = {
+    # identical sign-pack into two 32-bit words, XOR+popcount hamming,
+    # exact-e12 L2 top-10 audit with recall@10
+    "q291_hamming_ann": """
+WITH codes AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 31),
+           i -> CASE WHEN embedding[i + 1] > 0
+                THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS h_lo,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(32, 63),
+           i -> CASE WHEN embedding[i + 1] > 0
+                THEN (1::BIGINT << (i - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+           AS h_hi
+  FROM embeddings
+),
+q AS (SELECT h_lo AS q_lo, h_hi AS q_hi FROM codes WHERE vec_id = 0),
+ham AS (
+  SELECT vec_id,
+         CAST(BIT_COUNT(XOR(h_lo, q_lo)) + BIT_COUNT(XOR(h_hi, q_hi))
+              AS BIGINT) AS hamming
+  FROM codes CROSS JOIN q WHERE vec_id <> 0
+),
+top AS (SELECT vec_id, hamming FROM ham ORDER BY hamming, vec_id LIMIT 10),
+comps AS MATERIALIZED (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0)
+              AS BIGINT) AS c_e6
+  FROM embeddings
+),
+qc AS (SELECT dim, c_e6 AS q_e6 FROM comps WHERE vec_id = 0),
+exact AS (
+  SELECT a.vec_id,
+         CAST(SUM((a.c_e6 - q.q_e6) * (a.c_e6 - q.q_e6)) AS BIGINT)
+           AS exact_e12
+  FROM comps a JOIN qc q USING (dim) WHERE a.vec_id <> 0 GROUP BY a.vec_id
+),
+ex10 AS (SELECT vec_id FROM exact ORDER BY exact_e12, vec_id LIMIT 10),
+hits AS (
+  SELECT t.vec_id, t.hamming,
+         CASE WHEN t.vec_id IN (SELECT vec_id FROM ex10)
+              THEN 1 ELSE 0 END AS hit_exact
+  FROM top t
+),
+rec AS (SELECT CAST(SUM(hit_exact) * 1000 AS BIGINT) AS recall_at_10_e4
+        FROM hits)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY hamming, vec_id) AS BIGINT) AS rank,
+       vec_id, hamming, CAST(hit_exact AS BIGINT) AS hit_exact,
+       recall_at_10_e4
+FROM hits CROSS JOIN rec
+ORDER BY rank
+""",
     # Lloyd M-step over the q263 assignment: re-estimated codebooks,
     # before/after quantization error, codeword shift
     "q285_pq_codebook_refine": _PQ_SQL

