@@ -463,6 +463,97 @@ JOIN documents sb ON sb.doc_id = nd.id_b
 GROUP BY 1, 2
 ORDER BY 1, 2
 """,
+    # the datacard composition: same near-dup frame + Gopher gate flags
+    # + language mode/entropy, one row per source
+    "q295_corpus_datacard": f"""
+WITH bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM ({_MINHASH_SIG})
+  GROUP BY doc_id, s // 2
+),
+ok AS (
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS c
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+nd AS (
+  SELECT * FROM (
+    SELECT id_a, id_b,
+           CAST(ROUND(10000.0 * c / (na.n + nb.n - c), 0) AS BIGINT) AS jac_e4
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+  ) WHERE jac_e4 >= 8000
+),
+removed AS (SELECT DISTINCT id_b AS doc_id FROM nd),
+per AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS nc,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n,
+         LEN(REPLACE(text, ' ', '')) AS sl,
+         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS ndist,
+         LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                            ['the','a','of','to','and'])) AS nstop,
+         LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                  x -> LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       y -> y = x)))) AS mx
+  FROM documents
+),
+base AS (
+  SELECT p.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(p.n) AS BIGINT) AS n_tokens,
+         CAST(SUM(p.nc) AS BIGINT) AS n_chars,
+         CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS nd_removed,
+         CAST(SUM(CASE WHEN p.n >= 30 AND p.n <= 10000
+                        AND p.sl >= 3 * p.n AND p.sl <= 10 * p.n
+                        AND p.ndist * 10 >= 3 * p.n AND p.nstop >= 2
+                        AND p.mx * 5 <= p.n THEN 1 ELSE 0 END) AS BIGINT)
+           AS npass
+  FROM per p LEFT JOIN removed r ON r.doc_id = p.doc_id
+  GROUP BY p.source
+),
+sl2 AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM documents GROUP BY 1, 2
+),
+stot AS (SELECT source, CAST(SUM(ni) AS BIGINT) AS nt FROM sl2 GROUP BY 1),
+major AS (
+  SELECT source, lang AS major_lang FROM (
+    SELECT source, lang,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY ni DESC, lang) AS rn
+    FROM sl2
+  ) WHERE rn = 1
+),
+ent AS (
+  SELECT sl2.source,
+         CAST(SUM(CAST(ROUND(1e6 * ni / nt * LN(nt / ni), 0) AS BIGINT))
+              AS BIGINT) AS lang_entropy_e6
+  FROM sl2 JOIN stot USING (source) GROUP BY sl2.source
+)
+SELECT b.source, n_docs, n_tokens, n_chars, major_lang, lang_entropy_e6,
+       nd_removed,
+       CAST(ROUND(1e6 * (n_docs - nd_removed) / n_docs, 0) AS BIGINT)
+         AS retention_ppm,
+       CAST(ROUND(1e6 * npass / n_docs, 0) AS BIGINT) AS gate_pass_ppm
+FROM base b JOIN major USING (source) JOIN ent USING (source)
+ORDER BY source
+""",
     # same near-dup frame; pairwise keep-smallest removal, per-source
     # retention ppm
     "q286_dedup_retention": f"""

@@ -360,10 +360,137 @@ def q239_packing_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q295_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source CORPUS DATACARD — the one-stop governance table a
+    dataset release ships (HF dataset cards / Dolma-style corpus
+    reports), composing the repo's graded per-metric panels into ONE
+    row per source: volume (docs, tokens, chars), language makeup
+    (majority language by deterministic mode — count desc, lang asc —
+    and Shannon language entropy in e6 nat units, per-term-rounded
+    longs, the q181 float discipline: the only float is one ln over
+    exact integer ratios), near-dup exposure (q286's pairwise
+    keep-smallest removals + retention ppm over the SAME verified
+    ≥ 0.8 pair frame), and the Gopher gate battery pass rate (q185's
+    five integer gates, all-pass funnel). The oracle re-derives every
+    panel from scratch — LSH bands, candidate-scoped exact Jaccard,
+    gate flags, language mode/entropy — so the composition is graded,
+    not just its parts (the q262 posture applied to reporting instead
+    of filtering). Scale: gates/volume are one narrow corpus pass;
+    dedup rides the bucketed LSH chain; language stats are a
+    |source|×|lang| frame — broadcast size at any corpus."""
+    from pyspark.sql import Window
+
+    from pandas_streaming_spark.queries.dedup_q import _neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    per = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("__nc"),
+        F.size(w).cast("long").alias("__n"),
+        F.length(F.regexp_replace("text", " ", "")).alias("__sl"),
+        F.size(F.array_distinct(w)).alias("__ndist"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(w),
+                F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")]),
+            )
+        ).alias("__nstop"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(w),
+                lambda x: F.size(F.filter(w, lambda y: y == x)),
+            )
+        ).alias("__mx"),
+    ).withColumn(
+        "__pass",
+        (
+            (F.col("__n") >= 30)
+            & (F.col("__n") <= 10000)
+            & (F.col("__sl") >= 3 * F.col("__n"))
+            & (F.col("__sl") <= 10 * F.col("__n"))
+            & (F.col("__ndist") * 10 >= 3 * F.col("__n"))
+            & (F.col("__nstop") >= 2)
+            & (F.col("__mx") * 5 <= F.col("__n"))
+        ).cast("long"),
+    )
+    removed = (
+        _neardup_pairs(docs, 8000)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__rm", F.lit(1))
+    )
+    base = (
+        per.join(removed, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+            F.sum("__nc").cast("long").alias("n_chars"),
+            F.sum(F.coalesce("__rm", F.lit(0))).cast("long").alias("nd_removed"),
+            F.sum("__pass").cast("long").alias("__npass"),
+        )
+    )
+    sl = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("__ni")
+    )
+    wmod = Window.partitionBy("source").orderBy(F.col("__ni").desc(), "lang")
+    major = (
+        sl.withColumn("__rn", F.row_number().over(wmod))
+        .filter(F.col("__rn") == 1)
+        .select("source", F.col("lang").alias("major_lang"))
+    )
+    stot = sl.groupBy("source").agg(F.sum("__ni").alias("__nt"))
+    ent = (
+        sl.join(stot, "source")
+        .select(
+            "source",
+            F.round(
+                F.lit(1e6)
+                * F.col("__ni")
+                / F.col("__nt")
+                * F.log(F.col("__nt") / F.col("__ni")),
+                0,
+            )
+            .cast("long")
+            .alias("__term"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__term").cast("long").alias("lang_entropy_e6"))
+    )
+    return (
+        base.join(major, "source")
+        .join(ent, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "major_lang",
+            "lang_entropy_e6",
+            "nd_removed",
+            F.round(
+                F.lit(1e6)
+                * (F.col("n_docs") - F.col("nd_removed"))
+                / F.col("n_docs"),
+                0,
+            )
+            .cast("long")
+            .alias("retention_ppm"),
+            F.round(F.lit(1e6) * F.col("__npass") / F.col("n_docs"), 0)
+            .cast("long")
+            .alias("gate_pass_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q208_curation_pipeline": q208_curation_pipeline,
     "q239_packing_comparison": q239_packing_comparison,
     "q262_curation_pipeline_semantic": q262_curation_pipeline_semantic,
+    "q295_corpus_datacard": q295_corpus_datacard,
 }
 
 

@@ -1089,6 +1089,116 @@ def q273_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands.unionByName(total).orderBy("band")
 
 
+def q294_residual_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL product quantization — PQ trained on the coarse-stage
+    residuals x − centroid(cell(x)) rather than raw vectors (Jégou
+    et al. 2011 §IV.A: the configuration IVFADC actually ships, because
+    residuals concentrate around 0 and the same codebook budget buys
+    more precision): coarse stage = the stored label cells with exact
+    fixed-point e6 centroids (q276's inverted lists), residual
+    components are EXACT integer differences of two e6 longs, and the
+    PQ train/assign is the q263 chain re-run on them (m=4 × k=4,
+    exact-BIGINT L2 argmin, ties → smaller code). Graded per vector:
+    the 4 residual codes, residual quantization error, the raw-PQ error
+    twin (q263's), and the constant corpus-level gain_ppm =
+    (Σraw − Σres)/Σraw — measured ~1.9% here, HONESTLY small because
+    label cells are only weakly geometric on this corpus (q279's
+    finding; with k-means coarse cells the residual gain is the whole
+    point of IVFADC). Scale: two posexplode passes, cell-keyed +
+    (sub, dim)-keyed joins, constant-size codebooks, map-side-combined
+    aggregates — same linear shape as q263 plus one broadcastable
+    centroid join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    _comps, _cent, rawbest = _pq_assign(emb)
+    raw = rawbest.groupBy("vec_id").agg(
+        F.sum("m.dist").cast("long").alias("err_raw_e12")
+    )
+    lcomps = emb.select(
+        "vec_id",
+        "label",
+        F.pmod("vec_id", F.lit(4)).cast("long").alias("seed"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "seed",
+        F.floor(F.col("dim") / 16).cast("long").alias("sub"),
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("c_e6"),
+    )
+    lcent = lcomps.groupBy("label", "dim").agg(
+        F.round(F.sum("c_e6").cast("double") / F.count("*"), 0)
+        .cast("long")
+        .alias("lc_e6")
+    )
+    rcomps = lcomps.join(lcent, ["label", "dim"]).select(
+        "vec_id",
+        "seed",
+        "sub",
+        "dim",
+        (F.col("c_e6") - F.col("lc_e6")).alias("r_e6"),
+    )
+    rcent = (
+        rcomps.groupBy("sub", "seed", "dim")
+        .agg(
+            F.round(F.sum("r_e6").cast("double") / F.count("*"), 0)
+            .cast("long")
+            .alias("cent_e6")
+        )
+        .withColumnRenamed("seed", "cand")
+    )
+    rd = (
+        rcomps.drop("seed")
+        .join(rcent, ["sub", "dim"])
+        .groupBy("vec_id", "sub", "cand")
+        .agg(
+            F.sum(
+                (F.col("r_e6") - F.col("cent_e6"))
+                * (F.col("r_e6") - F.col("cent_e6"))
+            )
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    best = rd.groupBy("vec_id", "sub").agg(
+        F.min(F.struct(F.col("dist"), F.col("cand"))).alias("m")
+    )
+    res = best.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("m.cand")))
+            .cast("long")
+            .alias(f"code{s}")
+            for s in range(4)
+        ],
+        F.sum("m.dist").cast("long").alias("err_res_e12"),
+    )
+    both = res.join(raw, "vec_id")
+    gain = both.agg(
+        F.round(
+            F.lit(1e6)
+            * (F.sum("err_raw_e12") - F.sum("err_res_e12"))
+            / F.sum("err_raw_e12"),
+            0,
+        )
+        .cast("long")
+        .alias("gain_ppm")
+    )
+    return (
+        both.crossJoin(F.broadcast(gain))
+        .select(
+            "vec_id",
+            "code0",
+            "code1",
+            "code2",
+            "code3",
+            "err_res_e12",
+            "err_raw_e12",
+            "gain_ppm",
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q291_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BINARY sign-quantized ANN (Charikar 2002 SimHash for dense
     vectors / the 1-bit tier of the compression ladder: float32 → int8
@@ -1183,6 +1293,7 @@ def q291_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q291_hamming_ann": q291_hamming_ann,
+    "q294_residual_pq": q294_residual_pq,
     "q182_rrf_hybrid": q182_rrf_hybrid,
     "q263_product_quantization": q263_product_quantization,
     "q268_dim_variance_prune": q268_dim_variance_prune,
@@ -1314,6 +1425,88 @@ rr{np_} AS (
 
 
 ORACLES = {
+    # raw-PQ chain + residual-PQ chain (coarse label centroids, exact
+    # integer residuals), per-vector codes/errors, constant gain_ppm
+    "q294_residual_pq": """
+WITH comps AS MATERIALIZED (
+  SELECT vec_id, label, CAST(vec_id % 4 AS BIGINT) AS seed,
+         CAST(FLOOR((generate_subscripts(embedding, 1) - 1) / 16) AS BIGINT)
+           AS sub,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0)
+              AS BIGINT) AS c_e6
+  FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT sub, seed AS cand, dim,
+         CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS ce
+  FROM comps GROUP BY 1, 2, 3
+),
+d AS (
+  SELECT a.vec_id, a.sub, c.cand,
+         CAST(SUM((a.c_e6 - c.ce) * (a.c_e6 - c.ce)) AS BIGINT) AS dist
+  FROM comps a JOIN cent c ON c.sub = a.sub AND c.dim = a.dim
+  GROUP BY 1, 2, 3
+),
+rawbest AS MATERIALIZED (
+  SELECT vec_id, sub, dist FROM (
+    SELECT vec_id, sub, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, cand) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+raw AS (
+  SELECT vec_id, CAST(SUM(dist) AS BIGINT) AS err_raw_e12
+  FROM rawbest GROUP BY vec_id
+),
+lcent AS MATERIALIZED (
+  SELECT label, dim,
+         CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS lc
+  FROM comps GROUP BY 1, 2
+),
+rcomps AS MATERIALIZED (
+  SELECT c.vec_id, c.seed, c.sub, c.dim, c.c_e6 - l.lc AS r_e6
+  FROM comps c JOIN lcent l ON l.label = c.label AND l.dim = c.dim
+),
+rcent AS MATERIALIZED (
+  SELECT sub, seed AS cand, dim,
+         CAST(ROUND(CAST(SUM(r_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS ce
+  FROM rcomps GROUP BY 1, 2, 3
+),
+rd AS (
+  SELECT a.vec_id, a.sub, c.cand,
+         CAST(SUM((a.r_e6 - c.ce) * (a.r_e6 - c.ce)) AS BIGINT) AS dist
+  FROM rcomps a JOIN rcent c ON c.sub = a.sub AND c.dim = a.dim
+  GROUP BY 1, 2, 3
+),
+resbest AS MATERIALIZED (
+  SELECT vec_id, sub, cand, dist FROM (
+    SELECT vec_id, sub, cand, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, cand) AS rn
+    FROM rd
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT vec_id,
+         CAST(MAX(CASE WHEN sub = 0 THEN cand END) AS BIGINT) AS code0,
+         CAST(MAX(CASE WHEN sub = 1 THEN cand END) AS BIGINT) AS code1,
+         CAST(MAX(CASE WHEN sub = 2 THEN cand END) AS BIGINT) AS code2,
+         CAST(MAX(CASE WHEN sub = 3 THEN cand END) AS BIGINT) AS code3,
+         CAST(SUM(dist) AS BIGINT) AS err_res_e12
+  FROM resbest GROUP BY vec_id
+),
+gain AS (
+  SELECT CAST(ROUND(1e6 * (SUM(err_raw_e12) - SUM(err_res_e12))
+                    / SUM(err_raw_e12), 0) AS BIGINT) AS gain_ppm
+  FROM res JOIN raw USING (vec_id)
+)
+SELECT res.vec_id, code0, code1, code2, code3, err_res_e12, err_raw_e12,
+       gain_ppm
+FROM res JOIN raw USING (vec_id) CROSS JOIN gain
+ORDER BY vec_id
+""",
     # identical sign-pack into two 32-bit words, XOR+popcount hamming,
     # exact-e12 L2 top-10 audit with recall@10
     "q291_hamming_ann": """

