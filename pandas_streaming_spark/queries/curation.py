@@ -1034,8 +1034,177 @@ def q289_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q297_B = 8  # data-loader batch width
+
+
+def q297_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PADDING-WASTE audit of two batching strategies — the
+    training-efficiency measurement behind dynamic/length-bucketed
+    batching (every padded position is a FLOP spent on a pad token):
+    cut the corpus into batches of ``_Q297_B`` docs (1) in arrival
+    (doc_id) order and (2) in length-sorted order (toks desc, doc_id —
+    the bucketed-batching strategy), pad every batch to its own max
+    length, and grade per strategy: batch count, useful tokens, padded
+    tokens (Σ n_i·max_i − Σ toks — exact integers), and waste ppm.
+    Length-sorting collapses within-batch length variance, so its waste
+    must be ≤ arrival's (pinned by test) — this table is the
+    justification a pipeline attaches to its sampler choice. The
+    packing family (q85/q209/q239/q258) removes padding by
+    concatenation; this audits the pad-to-max regime concat can't be
+    used in (e.g. contrastive/reward batches). Scale: the global
+    row_number is the q280/q180 caveat — at corpus scale the rank comes
+    from the global-index chain (sorted zone maps), everything after is
+    one map-side-combined aggregate over batch ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("__toks")
+    )
+
+    def stat(order_cols, name: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        b = t.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__b", F.expr(f"CAST((__rn - 1) div {_Q297_B} AS BIGINT)")
+        )
+        per = b.groupBy("__b").agg(
+            F.count("*").alias("__n"),
+            F.max("__toks").alias("__mx"),
+            F.sum("__toks").alias("__s"),
+        )
+        return per.agg(
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum("__s").cast("long").alias("useful_tokens"),
+            (F.sum(F.col("__n") * F.col("__mx")) - F.sum("__s"))
+            .cast("long")
+            .alias("padded_tokens"),
+        ).select(
+            F.lit(name).alias("strategy"),
+            "n_batches",
+            "useful_tokens",
+            "padded_tokens",
+        )
+
+    out = stat([F.col("doc_id")], "1_arrival").unionByName(
+        stat([F.col("__toks").desc(), F.col("doc_id")], "2_length_sorted")
+    )
+    return out.select(
+        "strategy",
+        "n_batches",
+        "useful_tokens",
+        "padded_tokens",
+        F.round(
+            F.lit(1e6)
+            * F.col("padded_tokens")
+            / (F.col("padded_tokens") + F.col("useful_tokens")),
+            0,
+        )
+        .cast("long")
+        .alias("waste_ppm"),
+    ).orderBy("strategy")
+
+
+def q298_dedup_adjusted_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-ADJUSTED epoch allocation — q266's data-constrained mixing
+    recomputed on the supply that SURVIVES near-dup removal (the
+    composition a real run needs: mixing weights planned on raw counts
+    overshoot once dedup shrinks a scraped-twice source, and the run
+    silently re-epochs it): per source, raw vs deduped token supply
+    (q286's pairwise keep-smallest rule over the verified ≥ 0.8 pair
+    frame), q216's sqrt temperature weights over the DEDUPED supply,
+    the 30% token budget target (exact integral div — the q266
+    overflow-safe rule), unique/repeated tokens and exact centi-epochs,
+    PLUS the naive plan's centi-epochs (targets computed on raw counts,
+    then trained on the deduped supply) — the planning-error column
+    this composition exists to expose. Scale: the dedup panel rides the
+    bucketed LSH chain; everything after is integer arithmetic on a
+    |sources| frame with 1-row broadcast totals."""
+    from pandas_streaming_spark.queries.dedup_q import _neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    removed = (
+        _neardup_pairs(docs, 8000)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__rm", F.lit(1))
+    )
+    per = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("__t"),
+    ).join(removed, "doc_id", "left")
+    n = per.groupBy("source").agg(
+        F.sum("__t").cast("long").alias("raw_toks"),
+        F.sum(F.when(F.col("__rm").isNull(), F.col("__t")).otherwise(0))
+        .cast("long")
+        .alias("dedup_toks"),
+    )
+    s = n.select(
+        "*",
+        F.round(F.lit(1e6) * F.sqrt(F.col("dedup_toks")), 0)
+        .cast("long")
+        .alias("__s_e6"),
+        F.round(F.lit(1e6) * F.sqrt(F.col("raw_toks")), 0)
+        .cast("long")
+        .alias("__sr_e6"),
+    )
+    tot = s.agg(
+        F.sum("__s_e6").cast("long").alias("__tot_s"),
+        F.sum("dedup_toks").cast("long").alias("__tot_n"),
+        F.sum("__sr_e6").cast("long").alias("__tot_sr"),
+        F.sum("raw_toks").cast("long").alias("__tot_nr"),
+    )
+    j = s.join(F.broadcast(tot)).select(
+        "source",
+        "raw_toks",
+        "dedup_toks",
+        F.round(F.lit(1e6) * F.col("__s_e6") / F.col("__tot_s"), 0)
+        .cast("long")
+        .alias("w_ppm"),
+        F.round(F.lit(1e6) * F.col("__sr_e6") / F.col("__tot_sr"), 0)
+        .cast("long")
+        .alias("__wr_ppm"),
+        "__tot_n",
+        "__tot_nr",
+    )
+    target = F.expr("(__tot_n * 3 * w_ppm) div 10000000").cast("long")
+    target_raw = F.expr("(__tot_nr * 3 * __wr_ppm) div 10000000").cast("long")
+    return (
+        j.select(
+            "source",
+            "raw_toks",
+            "dedup_toks",
+            "w_ppm",
+            target.alias("target_toks"),
+            target_raw.alias("__tr"),
+        )
+        .select(
+            "source",
+            "raw_toks",
+            "dedup_toks",
+            "w_ppm",
+            "target_toks",
+            F.least(F.col("dedup_toks"), F.col("target_toks"))
+            .cast("long")
+            .alias("unique_toks"),
+            F.greatest(F.lit(0), F.col("target_toks") - F.col("dedup_toks"))
+            .cast("long")
+            .alias("repeated_toks"),
+            F.expr("(target_toks * 100) div greatest(dedup_toks, 1)")
+            .cast("long")
+            .alias("epochs_x100"),
+            F.expr("(__tr * 100) div greatest(dedup_toks, 1)")
+            .cast("long")
+            .alias("epochs_naive_x100"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q289_dsir_importance": q289_dsir_importance,
+    "q297_padding_waste": q297_padding_waste,
+    "q298_dedup_adjusted_epochs": q298_dedup_adjusted_epochs,
     "q196_negative_pairs": q196_negative_pairs,
     "q280_shard_manifest": q280_shard_manifest,
     "q281_interleave_order": q281_interleave_order,
@@ -1140,6 +1309,45 @@ SELECT source,
        CAST(ROUND(1e6 * SUM(CASE WHEN s > med THEN 1 ELSE 0 END)
                   / COUNT(*), 0) AS BIGINT) AS selected_ppm
 FROM ds CROSS JOIN med GROUP BY source ORDER BY source
+""",
+    # both batching orders, pad-to-batch-max accounting, exact integers
+    "q297_padding_waste": f"""
+WITH t AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS toks
+  FROM documents
+),
+arr AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {_Q297_B} AS b, toks
+  FROM t
+),
+srt AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) - 1) // {_Q297_B}
+           AS b, toks
+  FROM t
+),
+pa AS (
+  SELECT b, COUNT(*) AS n, MAX(toks) AS mx, SUM(toks) AS s
+  FROM arr GROUP BY b
+),
+ps AS (
+  SELECT b, COUNT(*) AS n, MAX(toks) AS mx, SUM(toks) AS s
+  FROM srt GROUP BY b
+),
+u AS (
+  SELECT '1_arrival' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(s) AS BIGINT) AS useful_tokens,
+         CAST(SUM(n * mx) - SUM(s) AS BIGINT) AS padded_tokens
+  FROM pa
+  UNION ALL
+  SELECT '2_length_sorted', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(s) AS BIGINT), CAST(SUM(n * mx) - SUM(s) AS BIGINT)
+  FROM ps
+)
+SELECT strategy, n_batches, useful_tokens, padded_tokens,
+       CAST(ROUND(1e6 * padded_tokens
+                  / (padded_tokens + useful_tokens), 0) AS BIGINT)
+         AS waste_ppm
+FROM u ORDER BY strategy
 """,
     # serpentine deal over the (toks desc, doc_id) rank; ppm shares
     "q280_shard_manifest": """

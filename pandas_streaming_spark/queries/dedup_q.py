@@ -862,7 +862,62 @@ def q287_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(total).orderBy("bucket")
 
 
+def q299_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster COHESION audit — the fourth dedup-report panel
+    (q284 source matrix, q286 retention, q287 size histogram): for each
+    connected component of the verified (≥ 0.8) pair graph, edge
+    density 2e/(m(m−1)) in ppm — a cohesion near 1e6 means the cluster
+    is a clique (true re-uploads of one document); a low cohesion on a
+    big cluster means a CHAIN of borderline pairs glued by transitivity
+    (the threshold artifact where A≈B≈C but A≉C — exactly the clusters
+    a keep-one-per-component rule over-deletes from). Graded per
+    cluster size (≥ 2): cluster count, total verified edges, and the
+    mean per-cluster cohesion (integer ppm, rounded per cluster then
+    averaged — deterministic both engines). Scale: pointer-jumping CC +
+    one edge→component join + two map-side-combined aggregates; the
+    output frame is bounded by the largest cluster size."""
+    from pandas_streaming_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    nd = _neardup_pairs(docs, 8000).select("id_a", "id_b")
+    cc = connected_components(docs, nd)
+    sizes = cc.groupBy("component").agg(F.count("*").cast("long").alias("m"))
+    edges = (
+        nd.join(
+            cc.select(F.col("doc_id").alias("id_a"), "component"), "id_a"
+        )
+        .groupBy("component")
+        .agg(F.count("*").cast("long").alias("e"))
+    )
+    per = (
+        sizes.filter(F.col("m") >= 2)
+        .join(edges, "component")
+        .select(
+            "m",
+            "e",
+            F.round(
+                F.lit(1e6) * 2 * F.col("e") / (F.col("m") * (F.col("m") - 1)),
+                0,
+            )
+            .cast("long")
+            .alias("__coh"),
+        )
+    )
+    return (
+        per.groupBy(F.col("m").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("e").cast("long").alias("n_edges"),
+            F.round(F.sum("__coh") / F.count("*"), 0)
+            .cast("long")
+            .alias("mean_cohesion_ppm"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 QUERIES = {
+    "q299_cluster_cohesion": q299_cluster_cohesion,
     "q284_source_neardup_matrix": q284_source_neardup_matrix,
     "q286_dedup_retention": q286_dedup_retention,
     "q287_dup_cluster_histogram": q287_dup_cluster_histogram,

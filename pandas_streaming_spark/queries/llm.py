@@ -463,6 +463,88 @@ JOIN documents sb ON sb.doc_id = nd.id_b
 GROUP BY 1, 2
 ORDER BY 1, 2
 """,
+    # same near-dup frame; q216 sqrt weights + q266 integral-div epoch
+    # allocation over the DEDUPED supply, naive-plan column included
+    "q298_dedup_adjusted_epochs": f"""
+WITH bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM ({_MINHASH_SIG})
+  GROUP BY doc_id, s // 2
+),
+ok AS (
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS c
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+nd AS (
+  SELECT * FROM (
+    SELECT id_a, id_b,
+           CAST(ROUND(10000.0 * c / (na.n + nb.n - c), 0) AS BIGINT) AS jac_e4
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+  ) WHERE jac_e4 >= 8000
+),
+removed AS (SELECT DISTINCT id_b AS doc_id FROM nd),
+n AS (
+  SELECT d.source,
+         CAST(SUM(LEN(STRING_SPLIT(d.text, ' '))) AS BIGINT) AS raw_toks,
+         CAST(SUM(CASE WHEN r.doc_id IS NULL
+                       THEN LEN(STRING_SPLIT(d.text, ' ')) ELSE 0 END)
+              AS BIGINT) AS dedup_toks
+  FROM documents d LEFT JOIN removed r ON r.doc_id = d.doc_id
+  GROUP BY d.source
+),
+s AS (
+  SELECT source, raw_toks, dedup_toks,
+         CAST(ROUND(1e6 * SQRT(dedup_toks), 0) AS BIGINT) AS s_e6,
+         CAST(ROUND(1e6 * SQRT(raw_toks), 0) AS BIGINT) AS sr_e6
+  FROM n
+),
+tot AS (
+  SELECT CAST(SUM(s_e6) AS BIGINT) AS tot_s,
+         CAST(SUM(dedup_toks) AS BIGINT) AS tot_n,
+         CAST(SUM(sr_e6) AS BIGINT) AS tot_sr,
+         CAST(SUM(raw_toks) AS BIGINT) AS tot_nr
+  FROM s
+),
+j AS (
+  SELECT source, raw_toks, dedup_toks,
+         CAST(ROUND(1e6 * s_e6 / tot_s, 0) AS BIGINT) AS w_ppm,
+         CAST(ROUND(1e6 * sr_e6 / tot_sr, 0) AS BIGINT) AS wr_ppm,
+         tot_n, tot_nr
+  FROM s CROSS JOIN tot
+),
+tg AS (
+  SELECT source, raw_toks, dedup_toks, w_ppm,
+         CAST((tot_n * 3 * w_ppm) // 10000000 AS BIGINT) AS target_toks,
+         CAST((tot_nr * 3 * wr_ppm) // 10000000 AS BIGINT) AS tr
+  FROM j
+)
+SELECT source, raw_toks, dedup_toks, w_ppm, target_toks,
+       CAST(LEAST(dedup_toks, target_toks) AS BIGINT) AS unique_toks,
+       CAST(GREATEST(0, target_toks - dedup_toks) AS BIGINT)
+         AS repeated_toks,
+       CAST((target_toks * 100) // GREATEST(dedup_toks, 1) AS BIGINT)
+         AS epochs_x100,
+       CAST((tr * 100) // GREATEST(dedup_toks, 1) AS BIGINT)
+         AS epochs_naive_x100
+FROM tg ORDER BY source
+""",
     # the datacard composition: same near-dup frame + Gopher gate flags
     # + language mode/entropy, one row per source
     "q295_corpus_datacard": f"""
@@ -603,6 +685,72 @@ SELECT d.source,
 FROM documents d LEFT JOIN removed r ON r.doc_id = d.doc_id
 GROUP BY d.source
 ORDER BY d.source
+""",
+    # CC over the VERIFIED pairs; per-size mean edge density (clique vs
+    # transitivity-chain diagnosis)
+    "q299_cluster_cohesion": f"""
+WITH RECURSIVE bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM ({_MINHASH_SIG})
+  GROUP BY doc_id, s // 2
+),
+ok AS (
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS c
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+nd AS (
+  SELECT * FROM (
+    SELECT id_a, id_b,
+           CAST(ROUND(10000.0 * c / (na.n + nb.n - c), 0) AS BIGINT) AS jac_e4
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+  ) WHERE jac_e4 >= 8000
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM nd
+  UNION
+  SELECT id_b, id_a FROM nd
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
+),
+cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+csz AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS m FROM cc GROUP BY component
+),
+ce AS (
+  SELECT c.component, CAST(COUNT(*) AS BIGINT) AS e
+  FROM nd JOIN cc c ON c.node = nd.id_a
+  GROUP BY c.component
+),
+per AS (
+  SELECT m, e,
+         CAST(ROUND(1e6 * 2 * e / (m * (m - 1)), 0) AS BIGINT) AS coh
+  FROM csz JOIN ce USING (component)
+  WHERE m >= 2
+)
+SELECT m AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(e) AS BIGINT) AS n_edges,
+       CAST(ROUND(SUM(coh) / COUNT(*), 0) AS BIGINT) AS mean_cohesion_ppm
+FROM per GROUP BY m ORDER BY cluster_size
 """,
     # CC over the VERIFIED (>=0.8) pairs; size histogram + dup factor
     "q287_dup_cluster_histogram": f"""

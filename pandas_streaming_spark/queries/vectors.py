@@ -1199,6 +1199,78 @@ def q294_residual_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q296_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBNESS audit of the cell-blocked kNN graph (Radovanović et al.
+    2010) — the vector-search QA metric that catches degenerate
+    embedding spaces: in high-dimensional or badly-normalized spaces a
+    few "hub" vectors appear in everyone's top-k while antihubs appear
+    in no one's, and retrieval quality collapses. Build the 3-NN graph
+    WITHIN each stored label cell (the q92/q279 inverted lists — the
+    within-cell pair expansion is bounded by cell size, the LSH
+    max_bucket posture, never corpus²), distances exact e12 integers,
+    ties → neighbor id; then grade the k-occurrence distribution:
+    in-degree → vector count + share ppm. A healthy graph concentrates
+    near in-degree k; a heavy right tail = hubs. Scale: one
+    (label, dim)-keyed self-join fanning each component to its cell
+    peers (Σ m_cell² · 64 rows — cell-capped), one per-source rank
+    window, one map-side-combined in-degree aggregate; the histogram
+    frame is bounded by the max in-degree."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("c_e6"),
+    )
+    a = comps.select(
+        F.col("vec_id").alias("src"), "label", "dim", F.col("c_e6").alias("ca")
+    )
+    b = comps.select(
+        F.col("vec_id").alias("dst"), "label", "dim", F.col("c_e6").alias("cb")
+    )
+    pairs = (
+        a.join(b, ["label", "dim"])
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("long")
+            .alias("d_e12")
+        )
+    )
+    w3 = Window.partitionBy("src").orderBy("d_e12", "dst")
+    knn = pairs.withColumn("__r", F.row_number().over(w3)).filter(
+        F.col("__r") <= 3
+    )
+    indeg = (
+        emb.select("vec_id")
+        .join(
+            knn.groupBy("dst").agg(F.count("*").cast("long").alias("__ind")),
+            emb.vec_id == F.col("dst"),
+            "left",
+        )
+        .select(F.coalesce("__ind", F.lit(0)).cast("long").alias("in_degree"))
+    )
+    tot = indeg.agg(F.count("*").cast("long").alias("__N"))
+    return (
+        indeg.groupBy("in_degree")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "in_degree",
+            "n_vectors",
+            F.round(F.lit(1e6) * F.col("n_vectors") / F.col("__N"), 0)
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("in_degree")
+    )
+
+
 def q291_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BINARY sign-quantized ANN (Charikar 2002 SimHash for dense
     vectors / the 1-bit tier of the compression ladder: float32 → int8
@@ -1294,6 +1366,7 @@ def q291_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q291_hamming_ann": q291_hamming_ann,
     "q294_residual_pq": q294_residual_pq,
+    "q296_knn_hubness": q296_knn_hubness,
     "q182_rrf_hybrid": q182_rrf_hybrid,
     "q263_product_quantization": q263_product_quantization,
     "q268_dim_variance_prune": q268_dim_variance_prune,
@@ -1425,6 +1498,44 @@ rr{np_} AS (
 
 
 ORACLES = {
+    # cell-blocked 3-NN graph, exact e12 distances, k-occurrence
+    # histogram with ppm shares
+    "q296_knn_hubness": """
+WITH comps AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0)
+              AS BIGINT) AS c_e6
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(SUM((a.c_e6 - b.c_e6) * (a.c_e6 - b.c_e6)) AS BIGINT) AS d_e12
+  FROM comps a
+  JOIN comps b ON b.label = a.label AND b.dim = a.dim
+              AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY d_e12, dst) AS r
+    FROM pairs
+  ) WHERE r <= 3
+),
+indeg AS (
+  SELECT e.vec_id, CAST(COALESCE(k.ind, 0) AS BIGINT) AS in_degree
+  FROM embeddings e
+  LEFT JOIN (SELECT dst, COUNT(*) AS ind FROM knn GROUP BY dst) k
+    ON k.dst = e.vec_id
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM indeg)
+SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(ROUND(1e6 * COUNT(*) / tot.n, 0) AS BIGINT) AS share_ppm
+FROM indeg CROSS JOIN tot
+GROUP BY in_degree, tot.n
+ORDER BY in_degree
+""",
     # raw-PQ chain + residual-PQ chain (coarse label centroids, exact
     # integer residuals), per-vector codes/errors, constant gain_ppm
     "q294_residual_pq": """

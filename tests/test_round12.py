@@ -449,3 +449,67 @@ def test_q295_datacard_composes_its_panels(spark, sf_dir):
         assert 0 <= r["gate_pass_ppm"] <= 1_000_000
         total_pass += round(r["gate_pass_ppm"] * r["n_docs"] / 1e6)
     assert total_pass >= 0
+
+
+def test_q296_hubness_mass_conserves(spark, sf_dir):
+    """The k-occurrence distribution must conserve both vectors
+    (Σ n_vectors = corpus) and edge endpoints (Σ in_degree·n_vectors =
+    total kNN edges ≤ 3·n), and shares sum to ~1e6."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.queries.vectors import q296_knn_hubness
+
+    rows = q296_knn_hubness(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n
+    edges = sum(r["in_degree"] * r["n_vectors"] for r in rows)
+    assert 0 < edges <= 3 * n
+    assert abs(sum(r["share_ppm"] for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_q297_sorted_batching_wastes_less(spark, sf_dir):
+    """Length-sorted batching can only reduce padding (within-batch max
+    is minimized by sorting), useful tokens are identical across
+    strategies, and waste_ppm is the cross-mult of the two counts."""
+    from pandas_streaming_spark.queries.curation import q297_padding_waste
+
+    rows = {r["strategy"]: r for r in q297_padding_waste(spark, sf_dir).collect()}
+    a, s = rows["1_arrival"], rows["2_length_sorted"]
+    assert a["useful_tokens"] == s["useful_tokens"]
+    assert a["n_batches"] == s["n_batches"]
+    assert s["padded_tokens"] <= a["padded_tokens"]
+    for r in (a, s):
+        assert r["waste_ppm"] == round(
+            1e6 * r["padded_tokens"] / (r["padded_tokens"] + r["useful_tokens"])
+        )
+
+
+def test_q298_composes_q266_and_q286(spark, sf_dir):
+    """The adjusted plan's supply must equal q286's retained docs'
+    tokens (dedup_toks ≤ raw_toks with equality iff nothing removed),
+    and the naive column can only ask for MORE epochs than the
+    adjusted plan on sources that lost tokens."""
+    from pandas_streaming_spark.queries.curation import q298_dedup_adjusted_epochs
+
+    rows = q298_dedup_adjusted_epochs(spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert any(r["dedup_toks"] < r["raw_toks"] for r in rows)
+    for r in rows:
+        assert 0 <= r["dedup_toks"] <= r["raw_toks"]
+        assert r["unique_toks"] == min(r["dedup_toks"], r["target_toks"])
+        assert r["repeated_toks"] == max(0, r["target_toks"] - r["dedup_toks"])
+        assert (r["target_toks"] * 100) // max(r["dedup_toks"], 1) == r["epochs_x100"]
+
+
+def test_q299_cohesion_bounds(spark, sf_dir):
+    """Edge density lives in (0, 1e6]: a size-2 cluster is always a
+    clique (cohesion exactly 1e6), and e ≤ m(m−1)/2 per size bucket."""
+    from pandas_streaming_spark.queries.dedup_q import q299_cluster_cohesion
+
+    rows = q299_cluster_cohesion(spark, sf_dir).collect()
+    assert rows, "at least one duplicate cluster exists at the graded SFs"
+    for r in rows:
+        assert 0 < r["mean_cohesion_ppm"] <= 1_000_000
+        cap = r["n_clusters"] * r["cluster_size"] * (r["cluster_size"] - 1) // 2
+        assert 0 < r["n_edges"] <= cap
+        if r["cluster_size"] == 2:
+            assert r["mean_cohesion_ppm"] == 1_000_000
