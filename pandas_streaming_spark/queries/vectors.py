@@ -1199,6 +1199,203 @@ def q294_residual_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q300_ITERS = 3
+
+
+def q300_kmeans_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS-trained IVF cells — the production fix q279's cell-health
+    audit predicted (label cells are only weakly geometric, so coarse
+    pruning loses recall; a real inverted file trains its coarse
+    quantizer with Lloyd iterations): seed k=4 centroids from the
+    vec_id%4 means (the q96/q263 seed convention), run
+    ``_Q300_ITERS`` Lloyd iterations (E-step: exact-e12 argmin
+    assignment, ties → smaller cell; M-step: fixed-point e6 means;
+    centroids localCheckpoint'd per iteration — q292's lineage policy),
+    store the final assignment as the inverted lists, then answer the
+    vec-0 probe at n_probe=2 with exact re-ranking and grade recall@10
+    against the corpus-wide exact top-10 — WITH the label-cell twin
+    (same probe width, same re-rank, q276's stored cells) as a constant
+    comparison column, so the query itself states whether training the
+    coarse quantizer bought recall. A cluster that empties simply drops
+    out (both engines agree — group-by semantics). Scale: each Lloyd
+    iteration is one k-fan component join + two map-side-combined
+    aggregates with broadcast-size centroids; the probe is cell-pruned;
+    only the ground-truth audit is a corpus pass (sampled in
+    production)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("c_e6"),
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        return (
+            comps.join(cent, "dim")
+            .groupBy("vec_id", "cl")
+            .agg(
+                F.sum(
+                    (F.col("c_e6") - F.col("ce_e6"))
+                    * (F.col("c_e6") - F.col("ce_e6"))
+                ).alias("__d")
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("__d"), F.col("cl"))).alias("__m"))
+            .select("vec_id", F.col("__m.cl").alias("cl"))
+        )
+
+    cent = (
+        comps.select(
+            F.pmod("vec_id", F.lit(4)).cast("long").alias("cl"), "dim", "c_e6"
+        )
+        .groupBy("cl", "dim")
+        .agg(
+            F.round(F.sum("c_e6").cast("double") / F.count("*"), 0)
+            .cast("long")
+            .alias("ce_e6")
+        )
+    )
+    for _i in range(_Q300_ITERS):
+        asn = assign(cent)
+        cent = (
+            comps.join(asn, "vec_id")
+            .groupBy("cl", "dim")
+            .agg(
+                F.round(F.sum("c_e6").cast("double") / F.count("*"), 0)
+                .cast("long")
+                .alias("ce_e6")
+            )
+            .localCheckpoint()
+        )
+    cells = assign(cent)
+    qc = comps.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("c_e6").alias("q_e6")
+    )
+    crank = (
+        cent.join(F.broadcast(qc), "dim")
+        .groupBy("cl")
+        .agg(
+            F.sum(
+                (F.col("ce_e6") - F.col("q_e6"))
+                * (F.col("ce_e6") - F.col("q_e6"))
+            )
+            .cast("long")
+            .alias("__cd")
+        )
+        .orderBy("__cd", "cl")
+        .limit(2)
+        .select("cl")
+    )
+    cand = (
+        cells.join(F.broadcast(crank), "cl", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    exact = (
+        comps.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qc), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("c_e6") - F.col("q_e6"))
+                * (F.col("c_e6") - F.col("q_e6"))
+            )
+            .cast("long")
+            .alias("exact_e12")
+        )
+    )
+    ex10 = (
+        exact.orderBy("exact_e12", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("__h"))
+    )
+    top = (
+        exact.join(cand, "vec_id", "left_semi")
+        .orderBy("exact_e12", "vec_id")
+        .limit(10)
+    )
+    hits = top.join(F.broadcast(ex10), "vec_id", "left").select(
+        "vec_id",
+        "exact_e12",
+        F.coalesce("__h", F.lit(0)).cast("long").alias("hit_exact"),
+    )
+    rec = hits.agg(
+        (F.sum("hit_exact") * 1000).cast("long").alias("recall_at_10_e4")
+    )
+    ncand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    # the stored-label-cell twin at the same probe width + re-rank
+    lcent = (
+        emb.select("vec_id", "label", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("x").cast("double") * 1e6, 0)
+            .cast("long")
+            .alias("c_e6"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.sum("c_e6").cast("double") / F.count("*"), 0)
+            .cast("long")
+            .alias("lce_e6")
+        )
+    )
+    lrank = (
+        lcent.join(F.broadcast(qc), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (F.col("lce_e6") - F.col("q_e6"))
+                * (F.col("lce_e6") - F.col("q_e6"))
+            )
+            .cast("long")
+            .alias("__cd")
+        )
+        .orderBy("__cd", "label")
+        .limit(2)
+        .select("label")
+    )
+    lcand = (
+        emb.join(F.broadcast(lrank), "label", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    ltop = (
+        exact.join(lcand, "vec_id", "left_semi")
+        .orderBy("exact_e12", "vec_id")
+        .limit(10)
+    )
+    lrec = (
+        ltop.join(F.broadcast(ex10), "vec_id", "left")
+        .agg(
+            (F.sum(F.coalesce("__h", F.lit(0))) * 1000)
+            .cast("long")
+            .alias("recall_label_e4")
+        )
+    )
+    w = Window.orderBy("exact_e12", "vec_id")
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(rec))
+        .crossJoin(F.broadcast(ncand))
+        .crossJoin(F.broadcast(lrec))
+        .select(
+            "rank",
+            "vec_id",
+            "exact_e12",
+            "hit_exact",
+            "recall_at_10_e4",
+            "n_candidates",
+            "recall_label_e4",
+        )
+        .orderBy("rank")
+    )
+
+
 def q296_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HUBNESS audit of the cell-blocked kNN graph (Radovanović et al.
     2010) — the vector-search QA metric that catches degenerate
@@ -1367,6 +1564,7 @@ QUERIES = {
     "q291_hamming_ann": q291_hamming_ann,
     "q294_residual_pq": q294_residual_pq,
     "q296_knn_hubness": q296_knn_hubness,
+    "q300_kmeans_ivf_recall": q300_kmeans_ivf_recall,
     "q182_rrf_hybrid": q182_rrf_hybrid,
     "q263_product_quantization": q263_product_quantization,
     "q268_dim_variance_prune": q268_dim_variance_prune,
@@ -1498,6 +1696,141 @@ rr{np_} AS (
 
 
 ORACLES = {
+    # seed means + 3 unrolled Lloyd iterations + final assignment;
+    # n_probe=2 exact-re-rank probe for BOTH trained and label cells
+    "q300_kmeans_ivf_recall": """
+WITH comps AS MATERIALIZED (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0)
+              AS BIGINT) AS c_e6
+  FROM embeddings
+),
+cent0 AS (
+  SELECT CAST(vec_id % 4 AS BIGINT) AS cl, dim,
+         CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS ce
+  FROM comps GROUP BY 1, 2
+),
+asn1 AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cl) AS rn
+    FROM (SELECT a.vec_id, c.cl,
+                 CAST(SUM((a.c_e6 - c.ce) * (a.c_e6 - c.ce)) AS BIGINT) AS d
+          FROM comps a JOIN cent0 c USING (dim) GROUP BY 1, 2)
+  ) WHERE rn = 1
+),
+cent1 AS MATERIALIZED (
+  SELECT s.cl, a.dim,
+         CAST(ROUND(CAST(SUM(a.c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS ce
+  FROM comps a JOIN asn1 s USING (vec_id) GROUP BY 1, 2
+),
+asn2 AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cl) AS rn
+    FROM (SELECT a.vec_id, c.cl,
+                 CAST(SUM((a.c_e6 - c.ce) * (a.c_e6 - c.ce)) AS BIGINT) AS d
+          FROM comps a JOIN cent1 c USING (dim) GROUP BY 1, 2)
+  ) WHERE rn = 1
+),
+cent2 AS MATERIALIZED (
+  SELECT s.cl, a.dim,
+         CAST(ROUND(CAST(SUM(a.c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS ce
+  FROM comps a JOIN asn2 s USING (vec_id) GROUP BY 1, 2
+),
+asn3 AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cl) AS rn
+    FROM (SELECT a.vec_id, c.cl,
+                 CAST(SUM((a.c_e6 - c.ce) * (a.c_e6 - c.ce)) AS BIGINT) AS d
+          FROM comps a JOIN cent2 c USING (dim) GROUP BY 1, 2)
+  ) WHERE rn = 1
+),
+cent3 AS MATERIALIZED (
+  SELECT s.cl, a.dim,
+         CAST(ROUND(CAST(SUM(a.c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS ce
+  FROM comps a JOIN asn3 s USING (vec_id) GROUP BY 1, 2
+),
+cells AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cl) AS rn
+    FROM (SELECT a.vec_id, c.cl,
+                 CAST(SUM((a.c_e6 - c.ce) * (a.c_e6 - c.ce)) AS BIGINT) AS d
+          FROM comps a JOIN cent3 c USING (dim) GROUP BY 1, 2)
+  ) WHERE rn = 1
+),
+qc AS (SELECT dim, c_e6 AS q FROM comps WHERE vec_id = 0),
+crank AS (
+  SELECT cl FROM (
+    SELECT c.cl, CAST(SUM((c.ce - q.q) * (c.ce - q.q)) AS BIGINT) AS cd
+    FROM cent3 c JOIN qc q USING (dim) GROUP BY 1
+  ) ORDER BY cd, cl LIMIT 2
+),
+cand AS (
+  SELECT vec_id FROM cells
+  WHERE cl IN (SELECT cl FROM crank) AND vec_id <> 0
+),
+exact AS MATERIALIZED (
+  SELECT a.vec_id,
+         CAST(SUM((a.c_e6 - q.q) * (a.c_e6 - q.q)) AS BIGINT) AS exact_e12
+  FROM comps a JOIN qc q USING (dim) WHERE a.vec_id <> 0 GROUP BY a.vec_id
+),
+ex10 AS (SELECT vec_id FROM exact ORDER BY exact_e12, vec_id LIMIT 10),
+top AS (
+  SELECT vec_id, exact_e12 FROM exact
+  WHERE vec_id IN (SELECT vec_id FROM cand)
+  ORDER BY exact_e12, vec_id LIMIT 10
+),
+hits AS (
+  SELECT vec_id, exact_e12,
+         CASE WHEN vec_id IN (SELECT vec_id FROM ex10)
+              THEN 1 ELSE 0 END AS hit_exact
+  FROM top
+),
+rec AS (SELECT CAST(SUM(hit_exact) * 1000 AS BIGINT) AS recall_at_10_e4
+        FROM hits),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+lcomps AS (
+  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0)
+              AS BIGINT) AS c_e6
+  FROM embeddings
+),
+lcent AS (
+  SELECT label, dim,
+         CAST(ROUND(CAST(SUM(c_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS ce
+  FROM lcomps GROUP BY 1, 2
+),
+lrank AS (
+  SELECT label FROM (
+    SELECT c.label, CAST(SUM((c.ce - q.q) * (c.ce - q.q)) AS BIGINT) AS cd
+    FROM lcent c JOIN qc q USING (dim) GROUP BY 1
+  ) ORDER BY cd, label LIMIT 2
+),
+lcand AS (
+  SELECT vec_id FROM embeddings
+  WHERE label IN (SELECT label FROM lrank) AND vec_id <> 0
+),
+ltop AS (
+  SELECT vec_id FROM exact
+  WHERE vec_id IN (SELECT vec_id FROM lcand)
+  ORDER BY exact_e12, vec_id LIMIT 10
+),
+lrec AS (
+  SELECT CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM ex10)
+                       THEN 1 ELSE 0 END) * 1000 AS BIGINT)
+           AS recall_label_e4
+  FROM ltop
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY exact_e12, vec_id) AS BIGINT)
+         AS rank,
+       vec_id, exact_e12, CAST(hit_exact AS BIGINT) AS hit_exact,
+       recall_at_10_e4, n_candidates, recall_label_e4
+FROM hits CROSS JOIN rec CROSS JOIN nc CROSS JOIN lrec
+ORDER BY rank
+""",
     # cell-blocked 3-NN graph, exact e12 distances, k-occurrence
     # histogram with ppm shares
     "q296_knn_hubness": """

@@ -513,3 +513,18 @@ def test_q299_cohesion_bounds(spark, sf_dir):
         assert 0 < r["n_edges"] <= cap
         if r["cluster_size"] == 2:
             assert r["mean_cohesion_ppm"] == 1_000_000
+
+
+def test_q300_trained_cells_beat_label_cells(spark, sf_dir):
+    """The whole point of training the coarse quantizer: at equal probe
+    width and identical re-ranking, k-means cells must reach at least
+    the label cells' recall (strictly more on the graded corpora, where
+    label cells are weakly geometric — q279)."""
+    from pandas_streaming_spark.queries.vectors import q300_kmeans_ivf_recall
+
+    rows = q300_kmeans_ivf_recall(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    rec, lrec = rows[0]["recall_at_10_e4"], rows[0]["recall_label_e4"]
+    assert rec >= lrec
+    assert rec == sum(r["hit_exact"] for r in rows) * 1000
+    assert 0 < rows[0]["n_candidates"]
