@@ -974,6 +974,78 @@ FROM documents
 GROUP BY ROLLUP (lang)
 ORDER BY lang
 """,
+    # q182's fused chain as a CTE + exact-cosine top-10 relevance,
+    # e6 position discounts, exact-integer DCG/IDCG ratio
+    "q301_ndcg_rrf": f"""
+WITH qt AS (
+  SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS t
+  FROM documents WHERE doc_id = 0
+),
+dt AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+  FROM documents WHERE doc_id <> 0
+),
+lex AS (
+  SELECT doc_id, COUNT(*) AS lex_score
+  FROM dt JOIN qt ON dt.t = qt.t
+  GROUP BY doc_id
+  ORDER BY lex_score DESC, doc_id
+  LIMIT 50
+),
+topl AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS rank_lex
+  FROM lex
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT e.vec_id,
+         CAST(ROUND(10000.0 * {_cos("e.embedding", "q.qe")}, 0) AS BIGINT)
+           AS sim_e4
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY sim_e4 DESC, vec_id
+  LIMIT 50
+),
+topv AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY sim_e4 DESC, vec_id) AS rank_vec
+  FROM vs
+),
+fused AS (
+  SELECT COALESCE(topl.doc_id, topv.doc_id) AS doc_id,
+         COALESCE(CAST(ROUND(1e6 / (60 + topl.rank_lex), 0) AS BIGINT), 0)
+           + COALESCE(CAST(ROUND(1e6 / (60 + topv.rank_vec), 0) AS BIGINT), 0)
+           AS rrf_e6
+  FROM topl FULL OUTER JOIN topv ON topl.doc_id = topv.doc_id
+  ORDER BY rrf_e6 DESC, doc_id
+  LIMIT 10
+),
+relv AS (
+  SELECT vec_id AS doc_id, 1 AS rel FROM vs
+  ORDER BY sim_e4 DESC, vec_id LIMIT 10
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) AS rank,
+         doc_id, rrf_e6
+  FROM fused
+),
+rw AS (
+  SELECT rank, ranked.doc_id, rrf_e6,
+         CAST(COALESCE(r.rel, 0) AS BIGINT) AS relevant,
+         CAST(ROUND(1e6 / LOG2(rank + 1), 0) AS BIGINT) AS w
+  FROM ranked LEFT JOIN relv r ON r.doc_id = ranked.doc_id
+),
+d AS (
+  SELECT CAST(SUM(relevant * w) AS BIGINT) AS dcg_e6,
+         CAST(SUM(w) AS BIGINT) AS idcg
+  FROM rw
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, rrf_e6, relevant, dcg_e6,
+       CAST(ROUND(1e4 * dcg_e6 / idcg, 0) AS BIGINT) AS ndcg_e4
+FROM rw CROSS JOIN d
+ORDER BY rank
+""",
     "q182_rrf_hybrid": f"""
 WITH qt AS (
   SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS t

@@ -1199,6 +1199,66 @@ def q294_residual_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q301_ndcg_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the RRF hybrid retriever — the graded-relevance
+    ranking metric (Järvelin & Kekäläinen 2002) every retrieval eval
+    reports next to MRR (q227) and recall (q108): take q182's fused
+    top-10 AS the system ranking, define relevance as membership in the
+    exact cosine top-10 for the same probe (binary — the q108
+    convention), and compute DCG = Σ rel_i·w_i with the position
+    discounts w_i = round(1e6/log2(i+1)) as e6 integers (per-term
+    rounding, the q181 float discipline — log2 of small integers, 1-ulp
+    both engines, then everything downstream is exact longs); IDCG is
+    the same 10 discounts (10 relevant docs exist), so
+    ndcg_e4 = round(1e4·DCG/IDCG) is a ratio of exact integers. Graded
+    per rank row with the two constants — the eval the q182 fusion
+    would be tuned against. Scale: everything operates on the 10-row
+    fused frame + a broadcast 10-row relevance set; the only corpus
+    passes are q182's own."""
+    from pyspark.sql import Window
+
+    fused = q182_rrf_hybrid(spark, sf_dir)
+    rel = (
+        cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=11)
+        .filter(F.col("vec_id") != 0)
+        .limit(10)
+        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("__rel"))
+    )
+    w = Window.orderBy(F.col("rrf_e6").desc(), "doc_id")
+    ranked = (
+        fused.select("doc_id", "rrf_e6")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(rel), "doc_id", "left")
+        .select(
+            "rank",
+            "doc_id",
+            "rrf_e6",
+            F.coalesce("__rel", F.lit(0)).cast("long").alias("relevant"),
+            F.round(F.lit(1e6) / F.log2(F.col("rank") + 1), 0)
+            .cast("long")
+            .alias("__w"),
+        )
+    )
+    tot = ranked.agg(
+        F.sum(F.col("relevant") * F.col("__w")).cast("long").alias("dcg_e6"),
+        F.sum("__w").cast("long").alias("__idcg"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "doc_id",
+            "rrf_e6",
+            "relevant",
+            "dcg_e6",
+            F.round(F.lit(1e4) * F.col("dcg_e6") / F.col("__idcg"), 0)
+            .cast("long")
+            .alias("ndcg_e4"),
+        )
+        .orderBy("rank")
+    )
+
+
 _Q300_ITERS = 3
 
 
@@ -1565,6 +1625,7 @@ QUERIES = {
     "q294_residual_pq": q294_residual_pq,
     "q296_knn_hubness": q296_knn_hubness,
     "q300_kmeans_ivf_recall": q300_kmeans_ivf_recall,
+    "q301_ndcg_rrf": q301_ndcg_rrf,
     "q182_rrf_hybrid": q182_rrf_hybrid,
     "q263_product_quantization": q263_product_quantization,
     "q268_dim_variance_prune": q268_dim_variance_prune,

@@ -528,3 +528,23 @@ def test_q300_trained_cells_beat_label_cells(spark, sf_dir):
     assert rec >= lrec
     assert rec == sum(r["hit_exact"] for r in rows) * 1000
     assert 0 < rows[0]["n_candidates"]
+
+
+def test_q301_ndcg_consistency(spark, sf_dir):
+    """nDCG invariants: rank 1..10, discounts decrease with rank, the
+    constant ndcg_e4 lives in [0, 1e4] and equals the cross-mult of
+    DCG against the fixed 10-position IDCG."""
+    from pandas_streaming_spark.queries.vectors import q301_ndcg_rrf
+
+    rows = q301_ndcg_rrf(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    nd = rows[0]["ndcg_e4"]
+    assert 0 <= nd <= 10000
+    idcg = sum(round(1e6 / __import__("math").log2(i + 1)) for i in range(1, 11))
+    dcg = sum(
+        round(1e6 / __import__("math").log2(r["rank"] + 1))
+        for r in rows
+        if r["relevant"] == 1
+    )
+    assert rows[0]["dcg_e6"] == dcg
+    assert nd == round(1e4 * dcg / idcg)
