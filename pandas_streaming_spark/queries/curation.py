@@ -928,39 +928,21 @@ _DSIR_B = 256  # hashed-feature buckets (Xie et al. 2023 use 10k; 256 keeps
 # every bucket populated at the grading corpus so the estimator is exercised)
 
 
-def q289_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023),
-    the hashed-n-gram importance estimator modern pretraining pipelines
-    use to up-weight target-domain-like documents: featurize every word
-    into one of ``_DSIR_B`` md5 buckets (content-addressed, so the duckdb
-    oracle computes IDENTICAL features), fit two unigram bucket models —
-    target = the ``lang = 'en'`` slice (the "trusted domain"), raw = the
-    whole corpus — with add-one smoothing, and score each document by
-    the bag-of-features log-likelihood ratio Σ_w [log p_tgt(b(w)) −
-    log p_raw(b(w))]. All log-probs are integer HALF-BIT units
-    (hb(c) = length(bin(c·c)) − 1 = floor(2·log2 c), the q275
-    quantization — exact in both engines for c ≤ 3.03e9; beyond that the
-    squares ride decimal/int128), so every score is an exact integer.
-    Graded per source: docs, exact score sum, mean score (e3), and the
-    resampling readout — how many docs score ABOVE the corpus-wide
-    lower-median score (the deterministic analog of importance
-    resampling at rate 1/2: keep the most-target-like half; a fixed
-    ``> 0`` cut is degenerate when target and raw share a vocabulary,
-    as this synthetic corpus does) with the selected share in ppm.
-    Scale: one corpus pass for the 256-row bucket models (map-side
-    combined), one scoring pass (broadcast weight table — constant size
-    at any corpus), one exact-median rank pass over DOC-level rows
-    (the q202/q157 exact-median convention — production would swap in
-    an approx-quantile sketch for the cut point), one rollup."""
-    docs = load_table(spark, sf_dir, "documents")
+def _dsir_doc_scores(docs: DataFrame) -> DataFrame:
+    """Shared DSIR scoring chain (q289 grades the per-source resampling
+    table; q302 grades the score's classifier quality): md5-bucket
+    features, add-one target/raw bucket models, per-doc half-bit
+    integer log-ratio sums. Returns (doc_id, source, lang, __s)."""
     words = docs.select(
         "doc_id",
         "source",
+        "lang",
         (F.col("lang") == "en").cast("long").alias("__tgt"),
         F.explode(F.split("text", " ")).alias("__w"),
     ).select(
         "doc_id",
         "source",
+        "lang",
         "__tgt",
         (
             F.conv(F.substring(F.md5("__w"), 1, 7), 16, 10).cast("long")
@@ -994,11 +976,39 @@ def q289_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("__whb"),
     )
-    ds = (
+    return (
         words.join(F.broadcast(w), "__b")
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id", "source", "lang")
         .agg(F.sum("__whb").cast("long").alias("__s"))
     )
+
+
+def q289_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023),
+    the hashed-n-gram importance estimator modern pretraining pipelines
+    use to up-weight target-domain-like documents: featurize every word
+    into one of ``_DSIR_B`` md5 buckets (content-addressed, so the duckdb
+    oracle computes IDENTICAL features), fit two unigram bucket models —
+    target = the ``lang = 'en'`` slice (the "trusted domain"), raw = the
+    whole corpus — with add-one smoothing, and score each document by
+    the bag-of-features log-likelihood ratio Σ_w [log p_tgt(b(w)) −
+    log p_raw(b(w))]. All log-probs are integer HALF-BIT units
+    (hb(c) = length(bin(c·c)) − 1 = floor(2·log2 c), the q275
+    quantization — exact in both engines for c ≤ 3.03e9; beyond that the
+    squares ride decimal/int128), so every score is an exact integer.
+    Graded per source: docs, exact score sum, mean score (e3), and the
+    resampling readout — how many docs score ABOVE the corpus-wide
+    lower-median score (the deterministic analog of importance
+    resampling at rate 1/2: keep the most-target-like half; a fixed
+    ``> 0`` cut is degenerate when target and raw share a vocabulary,
+    as this synthetic corpus does) with the selected share in ppm.
+    Scale: one corpus pass for the 256-row bucket models (map-side
+    combined), one scoring pass (broadcast weight table — constant size
+    at any corpus), one exact-median rank pass over DOC-level rows
+    (the q202/q157 exact-median convention — production would swap in
+    an approx-quantile sketch for the cut point), one rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = _dsir_doc_scores(docs).select("doc_id", "source", "__s")
     from pyspark.sql import Window
 
     wm = Window.orderBy("__s", "doc_id")
@@ -1031,6 +1041,57 @@ def q289_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("selected_ppm"),
         )
         .orderBy("source")
+    )
+
+
+def q302_dsir_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of the DSIR importance score as a TARGET-DOMAIN classifier —
+    the eval that tells you whether the hashed-n-gram estimator is
+    worth mixing with (Xie et al. report exactly this separability):
+    score every doc with q289's chain, label en docs positive (the
+    target domain the weights were fit to), and compute the
+    Mann-Whitney rank-sum AUC with tie-AVERAGED ranks in doubled
+    integer units (q293's convention): 2U = Σ r2(pos) − P(P+1) and
+    auc_e4 = round(1e4·2U / (2·P·N)) — every intermediate an exact
+    long, one final rounded ratio. On THIS synthetic corpus languages
+    share a vocabulary, so the honest expectation is an AUC near 0.5
+    (the score barely separates) — precisely the readout that stops a
+    pipeline from shipping a useless gate; the test pins it inside
+    (0.3, 0.7) while real corpora would pin >> 0.5. Scale: one global
+    rank window over DOC-level rows (q202's exact-rank convention —
+    production swaps a sampled AUC) + one 1-row aggregate."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ds = _dsir_doc_scores(docs)
+    w = Window.orderBy("__s")
+    wt = Window.partitionBy("__s")
+    r = ds.select(
+        (F.col("lang") == "en").cast("long").alias("__p"),
+        (F.lit(2) * F.rank().over(w) + F.count("*").over(wt) - 1)
+        .cast("long")
+        .alias("__r2"),
+    )
+    return r.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("__p")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("__p") == 1, F.col("__r2")).otherwise(0))
+        .cast("long")
+        .alias("__sr"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        (F.col("__sr") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("long")
+        .alias("u2"),
+        F.round(
+            F.lit(1e4)
+            * (F.col("__sr") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")),
+            0,
+        )
+        .cast("long")
+        .alias("auc_e4"),
     )
 
 
@@ -1205,6 +1266,7 @@ QUERIES = {
     "q289_dsir_importance": q289_dsir_importance,
     "q297_padding_waste": q297_padding_waste,
     "q298_dedup_adjusted_epochs": q298_dedup_adjusted_epochs,
+    "q302_dsir_auc": q302_dsir_auc,
     "q196_negative_pairs": q196_negative_pairs,
     "q280_shard_manifest": q280_shard_manifest,
     "q281_interleave_order": q281_interleave_order,
@@ -1260,6 +1322,58 @@ trg_{label} AS (SELECT DISTINCT g FROM g_{label} WHERE split = 'train')
 """
 
 ORACLES = {
+    # same DSIR per-doc scores; tie-averaged doubled ranks, exact
+    # Mann-Whitney 2U, one e4 ratio
+    "q302_dsir_auc": f"""
+WITH words AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt,
+         CAST(CONCAT('0x', SUBSTR(MD5(word), 1, 7)) AS BIGINT) % {_DSIR_B} AS b
+  FROM (SELECT doc_id, lang,
+               UNNEST(STRING_SPLIT(text, ' ')) AS word
+        FROM documents)
+),
+bc AS MATERIALIZED (
+  SELECT b, CAST(SUM(is_tgt) AS BIGINT) AS ct,
+         CAST(COUNT(*) AS BIGINT) AS cr
+  FROM words GROUP BY b
+),
+tots AS (
+  SELECT CAST(LENGTH(BIN(((SUM(ct) + {_DSIR_B})::HUGEINT)
+                          * (SUM(ct) + {_DSIR_B}))) - 1 AS BIGINT) AS qt,
+         CAST(LENGTH(BIN(((SUM(cr) + {_DSIR_B})::HUGEINT)
+                          * (SUM(cr) + {_DSIR_B}))) - 1 AS BIGINT) AS qr
+  FROM bc
+),
+w AS (
+  SELECT b,
+         CAST(LENGTH(BIN(((ct + 1)::HUGEINT) * (ct + 1))) - 1 AS BIGINT) - qt
+         - CAST(LENGTH(BIN(((cr + 1)::HUGEINT) * (cr + 1))) - 1 AS BIGINT) + qr
+           AS w_hb
+  FROM bc CROSS JOIN tots
+),
+ds AS MATERIALIZED (
+  SELECT doc_id, ANY_VALUE(lang) AS lang, CAST(SUM(w_hb) AS BIGINT) AS s
+  FROM words JOIN w USING (b) GROUP BY doc_id
+),
+r AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p,
+         CAST(2 * RANK() OVER (ORDER BY s)
+              + COUNT(*) OVER (PARTITION BY s) - 1 AS BIGINT) AS r2
+  FROM ds
+),
+agg AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(p) AS BIGINT) AS n_neg,
+         CAST(SUM(CASE WHEN p = 1 THEN r2 ELSE 0 END) AS BIGINT) AS sr
+  FROM r
+)
+SELECT n_pos, n_neg,
+       CAST(sr - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST(ROUND(1e4 * (sr - n_pos * (n_pos + 1))
+                  / (2 * n_pos * n_neg), 0) AS BIGINT) AS auc_e4
+FROM agg
+""",
     # identical md5 bucket features, add-one bucket models, half-bit
     # integer log-ratio scores, per-source resampling readout
     "q289_dsir_importance": f"""

