@@ -710,7 +710,78 @@ def q158_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("true_cnt").desc(), "user_id")
 
 
+def q303_stream_ingest_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest curation — the batch curation stages composed as
+    ONE Structured Streaming query over a DOCUMENT stream (the shape a
+    crawl-ingest pipeline actually runs: docs arrive continuously, gates
+    and dedup apply per micro-batch, the corpus report updates
+    incrementally): documents replayed in doc_id order (5 single-file
+    micro-batches — write_doc_replay_batches, the q43 replay protocol on
+    the documents table), Gopher gate battery (q185's five integer
+    gates) as a stateless streaming filter, exact dedup on
+    (source, md5(text)) via streaming dropDuplicates — keyed per source
+    so the surviving row's attribution can NEVER depend on intra-batch
+    arrival order — then a complete-mode per-source aggregate of unique
+    passing docs and their tokens. Oracle: the same gates + per-source
+    distinct-md5 counting in batch SQL (all data arrives, so streaming
+    final state must equal the batch answer — the q43 grading
+    contract). Scale: gates are a narrow map; dedup state is one key
+    per distinct (source, text) — production would bound it with a
+    watermark (q46/q119's within-watermark form) or an exact-dedup
+    compaction; the aggregate is |sources| rows."""
+    from pandas_streaming_spark.streaming.replay import (
+        replay_docs,
+        run_stream_to_df,
+        write_doc_replay_batches,
+    )
+
+    replay_dir = write_doc_replay_batches(spark, sf_dir, 5)
+    stream = replay_docs(spark, sf_dir, replay_dir)
+    w = F.split("text", " ")
+    gated = stream.select(
+        "source",
+        "text",
+        F.size(w).alias("__n"),
+        F.length(F.regexp_replace("text", " ", "")).alias("__sl"),
+        F.size(F.array_distinct(w)).alias("__nd"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(w),
+                F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")]),
+            )
+        ).alias("__ns"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(w),
+                lambda x: F.size(F.filter(w, lambda y: y == x)),
+            )
+        ).alias("__mx"),
+    ).filter(
+        (F.col("__n") >= 30)
+        & (F.col("__n") <= 10000)
+        & (F.col("__sl") >= 3 * F.col("__n"))
+        & (F.col("__sl") <= 10 * F.col("__n"))
+        & (F.col("__nd") * 10 >= 3 * F.col("__n"))
+        & (F.col("__ns") >= 2)
+        & (F.col("__mx") * 5 <= F.col("__n"))
+    )
+    deduped = gated.withColumn("__h", F.md5("text")).dropDuplicates(
+        ["source", "__h"]
+    )
+    agg = deduped.groupBy("source").agg(
+        F.count("*").alias("n_unique_pass"),
+        F.sum("__n").alias("n_tokens"),
+    )
+    out = run_stream_to_df(spark, agg, "complete", final_batch_id=4)
+    return out.select(
+        "source",
+        F.col("n_unique_pass").cast("long").alias("n_unique_pass"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("source")
+
+
 QUERIES = {
+    "q303_stream_ingest_curation": q303_stream_ingest_curation,
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
     "q45_stream_session": q45_stream_session,
@@ -733,6 +804,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    # finite replay => streaming final state must equal the batch
+    # answer: gates + per-source distinct-md5 dedup + token sums
+    "q303_stream_ingest_curation": """
+WITH per AS (
+  SELECT source, text,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n,
+         LEN(REPLACE(text, ' ', '')) AS sl,
+         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS nd,
+         LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                            ['the','a','of','to','and'])) AS ns,
+         LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                  x -> LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       y -> y = x)))) AS mx
+  FROM documents
+),
+ded AS (
+  SELECT source, MD5(text) AS h, ANY_VALUE(n) AS n
+  FROM per
+  WHERE n >= 30 AND n <= 10000 AND sl >= 3 * n AND sl <= 10 * n
+    AND nd * 10 >= 3 * n AND ns >= 2 AND mx * 5 <= n
+  GROUP BY source, MD5(text)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_unique_pass,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM ded GROUP BY source ORDER BY source
+""",
     "q43_stream_tumbling": """
 SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS w_start,
        event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value

@@ -183,6 +183,74 @@ def _write_replay_batches(
     return out_dir
 
 
+def write_doc_replay_batches(spark: SparkSession, sf_dir: str, k: int = 5) -> str:
+    """Split ``{sf_dir}/documents.parquet`` into k single-file
+    micro-batches in doc_id order — the document-stream twin of
+    write_replay_batches (q303 streams the curation pipeline over it).
+    Content-keyed immutable cache dir, same atomic-publish protocol."""
+    import hashlib
+
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.indexing import global_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{k}|docs-v1".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(SCRATCH, f"docreplay-{key}")
+    marker = os.path.join(out_dir, "_OK")
+    if os.path.exists(marker):
+        return out_dir
+    tmp_dir = f"{out_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    gi = global_index(docs, ["doc_id"], "__rank")
+    df = gi.df.withColumn(
+        "__b", F.expr(f"CAST((__rank * {k}) DIV {n} AS INT)")
+    ).drop("__rank").persist()
+    try:
+        for i in range(k):
+            _write_single_file(
+                df.filter(F.col("__b") == i).drop("__b"),
+                os.path.join(tmp_dir, f"batch_{i:04d}.parquet"),
+            )
+    finally:
+        df.unpersist()
+        gi.release()
+    with open(os.path.join(tmp_dir, "_OK"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if os.path.exists(marker):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            try:
+                os.rename(tmp_dir, out_dir)
+            except OSError:
+                return tmp_dir
+    return out_dir
+
+
+def replay_docs(
+    spark: SparkSession, sf_dir: str, replay_dir: str
+) -> DataFrame:
+    """Streaming DataFrame over a documents replay dir (one file per
+    micro-batch, name order = doc_id order)."""
+    from pandas_streaming_spark.catalog import load_table
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+
 def replay_events(
     spark: SparkSession,
     sf_dir: str,

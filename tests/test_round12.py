@@ -560,3 +560,56 @@ def test_q302_auc_honest_near_half(spark, sf_dir):
     assert r["n_pos"] > 0 and r["n_neg"] > 0
     assert 3000 < r["auc_e4"] < 7000
     assert r["auc_e4"] == round(1e4 * r["u2"] / (2 * r["n_pos"] * r["n_neg"]))
+
+
+def test_q303_stream_equals_batch_curation(spark, sf_dir):
+    """Finite replay: the streaming query's final state must equal the
+    batch gates+dedup answer computed directly on the table."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.queries.streaming_q import (
+        q303_stream_ingest_curation,
+    )
+    from pyspark.sql import functions as FF
+
+    got = {
+        r["source"]: (r["n_unique_pass"], r["n_tokens"])
+        for r in q303_stream_ingest_curation(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    w = FF.split("text", " ")
+    batch = (
+        docs.select(
+            "source",
+            "text",
+            FF.size(w).alias("n"),
+            FF.length(FF.regexp_replace("text", " ", "")).alias("sl"),
+            FF.size(FF.array_distinct(w)).alias("nd"),
+            FF.size(
+                FF.array_intersect(
+                    FF.array_distinct(w),
+                    FF.array(*[FF.lit(s) for s in ("the", "a", "of", "to", "and")]),
+                )
+            ).alias("ns"),
+            FF.array_max(
+                FF.transform(
+                    FF.array_distinct(w),
+                    lambda x: FF.size(FF.filter(w, lambda y: y == x)),
+                )
+            ).alias("mx"),
+        )
+        .filter(
+            (FF.col("n") >= 30) & (FF.col("n") <= 10000)
+            & (FF.col("sl") >= 3 * FF.col("n"))
+            & (FF.col("sl") <= 10 * FF.col("n"))
+            & (FF.col("nd") * 10 >= 3 * FF.col("n"))
+            & (FF.col("ns") >= 2)
+            & (FF.col("mx") * 5 <= FF.col("n"))
+        )
+        .groupBy("source", FF.md5("text").alias("h"))
+        .agg(FF.first("n").alias("n"))
+        .groupBy("source")
+        .agg(FF.count("*").alias("u"), FF.sum("n").alias("t"))
+        .collect()
+    )
+    want = {r["source"]: (r["u"], r["t"]) for r in batch}
+    assert got == want
