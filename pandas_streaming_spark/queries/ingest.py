@@ -111,6 +111,81 @@ def q187_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orc_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once, content-keyed cache) the documents table as a
+    lang-partitioned ORC layout under ``.scratch`` — the second
+    columnar format a multi-engine lake actually carries next to
+    parquet (same epoch-cache protocol as _evolved_layout)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|orc-v1".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(_SCRATCH, f"orcdocs-{key}")
+    marker = os.path.join(out_dir, "_OK")
+    if os.path.exists(marker):
+        return out_dir
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    (
+        docs.select("doc_id", "source", "n_chars", F.split("text", " ").alias("toks"), "lang")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.size("toks").cast("long").alias("n_toks"),
+            "lang",
+        )
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .orc(tmp)
+    )
+    with open(os.path.join(tmp, "_OK"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        if not os.path.exists(marker):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            try:
+                os.rename(tmp, out_dir)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(marker):
+                    raise RuntimeError(
+                        f"orc layout cache unavailable at {out_dir}"
+                    )
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def q304_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read roundtrip (§2.1 batch-I/O surface, the second
+    columnar format next to parquet/CSV/XML/JSON — what a multi-engine
+    lake interop layer must preserve bit-for-bit): documents written as
+    a lang-PARTITIONED ORC layout (executor-written, content-keyed
+    cache), read back with partition discovery, pruned with a partition
+    filter (``lang <> 'zh'`` — the directory-pruning path, no zh file
+    is ever opened), and aggregated per (lang, source). The oracle
+    computes the same frame from the original parquet, so a row lost or
+    a type drifted anywhere in the ORC writer/reader mismatches.
+    Scale: ORC rides the same vectorized columnar scan + partition
+    pruning as parquet in Spark; the write is one executor pass."""
+    layout = _orc_layout(spark, sf_dir)
+    df = spark.read.orc(layout).filter(F.col("lang") != "zh")
+    return (
+        df.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n_toks").cast("long").alias("sum_toks"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def q122_iterable_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Python streaming DataSource (§2.1 ``from_iterable``,
     sources/pystream.py) under the correctness gate: a deterministic
@@ -233,9 +308,22 @@ QUERIES = {
     "q187_schema_evolution": q187_schema_evolution,
     "q122_iterable_source": q122_iterable_source,
     "q191_table_diff": q191_table_diff,
+    "q304_orc_roundtrip": q304_orc_roundtrip,
 }
 
 ORACLES = {
+    # same frame from the ORIGINAL parquet — any ORC writer/reader
+    # row loss or type drift mismatches
+    "q304_orc_roundtrip": """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS sum_toks
+FROM documents
+WHERE lang <> 'zh'
+GROUP BY lang, source
+ORDER BY lang, source
+""",
     # no table involved: the oracle regenerates the synthetic sequence
     "q122_iterable_source": """
 SELECT i % 7 AS grp, COUNT(*) AS n, CAST(SUM(i) AS BIGINT) AS sum_i,

@@ -613,3 +613,20 @@ def test_q303_stream_equals_batch_curation(spark, sf_dir):
     )
     want = {r["source"]: (r["u"], r["t"]) for r in batch}
     assert got == want
+
+
+def test_q304_orc_prunes_zh_partition(spark, sf_dir):
+    """The zh directory must be pruned — the executed plan's ORC scan
+    carries the lang partition filter and no zh rows survive — and the
+    roundtrip loses nothing: per-(lang, source) counts telescope to the
+    non-zh corpus size."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.queries.ingest import q304_orc_roundtrip
+
+    df = q304_orc_roundtrip(spark, sf_dir)
+    rows = df.collect()
+    assert all(r["lang"] != "zh" for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.filter("lang <> 'zh'").count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "zh" in plan
