@@ -383,6 +383,23 @@ def main() -> None:
         "q286_dedup_retention",      # per-source dedup survivorship
         "q287_dup_cluster_histogram",  # CC size distribution + dup factor
         "q288_gate_calibration",     # gate threshold-response curve
+        "q289_dsir_importance",      # hashed importance-resampling scores
+        "q290_perplexity_buckets",   # CCNet head/middle/tail terciles
+        "q291_hamming_ann",          # 1-bit sign-packed XOR/popcount probe
+        "q292_unigram_em_train",     # 3-iteration unigram EM loop
+        "q293_spearman_length_diversity",  # tie-averaged rank correlation
+        "q294_residual_pq",          # IVFADC residual encoding + gain
+        "q295_corpus_datacard",      # per-source governance composition
+        "q296_knn_hubness",          # block-local kNN k-occurrence audit
+        "q297_padding_waste",        # batching pad-to-max FLOPs audit
+        "q298_dedup_adjusted_epochs",  # dedup-aware mixing plan
+        "q299_cluster_cohesion",     # clique-vs-chain dup clusters
+        "q300_kmeans_ivf_recall",    # trained coarse quantizer vs labels
+        "q301_ndcg_rrf",             # graded-relevance retrieval eval
+        "q302_dsir_auc",             # Mann-Whitney estimator separability
+        "q303_stream_ingest_curation",  # streaming gates+dedup (replay)
+        "q304_orc_roundtrip",        # lang-partitioned ORC I/O
+        "q305_tokenizer_duel",       # BPE vs unigram fertility table
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:

@@ -930,6 +930,68 @@ def q292_unigram_em_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q305_tokenizer_duel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vs UNIGRAM-LM fertility DUEL — the decision table a
+    tokenizer bake-off actually produces (two trained families, same
+    corpus, per-language pieces-per-word side by side; the repo trains
+    both: q241/q261 BPE, q275/q292 unigram): encode every distinct word
+    under the 8-merge BPE table (q251's vocabulary-sized encode) AND
+    under the unigram Viterbi segmentation (q277's), fan both counts
+    onto (lang, word) occurrences through ONE keyed join, and grade per
+    language: word instances, total BPE tokens, total unigram pieces,
+    both fertilities (e3) and their delta (difference of the two
+    rounded e3s — exact integers). The oracle replays BOTH training
+    chains in one statement (the q251 merge unroll + the q275
+    enumeration) — the most end-to-end tokenizer grade in the registry.
+    Scale: both trainers are vocabulary-sized after one corpus pass;
+    the duel adds one broadcast-ready word-keyed join."""
+    docs = _t(spark, sf_dir, "documents")
+    _winners, vocab, _dirty = _bpe_train_chain(spark, sf_dir)
+    n_syms = F.size(
+        F.split(F.expr("trim(BOTH '·' FROM ws)"), "··")
+    ).cast("long")
+    bpew = vocab.select(F.col("w").alias("word"), n_syms.alias("__nsym"))
+    _words, _uvocab, seg = _unigram_model(docs)
+    uw = seg.select(
+        "word", F.size(F.split("path", " ")).cast("long").alias("__npc")
+    )
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(
+            (F.length("word") >= 1) & (F.length("word") <= _UNIGRAM_MAX_WORD)
+        )
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+    agg = (
+        lw.join(bpew, "word")
+        .join(uw, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("__n").cast("long").alias("n_words"),
+            F.sum(F.col("__n") * F.col("__nsym")).cast("long").alias("bpe_tokens"),
+            F.sum(F.col("__n") * F.col("__npc"))
+            .cast("long")
+            .alias("unigram_pieces"),
+        )
+    )
+    bf = F.round(F.lit(1000.0) * F.col("bpe_tokens") / F.col("n_words"), 0).cast(
+        "long"
+    )
+    uf = F.round(
+        F.lit(1000.0) * F.col("unigram_pieces") / F.col("n_words"), 0
+    ).cast("long")
+    return agg.select(
+        "lang",
+        "n_words",
+        "bpe_tokens",
+        "unigram_pieces",
+        bf.alias("bpe_fertility_e3"),
+        uf.alias("unigram_fertility_e3"),
+        (uf - bf).cast("long").alias("delta_e3"),
+    ).orderBy("lang")
+
+
 def q282_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEAPS'-LAW vocabulary-growth curve — the scaling measurement
     behind every vocab-size decision (V(n) ≈ K·n^β: if vocabulary still
@@ -999,6 +1061,7 @@ QUERIES = {
     "q277_unigram_fertility": q277_unigram_fertility,
     "q282_heaps_curve": q282_heaps_curve,
     "q292_unigram_em_train": q292_unigram_em_train,
+    "q305_tokenizer_duel": q305_tokenizer_duel,
 }
 
 ORACLES = {
@@ -1031,6 +1094,40 @@ SELECT v.decile, v.n_docs, c.n_tokens_cum, v.vocab,
             AS BIGINT) AS new_tokens
 FROM v JOIN c USING (decile, n_docs)
 ORDER BY decile
+""",
+    # BOTH training chains in one statement: the q251 BPE merge unroll
+    # + the q275 enumeration, fanned onto (lang, word) occurrences
+    "q305_tokenizer_duel": _unigram_sql()
+    + ",\n"
+    + _bpe_chain_sql(_BPE_STEPS).lstrip()[len("WITH ") :]
+    + f""",
+bpew AS (
+  SELECT wd,
+         CAST(LEN(STRING_SPLIT(TRIM(ws, '·'), '··')) AS BIGINT) AS n_syms
+  FROM v{_BPE_STEPS}
+),
+uw AS (
+  SELECT word, CAST(LEN(STRING_SPLIT(path, ' ')) AS BIGINT) AS n_pieces
+  FROM best
+),
+lw AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+  ) WHERE LEN(word) BETWEEN 1 AND {_UNIGRAM_MAX_WORD} GROUP BY lang, word
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_words,
+       CAST(SUM(n * b.n_syms) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(n * u.n_pieces) AS BIGINT) AS unigram_pieces,
+       CAST(ROUND(1000.0 * SUM(n * b.n_syms) / SUM(n), 0) AS BIGINT)
+         AS bpe_fertility_e3,
+       CAST(ROUND(1000.0 * SUM(n * u.n_pieces) / SUM(n), 0) AS BIGINT)
+         AS unigram_fertility_e3,
+       CAST(ROUND(1000.0 * SUM(n * u.n_pieces) / SUM(n), 0)
+            - ROUND(1000.0 * SUM(n * b.n_syms) / SUM(n), 0) AS BIGINT)
+         AS delta_e3
+FROM lw JOIN bpew b ON b.wd = lw.word JOIN uw u ON u.word = lw.word
+GROUP BY lang ORDER BY lang
 """,
     # the SAME enumerated path set re-scored under each EM iteration's
     # smoothed counts — DP optimality graded at all three models

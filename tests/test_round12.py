@@ -630,3 +630,24 @@ def test_q304_orc_prunes_zh_partition(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == docs.filter("lang <> 'zh'").count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "zh" in plan
+
+
+def test_q305_duel_internally_consistent(spark, sf_dir):
+    """The duel must agree with its inputs: fertilities ≥ 1000 (a word
+    is at least one piece under both families), delta = difference of
+    the rounded fertilities, and unigram totals match q277's fertility
+    frame on the shared languages."""
+    from pandas_streaming_spark.queries.tokenizer import (
+        q277_unigram_fertility,
+        q305_tokenizer_duel,
+    )
+
+    duel = {r["lang"]: r for r in q305_tokenizer_duel(spark, sf_dir).collect()}
+    fert = {r["lang"]: r for r in q277_unigram_fertility(spark, sf_dir).collect()}
+    assert set(duel) == set(fert)
+    for lang, r in duel.items():
+        assert r["bpe_fertility_e3"] >= 1000
+        assert r["unigram_fertility_e3"] >= 1000
+        assert r["delta_e3"] == r["unigram_fertility_e3"] - r["bpe_fertility_e3"]
+        assert r["n_words"] == fert[lang]["n_words"]
+        assert r["unigram_pieces"] == fert[lang]["n_pieces"]
