@@ -473,7 +473,120 @@ def q205_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q306_recsys_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline RECOMMENDER EVAL — hit-rate@3 under a leave-last-order-out
+    holdout (the offline protocol every co-occurrence/item-item
+    recommender ships with, next to the repo's MRR q227 / nDCG q301 /
+    AUC q302 evals): each customer's LAST order (o_orderdate desc,
+    o_orderkey desc) is held out; co-occurrence counts are trained on
+    the REMAINING orders only (leakage-free by construction — the
+    held-out baskets never enter the pair counts); each customer is
+    recommended the top-3 parts by summed co-occurrence with their
+    history parts (ties → part asc), already-owned parts excluded; a
+    customer is a HIT if any recommended part appears in the held-out
+    basket. Graded per market segment: eligible customers, hits, and
+    hit-rate ppm — all exact integers. Scale: baskets are
+    schema-bounded (≤ 7 lineitems) so the pair self-join is linear in
+    orders (q200's A-priori guard applies unbounded); scoring is one
+    (part-keyed) join from the history frame onto the bounded pair
+    table; top-3 is a per-customer window over candidate rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    ranked = o.withColumn("__rn", F.row_number().over(w))
+    held = ranked.filter(F.col("__rn") == 1).select("o_custkey", "o_orderkey")
+    hist = ranked.filter(F.col("__rn") >= 2).select("o_custkey", "o_orderkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    train_li = li.join(
+        held.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    )
+    pairs = (
+        train_li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+        .join(
+            train_li.select("l_orderkey", F.col("l_partkey").alias("p2")),
+            "l_orderkey",
+        )
+        .filter(F.col("p1") != F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("__cnt"))
+    )
+    hist_parts = (
+        hist.join(li, hist.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    scores = (
+        hist_parts.join(pairs, hist_parts.l_partkey == pairs.p1)
+        .groupBy("o_custkey", "p2")
+        .agg(F.sum("__cnt").alias("__score"))
+        .join(
+            hist_parts.select(
+                "o_custkey", F.col("l_partkey").alias("p2")
+            ),
+            ["o_custkey", "p2"],
+            "left_anti",
+        )
+    )
+    wtop = Window.partitionBy("o_custkey").orderBy(
+        F.col("__score").desc(), "p2"
+    )
+    top3 = scores.withColumn("__r", F.row_number().over(wtop)).filter(
+        F.col("__r") <= 3
+    )
+    held_parts = (
+        held.join(li, held.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    hits = (
+        top3.join(
+            held_parts,
+            (top3.o_custkey == held_parts.o_custkey)
+            & (top3.p2 == held_parts.l_partkey),
+        )
+        .select(top3.o_custkey)
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    universe = (
+        held_parts.select("o_custkey")
+        .distinct()
+        .join(hist_parts.select("o_custkey").distinct(), "o_custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        universe.join(hits, "o_custkey", "left")
+        .join(c, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_users",
+            "n_hits",
+            F.round(F.lit(1e6) * F.col("n_hits") / F.col("n_users"), 0)
+            .cast("long")
+            .alias("hitrate_ppm"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
+    "q306_recsys_hitrate": q306_recsys_hitrate,
     "q01_pricing_summary": q01_pricing_summary,
     "q200_copurchase_pairs": q200_copurchase_pairs,
     "q248_item_similarity": q248_item_similarity,
@@ -497,6 +610,78 @@ QUERIES = {
 }
 
 ORACLES = {
+    # leave-last-order-out holdout, leakage-free pair training, top-3 by
+    # (score desc, part), per-segment hit-rate ppm
+    "q306_recsys_hitrate": """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+),
+held AS (SELECT o_custkey, o_orderkey FROM ranked WHERE rn = 1),
+hist AS (SELECT o_custkey, o_orderkey FROM ranked WHERE rn >= 2),
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+train_li AS (
+  SELECT * FROM li
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM held)
+),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM train_li a JOIN train_li b
+    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey
+  GROUP BY 1, 2
+),
+hist_parts AS (
+  SELECT DISTINCT h.o_custkey, li.l_partkey
+  FROM hist h JOIN li ON li.l_orderkey = h.o_orderkey
+),
+scores AS (
+  SELECT hp.o_custkey, p.p2, SUM(p.cnt) AS score
+  FROM hist_parts hp JOIN pairs p ON p.p1 = hp.l_partkey
+  GROUP BY 1, 2
+),
+fresh AS (
+  SELECT s.* FROM scores s
+  LEFT JOIN hist_parts hp
+    ON hp.o_custkey = s.o_custkey AND hp.l_partkey = s.p2
+  WHERE hp.o_custkey IS NULL
+),
+top3 AS (
+  SELECT o_custkey, p2 FROM (
+    SELECT o_custkey, p2,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY score DESC, p2) AS r
+    FROM fresh
+  ) WHERE r <= 3
+),
+held_parts AS (
+  SELECT DISTINCT h.o_custkey, li.l_partkey
+  FROM held h JOIN li ON li.l_orderkey = h.o_orderkey
+),
+hits AS (
+  SELECT DISTINCT t.o_custkey
+  FROM top3 t JOIN held_parts hp
+    ON hp.o_custkey = t.o_custkey AND hp.l_partkey = t.p2
+),
+universe AS (
+  SELECT DISTINCT hp.o_custkey
+  FROM held_parts hp
+  WHERE hp.o_custkey IN (SELECT o_custkey FROM hist_parts)
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN u.o_custkey IN (SELECT o_custkey FROM hits)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(ROUND(1e6 * SUM(CASE WHEN u.o_custkey IN
+                                      (SELECT o_custkey FROM hits)
+                                 THEN 1 ELSE 0 END) / COUNT(*), 0) AS BIGINT)
+         AS hitrate_ppm
+FROM universe u JOIN customer c ON c.c_custkey = u.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
     # same basket-bounded pair frame, per-part order counts, exact bp
     "q248_item_similarity": """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

