@@ -694,7 +694,78 @@ def q267_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q307_crawl_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAWL-SATURATION curve — is more of the same crawl still buying
+    new content? (the go/no-go readout for extending a scrape; q282's
+    Heaps curve tracks vocabulary, this tracks 5-GRAM novelty, the unit
+    dedup and decontamination operate in): docs in doc_id order are
+    dealt into 10 proportional deciles (the q280 integral deal — both
+    engines agree on every boundary); per decile, grade total 5-gram
+    instances, NEW distinct 5-gram types (first occurrence in that
+    decile), novel instances (instances of types first seen in the same
+    decile) and novelty ppm. A flat novelty tail = the crawl is
+    saturating and the marginal decile mostly re-crawls known text.
+    Scale: one corpus explode, one per-type min aggregate
+    (map-side combined), one (type, decile) count — the curve costs
+    one corpus pass regardless of checkpoint count (the q282 trick on
+    the gram stream)."""
+    docs = _t(spark, sf_dir, "documents")
+    ranked = docs.select("doc_id", F.split("text", " ").alias("__t")).withColumn(
+        "__r", F.row_number().over(Window.orderBy("doc_id")).cast("long")
+    )
+    n_row = ranked.agg(F.count("*").cast("long").alias("__N"))
+    grams = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            F.expr("CAST(((__r - 1) * 10) div __N + 1 AS BIGINT)").alias(
+                "decile"
+            ),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(__t) - 4, 0)), i -> "
+                    "concat_ws(' ', __t[i-1], __t[i], __t[i+1], __t[i+2], "
+                    "__t[i+3]))"
+                )
+            ).alias("__g"),
+        )
+    )
+    fd = grams.groupBy("__g").agg(F.min("decile").alias("__fd"))
+    per = grams.groupBy("decile", "__g").agg(
+        F.count("*").cast("long").alias("__cnt")
+    )
+    j = per.join(fd, "__g")
+    return (
+        j.groupBy("decile")
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_instances"),
+            F.sum((F.col("__fd") == F.col("decile")).cast("long"))
+            .cast("long")
+            .alias("n_new_types"),
+            F.sum(
+                F.when(F.col("__fd") == F.col("decile"), F.col("__cnt")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("novel_instances"),
+        )
+        .select(
+            "decile",
+            "n_instances",
+            "n_new_types",
+            "novel_instances",
+            F.round(
+                F.lit(1e6) * F.col("novel_instances") / F.col("n_instances"), 0
+            )
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
 QUERIES = {
+    "q307_crawl_saturation": q307_crawl_saturation,
     "q267_ngram_novelty": q267_ngram_novelty,
     "q194_corpus_divergence": q194_corpus_divergence,
     "q232_skipgram_cooc": q232_skipgram_cooc,
@@ -720,6 +791,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same proportional decile deal, first-occurrence 5-gram novelty
+    "q307_crawl_saturation": """
+WITH ranked AS (
+  SELECT STRING_SPLIT(text, ' ') AS t,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS r
+  FROM documents
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+grams AS (
+  SELECT CAST(((r - 1) * 10) // nn.n + 1 AS BIGINT) AS decile,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - 4, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                || t[i+3] || ' ' || t[i+4])) AS g
+  FROM ranked, nn
+),
+fd AS (SELECT g, MIN(decile) AS fd FROM grams GROUP BY g),
+per AS (
+  SELECT decile, g, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY 1, 2
+)
+SELECT decile,
+       CAST(SUM(cnt) AS BIGINT) AS n_instances,
+       CAST(SUM(CASE WHEN fd = decile THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new_types,
+       CAST(SUM(CASE WHEN fd = decile THEN cnt ELSE 0 END) AS BIGINT)
+         AS novel_instances,
+       CAST(ROUND(1e6 * SUM(CASE WHEN fd = decile THEN cnt ELSE 0 END)
+                  / SUM(cnt), 0) AS BIGINT) AS novelty_ppm
+FROM per JOIN fd USING (g)
+GROUP BY decile ORDER BY decile
+""",
     # same distinct 5-grams, df==1 novelty, bp rounding
     "q267_ngram_novelty": """
 WITH grams AS (

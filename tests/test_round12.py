@@ -665,3 +665,28 @@ def test_q306_holdout_is_leakage_free(spark, sf_dir):
         assert 0 <= r["n_hits"] <= r["n_users"]
         assert r["hitrate_ppm"] == round(1e6 * r["n_hits"] / r["n_users"])
     assert sum(r["n_hits"] for r in rows) > 0  # the recommender isn't dead
+
+
+def test_q307_decile_one_is_all_novel(spark, sf_dir):
+    """First decile: every type is first-seen there, so novelty is
+    exactly 1e6; instance totals telescope to the corpus gram count;
+    new-type counts sum to the distinct gram count."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.queries.textq import q307_crawl_saturation
+    from pyspark.sql import functions as FF
+
+    rows = q307_crawl_saturation(spark, sf_dir).collect()
+    assert rows[0]["decile"] == 1 and rows[0]["novelty_ppm"] == 1_000_000
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        FF.explode(
+            FF.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),"
+                " i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i],"
+                " split(text, ' ')[i+1], split(text, ' ')[i+2],"
+                " split(text, ' ')[i+3]))"
+            )
+        ).alias("g")
+    )
+    assert sum(r["n_instances"] for r in rows) == grams.count()
+    assert sum(r["n_new_types"] for r in rows) == grams.distinct().count()
