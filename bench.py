@@ -400,6 +400,8 @@ def main() -> None:
         "q303_stream_ingest_curation",  # streaming gates+dedup (replay)
         "q304_orc_roundtrip",        # lang-partitioned ORC I/O
         "q305_tokenizer_duel",       # BPE vs unigram fertility table
+        "q306_recsys_hitrate",       # leave-last-out hit-rate@3 eval
+        "q307_crawl_saturation",     # per-decile 5-gram novelty curve
     ]
     extras: dict[str, float] = {}
     for name in EXTRAS:
