@@ -448,10 +448,18 @@ def main() -> None:
         # admits — the shape a production stream runs after downtime, and
         # the per-trigger-floor-free throughput of the same state machinery.
         # Final state identical (trigger-batching invariance is a test).
+        # median-of-3 (round 12): the catch-up number was a SINGLE run
+        # and one stalled sub-run published 34.8k ev/s while flanking
+        # quiet runs read 76-81k — the same single-sample fragility the
+        # r11 load-gate fix addressed for the suite; a median over 3
+        # runs absorbs one stall
         _mat(q43_stream_tumbling(spark, sf_dir, catchup=True))  # warm
-        t0 = time.perf_counter()
-        _mat(q43_stream_tumbling(spark, sf_dir, catchup=True))
-        catchup_sec = time.perf_counter() - t0
+        catchup_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _mat(q43_stream_tumbling(spark, sf_dir, catchup=True))
+            catchup_runs.append(time.perf_counter() - t0)
+        catchup_sec = sorted(catchup_runs)[1]
         result["streaming"] = {
             "query": "q43_stream_tumbling",
             "k_batches": 5,
@@ -459,6 +467,7 @@ def main() -> None:
             "seconds": round(stream_sec, 4),
             "events_per_sec": round(n_events / stream_sec),
             "catchup_seconds": round(catchup_sec, 4),
+            "catchup_spread": [round(x, 4) for x in sorted(catchup_runs)],
             "events_per_sec_catchup": round(n_events / catchup_sec),
             # VERDICT r8 item 7: catch-up IS the headline streaming
             # number from round 9 on. The 5-trigger protocol rate is
