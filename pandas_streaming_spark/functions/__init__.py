@@ -78,6 +78,36 @@ def shingles_of(t: Column, k: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Integer half-bit log quantization (the tokenizer / CCNet / DSIR scorer)
+# ---------------------------------------------------------------------------
+
+
+def hb_sql(x: str) -> str:
+    """SQL for ``hb(x) = length(bin(x*x)) - 1 = floor(2*log2(x))`` — the
+    half-bit integer log-prob quantization — EXACT for the full positive
+    BIGINT range.
+
+    The naive form squares ``x`` in 64-bit and silently wraps past
+    x ≈ 3.03e9 (counts a 100 TB corpus absolutely reaches); the DuckDB
+    oracles already ride HUGEINT. This form never squares x in BIGINT:
+    with b = floor(log2 x) = length(bin(x)) - 1 and p = 2^b,
+
+        floor(log2 x²) = 2b + [x² ≥ 2p²]  and  x² ≥ 2p² ⟺ (x-p)(x+p) ≥ p²
+
+    and all three products are computed in DECIMAL, where they are exact
+    (max ≈ 2^126 < 10^38). Returns a BIGINT-typed expression; hb(0) = 0
+    and hb(1) = 0, matching the bin() form.
+    """
+    b = f"(length(bin({x})) - 1)"
+    p = f"shiftleft(CAST(1 AS BIGINT), {b})"
+    return (
+        f"(2 * CAST({b} AS BIGINT) + IF("
+        f"CAST({x} - {p} AS DECIMAL(19,0)) * (CAST({x} AS DECIMAL(19,0)) + {p})"
+        f" >= CAST({p} AS DECIMAL(19,0)) * {p}, 1L, 0L))"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-engine deterministic hashing (md5 hex — identical in duckdb)
 # ---------------------------------------------------------------------------
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_streaming_spark.catalog import load_table
+from pandas_streaming_spark.functions import hb_sql
 from pandas_streaming_spark.operators.sampling import (
     cap_per_group,
     deterministic_sample,
@@ -956,21 +957,15 @@ def _dsir_doc_scores(docs: DataFrame) -> DataFrame:
     tots = bc.agg(
         F.sum("__ct").alias("__st"), F.sum("__cr").alias("__sr")
     ).select(
-        F.expr(
-            f"CAST(length(bin((__st + {_DSIR_B}) * (__st + {_DSIR_B}))) - 1"
-            " AS BIGINT)"
-        ).alias("__qt"),
-        F.expr(
-            f"CAST(length(bin((__sr + {_DSIR_B}) * (__sr + {_DSIR_B}))) - 1"
-            " AS BIGINT)"
-        ).alias("__qr"),
+        F.expr(hb_sql(f"(__st + {_DSIR_B})")).alias("__qt"),
+        F.expr(hb_sql(f"(__sr + {_DSIR_B})")).alias("__qr"),
     )
     w = bc.crossJoin(F.broadcast(tots)).select(
         "__b",
         (
-            F.expr("CAST(length(bin((__ct + 1) * (__ct + 1))) - 1 AS BIGINT)")
+            F.expr(hb_sql("(__ct + 1)"))
             - F.col("__qt")
-            - F.expr("CAST(length(bin((__cr + 1) * (__cr + 1))) - 1 AS BIGINT)")
+            - F.expr(hb_sql("(__cr + 1)"))
             + F.col("__qr")
         )
         .cast("long")
@@ -994,8 +989,10 @@ def q289_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bag-of-features log-likelihood ratio Σ_w [log p_tgt(b(w)) −
     log p_raw(b(w))]. All log-probs are integer HALF-BIT units
     (hb(c) = length(bin(c·c)) − 1 = floor(2·log2 c), the q275
-    quantization — exact in both engines for c ≤ 3.03e9; beyond that the
-    squares ride decimal/int128), so every score is an exact integer.
+    quantization — exact in both engines for the full BIGINT count range:
+    Spark computes it via functions.hb_sql's decimal decomposition with no
+    64-bit square, duckdb rides HUGEINT), so every score is an exact
+    integer.
     Graded per source: docs, exact score sum, mean score (e3), and the
     resampling readout — how many docs score ABOVE the corpus-wide
     lower-median score (the deterministic analog of importance

@@ -321,7 +321,8 @@ def q189_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__t").alias("n_tokens"),
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(__t) - 4, 0)),"
+                "transform(IF(size(__t) >= 5, sequence(1, size(__t) - 4),"
+                " CAST(array() AS array<int>)),"
                 " i -> struct(i AS pos,"
                 " concat_ws(' ', slice(__t, i, 5)) AS sh))"
             )

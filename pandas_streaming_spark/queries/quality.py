@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_streaming_spark.catalog import load_table
+from pandas_streaming_spark.functions import hb_sql
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -748,7 +749,9 @@ def q290_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.expr(
-            "explode(transform(sequence(1, size(__hw) - 1), i -> "
+            "explode(transform("
+            "IF(size(__hw) >= 2, sequence(1, size(__hw) - 1), "
+            "CAST(array() AS array<int>)), i -> "
             "struct(element_at(__hw, i) AS b1, element_at(__hw, i + 1) AS b2)))"
         ).alias("__bg"),
     ).select("doc_id", "lang", F.col("__bg.b1").alias("b1"), F.col("__bg.b2").alias("b2"))
@@ -762,14 +765,8 @@ def q290_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             (
-                F.expr(
-                    f"CAST(length(bin((coalesce(__c1, 0) + {_PPL_B}) * "
-                    f"(coalesce(__c1, 0) + {_PPL_B}))) - 1 AS BIGINT)"
-                )
-                - F.expr(
-                    "CAST(length(bin((coalesce(__c2, 0) + 1) * "
-                    "(coalesce(__c2, 0) + 1))) - 1 AS BIGINT)"
-                )
+                F.expr(hb_sql(f"(coalesce(__c1, 0) + {_PPL_B})"))
+                - F.expr(hb_sql("(coalesce(__c2, 0) + 1)"))
             ).alias("__ce"),
         )
     )

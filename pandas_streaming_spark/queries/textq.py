@@ -334,7 +334,10 @@ def q181_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(
-            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+            F.expr(
+                "transform(IF(length(text) >= 2, sequence(1, length(text) - 1), "
+                "CAST(array() AS array<int>)), i -> substring(text, i, 2))"
+            )
         ).alias("__bg"),
     )
     model = (
@@ -722,7 +725,8 @@ def q307_crawl_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(__t) - 4, 0)), i -> "
+                    "transform(IF(size(__t) >= 5, sequence(1, size(__t) - 4), "
+                    "CAST(array() AS array<int>)), i -> "
                     "concat_ws(' ', __t[i-1], __t[i], __t[i+1], __t[i+2], "
                     "__t[i+3]))"
                 )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandas_streaming_spark.catalog import load_table
+from pandas_streaming_spark.functions import hb_sql
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -543,8 +544,10 @@ def _unigram_viterbi_expr() -> str:
     the same prefix spell the same letters, so neither can be a strict
     prefix of the other — first-difference order survives appending).
     Scores are integer HALF-BIT log-probs: w2(c) = length(bin(c*c)) - 1
-    = floor(2·log2 c), exact in both engines for c ≤ 3.03e9 (int64
-    square; duckdb rides HUGEINT), minus the same-quantized normalizer
+    = floor(2·log2 c), exact in both engines for the FULL BIGINT range
+    (Spark via functions.hb_sql's decimal decomposition — no 64-bit
+    square anywhere; duckdb rides HUGEINT), minus the same-quantized
+    normalizer
     qt = floor(2·log2 T) per piece — the "integer micro-log-units" that
     keep the grade float-free. Model rides a 1-row broadcast map
     (q242's fastText-shipping pattern), so the corpus pass is a narrow
@@ -621,7 +624,7 @@ def _unigram_model(docs: DataFrame):
         .select(
             "piece",
             "c0",
-            F.expr("CAST(length(bin(c0 * c0)) - 1 AS BIGINT)").alias("w2"),
+            F.expr(hb_sql("c0")).alias("w2"),
         )
     )
     model = vocab.agg(
@@ -630,7 +633,7 @@ def _unigram_model(docs: DataFrame):
         )
     )
     qt = vocab.agg(F.sum("c0").alias("__T")).select(
-        F.expr("CAST(length(bin(__T * __T)) - 1 AS BIGINT)").alias("__qt")
+        F.expr(hb_sql("__T")).alias("__qt")
     )
     seg = (
         words.crossJoin(F.broadcast(model))
@@ -672,10 +675,10 @@ def q275_unigram_lm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").cast("long").alias("c1"))
     )
     qt0 = vocab.agg(F.sum("c0").alias("__T")).select(
-        F.expr("CAST(length(bin(__T * __T)) - 1 AS BIGINT)").alias("__qt0")
+        F.expr(hb_sql("__T")).alias("__qt0")
     )
     qt1 = mstep.agg(F.sum("c1").alias("__T1")).select(
-        F.expr("CAST(length(bin(__T1 * __T1)) - 1 AS BIGINT)").alias("__qt1")
+        F.expr(hb_sql("__T1")).alias("__qt1")
     )
     w30 = Window.orderBy(F.col("c1").desc(), "piece")
     return (
@@ -691,7 +694,7 @@ def q275_unigram_lm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c1",
             (F.col("w2") - F.col("__qt0")).cast("long").alias("logp0_hb"),
             (
-                F.expr("CAST(length(bin(c1 * c1)) - 1 AS BIGINT)")
+                F.expr(hb_sql("c1"))
                 - F.col("__qt1")
             )
             .cast("long")
@@ -867,9 +870,7 @@ def q292_unigram_em_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _i in range(_UNIGRAM_EM_ITERS):
         model = cur.select(
             "piece",
-            F.expr("CAST(length(bin((c + 1) * (c + 1))) - 1 AS BIGINT)").alias(
-                "w2"
-            ),
+            F.expr(hb_sql("(c + 1)")).alias("w2"),
         )
         mrow = model.agg(
             F.map_from_entries(F.collect_list(F.struct("piece", "w2"))).alias(
@@ -877,7 +878,7 @@ def q292_unigram_em_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         qt = cur.agg((F.sum("c") + F.count("*")).alias("__tv")).select(
-            F.expr("CAST(length(bin(__tv * __tv)) - 1 AS BIGINT)").alias("__qt")
+            F.expr(hb_sql("__tv")).alias("__qt")
         )
         seg = (
             words.crossJoin(F.broadcast(mrow))
@@ -905,7 +906,7 @@ def q292_unigram_em_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c3f.withColumnRenamed("c", "c3"), "piece")
     )
     qt3 = c3f.agg((F.sum("c") + F.count("*")).alias("__tv")).select(
-        F.expr("CAST(length(bin(__tv * __tv)) - 1 AS BIGINT)").alias("__qt3")
+        F.expr(hb_sql("__tv")).alias("__qt3")
     )
     w30 = Window.orderBy(F.col("c3").desc(), "piece")
     return (
@@ -920,7 +921,7 @@ def q292_unigram_em_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c2",
             "c3",
             (
-                F.expr("CAST(length(bin((c3 + 1) * (c3 + 1))) - 1 AS BIGINT)")
+                F.expr(hb_sql("(c3 + 1)"))
                 - F.col("__qt3")
             )
             .cast("long")

@@ -1,0 +1,82 @@
+"""Round-13 regression tests.
+
+1. ``functions.hb_sql`` — the half-bit quantization is exact over the FULL
+   BIGINT range (the former ``length(bin(c*c))`` form wrapped past
+   c ≈ 3.03e9; ADVICE r12 item 3).
+2. Short-document guards — 1-word / <5-token / 1-char docs used to crash
+   q290 (element_at index 0 under the descending ``sequence(1, 0)``) or
+   silently diverge from the oracle in q307/q189 (ADVICE r12 items 1-2).
+   Both engines are run over a corpus salted with exactly those docs.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pandas as pd
+import pytest
+
+from pandas_streaming_spark.compare import compare_frames, duckdb_connect
+
+
+def test_hb_sql_exact_full_range(spark):
+    from pandas_streaming_spark.functions import hb_sql
+
+    vals = [
+        1, 2, 3, 5, 6, 1023, 1024, 1025,
+        3_030_000_000, 3_037_000_499, 3_037_000_500,  # the old wrap point
+        4_000_000_000, 10**12, 10**15,
+        2**62 - 1, 2**62, 2**63 - 1,
+    ]
+    rng = random.Random(13)
+    vals += [rng.randrange(1, 2**63) for _ in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    for r in df.selectExpr("x", f"{hb_sql('x')} AS hb").collect():
+        assert r.hb == (r.x * r.x).bit_length() - 1, r.x
+
+
+@pytest.fixture(scope="module")
+def shortdoc_sf_dir(tmp_path_factory):
+    """sf0.001 with four pathological docs appended: 1-word en, 1-word
+    non-en, 4-token, and 1-char text."""
+    from pandas_streaming_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("shortdocs")
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    docs = pd.read_parquet(f"{src}/documents.parquet")
+    mx = int(docs["doc_id"].max())
+    extra = pd.DataFrame(
+        {
+            "doc_id": [mx + 1, mx + 2, mx + 3, mx + 4],
+            "text": ["solitary", "einzeln", "only four tokens here", "x"],
+            "lang": ["en", "de", "en", "en"],
+            "source": ["web", "web", "books", "web"],
+        }
+    )
+    extra["n_chars"] = extra["text"].str.len().astype("int64")
+    out = pd.concat([docs, extra], ignore_index=True)
+    out.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q189_duplicated_spans",
+        "q282_heaps_curve",
+        "q290_perplexity_buckets",
+        "q307_crawl_saturation",
+    ],
+)
+def test_short_docs_match_oracle(spark, shortdoc_sf_dir, name):
+    from pandas_streaming_spark.queries import ORACLES, QUERIES
+
+    con = duckdb_connect(shortdoc_sf_dir)
+    got = QUERIES[name](spark, shortdoc_sf_dir).toPandas()
+    want = con.execute(ORACLES[name]).df()
+    r = compare_frames(name, got, want)
+    assert r.ok, r.detail
