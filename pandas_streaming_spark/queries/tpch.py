@@ -489,7 +489,11 @@ def q306_recsys_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema-bounded (≤ 7 lineitems) so the pair self-join is linear in
     orders (q200's A-priori guard applies unbounded); scoring is one
     (part-keyed) join from the history frame onto the bounded pair
-    table; top-3 is a per-customer window over candidate rows."""
+    table; top-3 is a per-customer window over candidate rows. The
+    metric column is named hitrate_TOP20CAND_ppm because the number is
+    hit-rate@3 UNDER the top-20 co-part candidate generator (the serving
+    truncation below) — the label travels with the value wherever it is
+    consumed (VERDICT r12 item 3)."""
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
@@ -589,7 +593,7 @@ def q306_recsys_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             F.round(F.lit(1e6) * F.col("n_hits") / F.col("n_users"), 0)
             .cast("long")
-            .alias("hitrate_ppm"),
+            .alias("hitrate_top20cand_ppm"),
         )
         .orderBy("c_mktsegment")
     )
@@ -695,7 +699,7 @@ SELECT c.c_mktsegment,
        CAST(ROUND(1e6 * SUM(CASE WHEN u.o_custkey IN
                                       (SELECT o_custkey FROM hits)
                                  THEN 1 ELSE 0 END) / COUNT(*), 0) AS BIGINT)
-         AS hitrate_ppm
+         AS hitrate_top20cand_ppm
 FROM universe u JOIN customer c ON c.c_custkey = u.o_custkey
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment

@@ -672,7 +672,7 @@ def test_q306_holdout_is_leakage_free(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 <= r["n_hits"] <= r["n_users"]
-        assert r["hitrate_ppm"] == round(1e6 * r["n_hits"] / r["n_users"])
+        assert r["hitrate_top20cand_ppm"] == round(1e6 * r["n_hits"] / r["n_users"])
     assert sum(r["n_hits"] for r in rows) > 0  # the recommender isn't dead
 
 
