@@ -1177,11 +1177,11 @@ def q298_dedup_adjusted_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this composition exists to expose. Scale: the dedup panel rides the
     bucketed LSH chain; everything after is integer arithmetic on a
     |sources| frame with 1-row broadcast totals."""
-    from pandas_streaming_spark.queries.dedup_q import _neardup_pairs
+    from pandas_streaming_spark.queries.dedup_q import verified_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     removed = (
-        _neardup_pairs(docs, 8000)
+        verified_pairs(spark, sf_dir, 8000)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("__rm", F.lit(1))

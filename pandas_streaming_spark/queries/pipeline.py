@@ -380,7 +380,7 @@ def q295_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |source|×|lang| frame — broadcast size at any corpus."""
     from pyspark.sql import Window
 
-    from pandas_streaming_spark.queries.dedup_q import _neardup_pairs
+    from pandas_streaming_spark.queries.dedup_q import verified_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
@@ -416,7 +416,7 @@ def q295_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
     )
     removed = (
-        _neardup_pairs(docs, 8000)
+        verified_pairs(spark, sf_dir, 8000)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("__rm", F.lit(1))
