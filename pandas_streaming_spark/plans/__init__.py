@@ -82,3 +82,44 @@ def codegen_stage_count(df: DataFrame) -> int:
         df.collect()  # materialize the AQE final plan
         n = stars()
     return n
+
+
+#: entries allowed to keep the named fragment in their physical plan —
+#: each is a declared contract surface, not an accident
+PLAN_AUDIT_ALLOW = {
+    "CartesianProduct": {"q10_cross_join"},  # the GRADED bounded cross join
+    # the row-at-a-time Python UDF contract rows (SURVEY §2.9 UDF surface);
+    # every other batch entry must stay JVM-side / Arrow-vectorized
+    "BatchEvalPython": {"q61_udaf_geomean", "q170_arrow_udf"},
+}
+
+#: query modules whose entries RUN (streaming replays / sink commits)
+#: when the DataFrame is built — their cost model is the replay harness,
+#: not a batch plan, so the per-entry audit skips them (their plan
+#: discipline is pinned by the replay/state tests instead)
+PLAN_AUDIT_SKIP_MODULES = ("streaming_q", "kafka_q", "stream_upsert_q")
+
+
+def audit_registry(spark, sf_dir: str) -> dict[str, list[str]]:
+    """Per-entry plan-shape audit (VERDICT r12 item 8): build every batch
+    registry entry's physical plan and flag forbidden fragments —
+    CartesianProduct anywhere, row-at-a-time Python (BatchEvalPython) in
+    any non-contract entry. This turns the bench's global `no_cartesian`
+    invariant into a per-entry assertion that fails naming the entry,
+    BEFORE a regression costs anything at scale. Returns
+    {query_name: [violation, ...]} — empty dict = clean registry."""
+    from pandas_streaming_spark.queries import QUERIES
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        if any(m in fn.__module__ for m in PLAN_AUDIT_SKIP_MODULES):
+            continue
+        plan = physical_plan(fn(spark, sf_dir))
+        hits = [
+            frag
+            for frag, allow in PLAN_AUDIT_ALLOW.items()
+            if frag in plan and name not in allow
+        ]
+        if hits:
+            bad[name] = hits
+    return bad
