@@ -88,9 +88,14 @@ def codegen_stage_count(df: DataFrame) -> int:
 #: each is a declared contract surface, not an accident
 PLAN_AUDIT_ALLOW = {
     "CartesianProduct": {"q10_cross_join"},  # the GRADED bounded cross join
-    # the row-at-a-time Python UDF contract rows (SURVEY §2.9 UDF surface);
-    # every other batch entry must stay JVM-side / Arrow-vectorized
-    "BatchEvalPython": {"q61_udaf_geomean", "q170_arrow_udf"},
+    # the row-at-a-time Python UDF/UDTF contract rows (SURVEY §2.9 UDF
+    # surface); every other batch entry must stay JVM-side /
+    # Arrow-vectorized
+    "BatchEvalPython": {
+        "q61_udaf_geomean",
+        "q120_python_udtf",
+        "q170_arrow_udf",
+    },
 }
 
 #: query modules whose entries RUN (streaming replays / sink commits)

@@ -216,3 +216,14 @@ def test_foreachbatch_exactly_once_under_injected_crash(spark, sf_dir):
     assert got == want
     sink.close()
     shutil.rmtree(chkpt, ignore_errors=True)
+
+
+def test_registry_plan_audit_clean(spark, sf_dir):
+    """Registry-wide plan-shape regression harness (VERDICT r12 item 8):
+    every batch entry's physical plan is free of CartesianProduct and
+    row-at-a-time Python outside the declared contract rows — the
+    bench's global invariant as a per-entry assertion that names the
+    offender."""
+    from pandas_streaming_spark.plans import audit_registry
+
+    assert audit_registry(spark, sf_dir) == {}
