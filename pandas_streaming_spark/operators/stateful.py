@@ -36,7 +36,6 @@ from pyspark.sql.types import (
     IntegerType,
     LongType,
     ShortType,
-    StringType,
     StructField,
     StructType,
 )
@@ -323,7 +322,7 @@ def bucket_claim_tws(band_rows: DataFrame) -> DataFrame:
     split-invariance contract every replay query grades. Input rows
     within a chunk are folded in sorted order for the same reason.
 
-    State is O(1) per distinct bucket (one long + one string), with no
+    State is O(1) per distinct bucket (one long), with no
     bucket-size cap needed: the batch operator's ``max_bucket`` exists
     to bound O(bucket²) PAIR enumeration, and the claim state never
     enumerates pairs — a degenerate bucket costs O(members) emitted

@@ -714,8 +714,10 @@ def _neardup_pairs(docs: DataFrame, threshold_e4: int = 8000) -> DataFrame:
     threshold the 4×2 banding's per-pair miss is (1−j²)⁴ ≤ 1.7% — the
     retrieval operating point; the oracle re-derives the identical
     candidate set so the grade is parity-exact regardless."""
-    cands = lsh_candidate_pairs(docs, n_hashes=8, bands=4, k=3, max_bucket=64)
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.0, candidates=cands)
+    cands = lsh_candidate_pairs(docs, **_PAIRS_KERNEL)
+    pairs = ngram_jaccard_pairs(
+        docs, k=_PAIRS_KERNEL["k"], threshold=0.0, candidates=cands
+    )
     jac_e4 = F.round(
         F.lit(10000.0)
         * F.col("common")
@@ -729,6 +731,20 @@ def _neardup_pairs(docs: DataFrame, threshold_e4: int = 8000) -> DataFrame:
 
 _PAIRS_SCHEMA = "id_a long, id_b long, jac_e4 long"
 
+# The exact kernel parameters _neardup_pairs runs with — single source
+# of truth shared by the candidate generator AND the artifact tag.
+_PAIRS_KERNEL = {"n_hashes": 8, "bands": 4, "k": 3, "max_bucket": 64}
+
+# Algorithm-version token baked into every verified-pairs artifact tag
+# (ADVICE r13): derived from the kernel parameter tuple, so ANY change
+# to the candidate generator's knobs maps to a fresh artifact directory
+# instead of silently serving stale pairs to the six report-family
+# consumers. Bump the leading "a2" literal for changes the parameter
+# tuple can't see (e.g. a different hash family or verify predicate).
+_PAIRS_ALGO_V = "a2-" + "".join(
+    f"{k[0]}{v}" for k, v in sorted(_PAIRS_KERNEL.items())
+)
+
 
 def _corpus_fingerprint(sf_dir: str) -> str:
     """Content fingerprint of the documents table: absolute path + file
@@ -740,10 +756,15 @@ def _corpus_fingerprint(sf_dir: str) -> str:
 
     p = os.path.join(sf_dir, "documents.parquet")
     if os.path.isdir(p):
+        # ADVICE r13: size alone let a regenerated same-size replica
+        # serve a stale pair table — include mtime_ns per part file for
+        # parity with the single-file branch below.
+        def _part(n: str) -> str:
+            st = os.stat(os.path.join(p, n))
+            return f"{n}:{st.st_size}:{st.st_mtime_ns}"
+
         sig = ";".join(
-            f"{n}:{os.path.getsize(os.path.join(p, n))}"
-            for n in sorted(os.listdir(p))
-            if n.endswith(".parquet")
+            _part(n) for n in sorted(os.listdir(p)) if n.endswith(".parquet")
         )
     else:
         st = os.stat(p)
@@ -763,8 +784,12 @@ def verified_pairs(
     MinHash → banded-LSH → exact-Jaccard chain from scratch — correct
     but wasteful by construction; at 100 TB the verified pair frame is
     exactly the artifact a curation run materializes once and every
-    downstream panel joins against. First call per corpus fingerprint
-    (path + sizes + mtimes + threshold) computes ``_neardup_pairs`` and
+    downstream panel joins against. First call per artifact tag —
+    corpus fingerprint (path + per-file sizes + mtimes, both
+    single-file and dir-of-parquet shapes) + threshold + the
+    ``_PAIRS_ALGO_V`` kernel-version token (ADVICE r13: a changed
+    minhash/banding/verify kernel must never serve pairs computed by
+    the old one) — computes ``_neardup_pairs`` and
     commits it through :class:`KeyedUpsertSink` — the repo's
     manifest/MERGE machinery (streaming/upsert.py): bucketed immutable
     parquet + atomic manifest/HEAD commit, so a concurrent first call
@@ -786,7 +811,7 @@ def verified_pairs(
 
     root = os.path.join(SCRATCH, "verified_pairs")
     os.makedirs(root, exist_ok=True)
-    tag = f"{_corpus_fingerprint(sf_dir)}-t{threshold_e4}"
+    tag = f"{_corpus_fingerprint(sf_dir)}-t{threshold_e4}-{_PAIRS_ALGO_V}"
     base = os.path.join(root, tag)
     sink = KeyedUpsertSink(
         base, key_cols=["id_a", "id_b"], seq_cols=["jac_e4"], num_buckets=8
@@ -795,13 +820,23 @@ def verified_pairs(
         docs = load_table(spark, sf_dir, "documents")
         sink(_neardup_pairs(docs, threshold_e4), batch_id=0)
         # GC: artifacts of regenerated/rescaled corpora never get read
-        # again (their fingerprint is dead) — keep the 8 newest
+        # again (their fingerprint is dead) — keep the 8 newest, but
+        # NEVER reap a dir touched within the last 30 minutes (ADVICE
+        # r13): a concurrent session mid-build, or holding a lazy
+        # DataFrame over a just-read artifact, must not lose its
+        # parquet files out from under it.
+        import time
+
+        now = time.time()
         dirs = sorted(
             (d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))),
             key=lambda d: os.path.getmtime(os.path.join(root, d)),
         )
         for stale in dirs[:-8]:
-            shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+            full = os.path.join(root, stale)
+            if now - os.path.getmtime(full) < 1800:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
     try:
         return sink.read(spark).select("id_a", "id_b", "jac_e4")
     except ValueError:

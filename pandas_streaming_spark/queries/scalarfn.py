@@ -624,7 +624,7 @@ LATERAL (
 ) t
 ORDER BY n.n_name, acctbal DESC, t.c_name
 """,
-    "q164_try_arithmetic": """
+    "q164_try_arithmetic": r"""
 WITH t AS (
   SELECT event_type,
          CASE WHEN user_id % 5 = 0 THEN NULL

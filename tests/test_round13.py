@@ -91,6 +91,7 @@ def test_verified_pairs_materializes_once_and_matches_kernel(spark, sf_dir):
 
     from pandas_streaming_spark.catalog import load_table
     from pandas_streaming_spark.queries.dedup_q import (
+        _PAIRS_ALGO_V,
         _corpus_fingerprint,
         _neardup_pairs,
         verified_pairs,
@@ -99,7 +100,9 @@ def test_verified_pairs_materializes_once_and_matches_kernel(spark, sf_dir):
     from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
 
     base = os.path.join(
-        SCRATCH, "verified_pairs", f"{_corpus_fingerprint(sf_dir)}-t8000"
+        SCRATCH,
+        "verified_pairs",
+        f"{_corpus_fingerprint(sf_dir)}-t8000-{_PAIRS_ALGO_V}",
     )
     shutil.rmtree(base, ignore_errors=True)
     first = {tuple(r) for r in verified_pairs(spark, sf_dir, 8000).collect()}
