@@ -55,6 +55,45 @@ def _mat(df) -> int:
     return len(df.toPandas())
 
 
+def _pretouch_parquet(dirs: "list[str]") -> dict:
+    """Sequential read-and-discard of every parquet file under the given
+    directories (one pass, 8 MiB chunks) so the timed scaled100 grid
+    always starts from a WARM page cache. VERDICT r13 item 1: cache
+    state could masquerade as a ±40% plan regression — q81 at 100x read
+    17.1 s cache-cold vs 4.08 s warm on IDENTICAL plans, the churn
+    coming from multi-GB 1000x-probe replicas evicting the x100 files.
+    After this pass every grid cell means one thing. The returned stats
+    double as the cache_state probe: ``sec`` near disk-bandwidth for
+    ``gb`` read means the files WERE cold (and are now warm); ``sec``
+    near RAM speed means they were already cached — either way the grid
+    that follows is warm."""
+    t0 = time.perf_counter()
+    files = 0
+    byts = 0
+    for d in dirs:
+        if not d or not os.path.isdir(d):
+            continue
+        for base, _sub, names in os.walk(d):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                try:
+                    with open(os.path.join(base, n), "rb", buffering=0) as f:
+                        while True:
+                            chunk = f.read(8 << 20)
+                            if not chunk:
+                                break
+                            byts += len(chunk)
+                    files += 1
+                except OSError:
+                    continue
+    return {
+        "files": files,
+        "gb": round(byts / 1e9, 3),
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+
+
 def _machine_busy_jiffies() -> int:
     """Total busy CPU jiffies across all cores (/proc/stat first line,
     everything except idle + iowait)."""
@@ -640,6 +679,27 @@ def main() -> None:
                 spark, dir100, "lineitem", ["l_orderkey"], 32, ["l_orderkey"]
             )
             layout_write_sec = round(time.perf_counter() - t_b, 1)
+
+            # VERDICT r13 item 1: pre-touch EVERYTHING the grid reads —
+            # the replica parquet AND the bucketed layout tables — so
+            # page-cache state can never masquerade as a plan change.
+            # The budget clock starts AFTER the touch: warming the cache
+            # is setup (like synthesis), not query time.
+            from pandas_streaming_spark.catalog import (
+                _layout_digest, _warehouse_path,
+            )
+
+            wh = _warehouse_path(spark)
+            dig = _layout_digest(dir100)
+            touch_dirs = [dir100] + (
+                [
+                    os.path.join(wh, f"pss_b_{dig}_{t}")
+                    for t in ("orders", "lineitem")
+                ]
+                if wh
+                else []
+            )
+            pretouch = _pretouch_parquet(touch_dirs)
             t_section = time.perf_counter()  # budget covers the query loop only
             # WARM median-of-3 for the top-cost quartile (VERDICT r8
             # item 4 + r11 item 4): single-run-cold has twice produced
@@ -739,9 +799,12 @@ def main() -> None:
                     if times.get(n)
                 },
                 "invariants": inv,
+                "pretouch": pretouch,
                 "protocol": (
-                    "WARM median-of-3 for top-cost quartile (recorded "
-                    "cold first run in spread), single-run cold otherwise"
+                    "page-cache pre-touched (see pretouch; r14) then "
+                    "WARM median-of-3 for top-cost quartile (spread's "
+                    "'cold' = first run: codegen/listing-cold, NOT "
+                    "cache-cold), single-run otherwise"
                 ),
             }
 

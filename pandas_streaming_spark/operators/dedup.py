@@ -82,6 +82,46 @@ def minhash_signatures(
     )
 
 
+def banded_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """The banded MinHash table ``(id, band, band_hash)`` — the LSH
+    *index* shape a crawl pipeline persists so new shards can probe it
+    without recomputing the corpus (q309 rides it incrementally; q50's
+    pair enumeration is a groupBy over it). Row-local per doc: the
+    band rows of a union of tables equal the union of each table's
+    band rows, which is what makes incremental ingest exact."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("signature", b * rows + i + 1)
+                                    for i in range(rows)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -110,27 +150,7 @@ def lsh_candidate_pairs(
     Set ``max_bucket=None`` to disable. ``log_dropped=True`` runs one
     extra count job and logs how many buckets the cap removed.
     """
-    rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.element_at("signature", b * rows + i + 1) for i in range(rows)],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.band_hash")
+    banded = banded_table(df, id_col, text_col, n_hashes, bands, k)
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))

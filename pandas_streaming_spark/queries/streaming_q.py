@@ -897,7 +897,161 @@ def q308_stream_neardup_dedup(
     )
 
 
+def q309_incremental_neardup_merge(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """INCREMENTAL near-dup ingest — a new-crawl-shard REPLAY merged
+    into the existing verified-pair table, graded against a
+    from-scratch recompute (VERDICT r13 item 3: composes the round-13
+    headline artifacts — the q308 in-stream banding kernel and the
+    verified_pairs KeyedUpsertSink MERGE machinery — into one graded
+    end-to-end path; q113's shard-vs-corpus posture, upgraded from
+    exact to NEAR-dup).
+
+    State before the shard arrives (batch 0): the corpus (doc_id % 5
+    != 0) owns a banded MinHash INDEX table (operators/dedup
+    ``banded_table`` — (doc_id, band, band_hash), the LSH index a crawl
+    pipeline persists) and a verified within-corpus pair table, both
+    committed through KeyedUpsertSink. The shard (doc_id % 5 == 0)
+    then arrives as a k-batch doc_id-ordered replay; every micro-batch
+    (a) bands its own docs with the SAME row-local kernel (8-hash KM
+    minhash, 4x2 banding, UNCAPPED — q308's kernel: no pair cap means
+    candidates(corpus ∪ shard) = candidates(corpus) ∪
+    candidates(≥1 shard endpoint) EXACTLY, so incremental needs no
+    retraction pass), (b) probes the index snapshot for bucket
+    co-members, forming only pairs with ≥1 endpoint in the batch,
+    (c) exact-Jaccard-verifies those candidates with shingles computed
+    ONLY for the candidate endpoints (the delta-sized verify — a
+    left-semi join scopes the documents scan to the dirty doc set,
+    never the corpus), and (d) MERGEs the ≥0.8 survivors and its own
+    band rows into the two sinks (idempotent across batch re-delivery
+    via the _HEAD batch-id fence). The graded output is the FINAL pair
+    snapshot, which must equal the from-scratch full-corpus chain in
+    SQL — under any batch split (min-id pair orientation and
+    last-writer-wins MERGE make the final state split-invariant; a
+    pair materializes in the batch where its LATER endpoint arrives).
+
+    Scale: per-ingest cost is O(shard band rows + candidate pairs +
+    delta shingles + dirty buckets) — the corpus is touched only
+    through the index probe join, never re-shingled. At 100 TB the
+    index table would be bucketed on band_hash so the probe join is
+    exchange-free on the corpus side; the MERGE commits O(dirty
+    buckets) files per batch (streaming/upsert.py). The uncapped
+    kernel's bucket mass is bounded by the 4x2 banding operating
+    point, not a cap — degenerate corpora ride the capped production
+    kernel (verified_pairs) whose cap-transition semantics are a
+    documented difference, not a silent one."""
+    import shutil as _sh
+
+    from pandas_streaming_spark.operators.dedup import (
+        banded_table,
+        ngram_jaccard_pairs,
+    )
+    from pandas_streaming_spark.streaming.replay import (
+        _fresh_dir,
+        replay_docs,
+        write_doc_replay_batches,
+    )
+    from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    def endpoints(cand: DataFrame) -> DataFrame:
+        return (
+            cand.select(F.col("id_a").alias("doc_id"))
+            .union(cand.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+
+    def verify(cand: DataFrame) -> DataFrame:
+        # delta-sized: shingles only for docs appearing in candidates
+        sub = docs.join(endpoints(cand), "doc_id", "left_semi")
+        p = ngram_jaccard_pairs(sub, k=3, threshold=0.0, candidates=cand)
+        jac_e4 = F.round(
+            F.lit(10000.0)
+            * F.col("common")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+            0,
+        ).cast("long")
+        return p.select("id_a", "id_b", jac_e4.alias("jac_e4")).filter(
+            F.col("jac_e4") >= 8000
+        )
+
+    band_sink = KeyedUpsertSink(
+        _fresh_dir("incbands"), ["doc_id", "band"], ["band_hash"], num_buckets=8
+    )
+    pair_sink = KeyedUpsertSink(
+        _fresh_dir("incpairs"), ["id_a", "id_b"], ["jac_e4"], num_buckets=8
+    )
+    chkpt = _fresh_dir("chkpt")
+    try:
+        # batch 0: the pre-existing ingested state
+        cbands = banded_table(corpus, n_hashes=8, bands=4, k=3)
+        band_sink(cbands, batch_id=0)
+        seen0 = band_sink.read(spark)
+        base_cand = (
+            seen0.alias("a")
+            .join(seen0.alias("b"), ["band", "band_hash"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .distinct()
+        )
+        pair_sink(verify(base_cand), batch_id=0)
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            nb = banded_table(
+                batch_df, n_hashes=8, bands=4, k=3
+            ).localCheckpoint(eager=True)
+            seen = band_sink.read(spark)  # corpus + earlier batches
+            allb = seen.unionByName(nb)
+            cand = (
+                nb.alias("n")
+                .join(allb.alias("s"), ["band", "band_hash"])
+                .filter(F.col("n.doc_id") != F.col("s.doc_id"))
+                .select(
+                    F.least("n.doc_id", "s.doc_id").alias("id_a"),
+                    F.greatest("n.doc_id", "s.doc_id").alias("id_b"),
+                )
+                .distinct()
+            )
+            pair_sink(verify(cand), batch_id=batch_id + 1)
+            band_sink(nb, batch_id=batch_id + 1)
+
+        replay_dir = write_doc_replay_batches(
+            spark, sf_dir, k, where="doc_id % 5 = 0"
+        )
+        stream = replay_docs(spark, sf_dir, replay_dir)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+        try:
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(ingest)
+                .option("checkpointLocation", chkpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        snap = (
+            pair_sink.read(spark)
+            .select("id_a", "id_b", "jac_e4")
+            .orderBy("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        band_sink.close()
+        pair_sink.close()
+        _sh.rmtree(chkpt, ignore_errors=True)
+    return snap
+
+
 QUERIES = {
+    "q309_incremental_neardup_merge": q309_incremental_neardup_merge,
     "q308_stream_neardup_dedup": q308_stream_neardup_dedup,
     "q303_stream_ingest_curation": q303_stream_ingest_curation,
     "q43_stream_tumbling": q43_stream_tumbling,
@@ -926,6 +1080,52 @@ ORACLES = {
     # batch answer: 3-shingles -> KM minhash (h1 + s*h2 over two 28-bit
     # md5 halves, the llm.py _MINHASH_SIG chain) -> 4x2 banding ->
     # flagged = doc_id > bucket min, distinct per doc
+    # from-scratch full-corpus recompute: the incremental MERGE's final
+    # pair snapshot must equal the whole chain run over ALL documents —
+    # uncapped 4x2 banding candidates, exact 3-shingle Jaccard >= 0.8
+    "q309_incremental_neardup_merge": """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id, s,
+         MIN(CAST(CONCAT('0x', SUBSTR(MD5(sh), 1, 7)) AS BIGINT)
+             + s * CAST(CONCAT('0x', SUBSTR(MD5(sh), 8, 7)) AS BIGINT)) AS mh
+  FROM sh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS s)
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM sig GROUP BY doc_id, s // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS c
+  FROM cand c
+  JOIN shd a ON a.doc_id = c.id_a
+  JOIN shd b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(ROUND(10000.0 * c / (na.n + nb.n - c), 0) AS BIGINT) AS jac_e4
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE ROUND(10000.0 * c / (na.n + nb.n - c), 0) >= 8000
+ORDER BY id_a, id_b
+""",
     "q308_stream_neardup_dedup": """
 WITH toks AS (
   SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents

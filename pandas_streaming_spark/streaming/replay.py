@@ -183,11 +183,16 @@ def _write_replay_batches(
     return out_dir
 
 
-def write_doc_replay_batches(spark: SparkSession, sf_dir: str, k: int = 5) -> str:
+def write_doc_replay_batches(
+    spark: SparkSession, sf_dir: str, k: int = 5, where: str | None = None
+) -> str:
     """Split ``{sf_dir}/documents.parquet`` into k single-file
     micro-batches in doc_id order — the document-stream twin of
     write_replay_batches (q303 streams the curation pipeline over it).
-    Content-keyed immutable cache dir, same atomic-publish protocol."""
+    Content-keyed immutable cache dir, same atomic-publish protocol.
+    ``where`` (optional SQL predicate) replays only the matching subset
+    — the new-crawl-shard arrival shape q309 ingests incrementally; it
+    is part of the cache key."""
     import hashlib
 
     from pandas_streaming_spark.catalog import load_table
@@ -196,7 +201,7 @@ def write_doc_replay_batches(spark: SparkSession, sf_dir: str, k: int = 5) -> st
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{k}|docs-v1".encode()
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{k}|docs-v1|{where or ''}".encode()
     ).hexdigest()[:12]
     out_dir = os.path.join(SCRATCH, f"docreplay-{key}")
     marker = os.path.join(out_dir, "_OK")
@@ -206,6 +211,8 @@ def write_doc_replay_batches(spark: SparkSession, sf_dir: str, k: int = 5) -> st
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
     docs = load_table(spark, sf_dir, "documents")
+    if where:
+        docs = docs.filter(where)
     n = docs.count()
     gi = global_index(docs, ["doc_id"], "__rank")
     df = gi.df.withColumn(

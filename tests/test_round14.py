@@ -133,6 +133,51 @@ def test_gc_spares_recent_artifact_dirs(spark, tmp_path, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_q309_split_invariance(spark, sf_dir, k):
+    """The incremental near-dup MERGE's final pair table equals the
+    from-scratch full-corpus recompute under ANY shard batch split —
+    the repo's core streaming grading contract (VERDICT r13 item 3:
+    the shard replay's flagged candidates are delta-verified and
+    MERGEd, never recomputed from the corpus)."""
+    from pandas_streaming_spark.compare import compare_frames, duckdb_connect
+    from pandas_streaming_spark.queries import ORACLES
+    from pandas_streaming_spark.queries.streaming_q import (
+        q309_incremental_neardup_merge,
+    )
+
+    got = q309_incremental_neardup_merge(spark, sf_dir, k=k).toPandas()
+    con = duckdb_connect(sf_dir)
+    want = con.execute(ORACLES["q309_incremental_neardup_merge"]).df()
+    r = compare_frames(f"q309-k{k}", got, want)
+    assert r.ok, r.detail
+
+
+def test_q309_uncapped_kernel_identity(spark, sf_dir):
+    """The no-retraction argument: with the UNCAPPED kernel, full-corpus
+    candidates = within-corpus candidates ∪ candidates with >=1 shard
+    endpoint — verified literally on the test corpus."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+
+    def pairs(df):
+        return {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(
+                df, n_hashes=8, bands=4, k=3, max_bucket=None
+            ).collect()
+        }
+
+    full = pairs(docs)
+    base = pairs(corpus)
+    shard_ids = {r.doc_id for r in docs.filter("doc_id % 5 = 0").select("doc_id").collect()}
+    delta = {p for p in full if p[0] in shard_ids or p[1] in shard_ids}
+    assert base <= full and full == base | delta
+
+
 def test_stateful_no_unused_stringtype():
     """ADVICE r13 item 3: the leftover StringType import is gone and
     the bucket-claim docstring no longer claims a string in state."""
