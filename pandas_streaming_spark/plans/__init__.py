@@ -84,6 +84,98 @@ def codegen_stage_count(df: DataFrame) -> int:
     return n
 
 
+def broadcastable_smj_joins(
+    df: DataFrame, threshold_bytes: int | None = None
+) -> list[str]:
+    """Equi-joins the physical plan runs as SortMergeJoin even though
+    Catalyst's own PLANNING-TIME estimate says one side fits under the
+    broadcast threshold (VERDICT r13 item 7: the one join anti-pattern
+    the fragment list can't see — a stray ``hint("merge")``, a disabled
+    threshold, or an estimate that grew between optimization and
+    physical planning pays a sort+shuffle on BOTH sides that a
+    broadcast would avoid, and AQE's runtime conversion only kicks in
+    AFTER the shuffle write is paid). Returns one diagnostic string per
+    offending join (empty list = clean).
+
+    Mechanics: walk the PHYSICAL (pre-AQE) plan's SortMergeJoinExec
+    nodes; for each child, follow its ``logicalLink`` down the physical
+    chain to the logical subplan JoinSelection actually costed and read
+    ``stats().sizeInBytes()`` (file-footer statistics — free, no job).
+    Join-type-aware: only sides BHJ could legally build are considered
+    (full outer: none; left outer/semi/anti: right side only; right
+    outer: left side only; inner: either). At healthy defaults Catalyst
+    already broadcasts anything that fits, so a hit means a hint or
+    conf is overriding the optimizer's own cost call."""
+    import re
+
+    if threshold_bytes is None:
+        raw = df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        m = re.fullmatch(r"(-?\d+)\s*([kKmMgG]?)[bB]?", raw.strip())
+        mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[
+            (m.group(2) or "").lower()
+        ]
+        threshold_bytes = int(m.group(1)) * mult
+        if threshold_bytes < 0:  # broadcast disabled: audit at the default
+            threshold_bytes = 10 << 20
+
+    #: physical child indices BHJ may build, per join type
+    buildable = {
+        "Inner": (0, 1),
+        "Cross": (0, 1),
+        "LeftOuter": (1,),
+        "LeftSemi": (1,),
+        "LeftAnti": (1,),
+        "RightOuter": (0,),
+    }
+
+    def linked_size(phys) -> int | None:
+        cur = phys
+        for _ in range(16):
+            ll = cur.logicalLink()
+            if ll.isDefined():
+                return int(str(ll.get().stats().sizeInBytes()))
+            if cur.children().size() == 0:
+                return None
+            cur = cur.children().apply(0)
+        return None
+
+    hits: list[str] = []
+
+    def walk(node) -> None:
+        try:
+            if node.getClass().getSimpleName() == "SortMergeJoinExec":
+                jt = node.joinType().toString()
+                sides = buildable.get(
+                    jt, (0, 1) if jt.startswith("ExistenceJoin") else ()
+                )
+                if jt.startswith("ExistenceJoin"):
+                    sides = (1,)
+                fits = [
+                    (i, sz)
+                    for i in sides
+                    if (sz := linked_size(node.children().apply(i)))
+                    is not None
+                    and sz <= threshold_bytes
+                ]
+                if fits:
+                    i, sz = min(fits, key=lambda t: t[1])
+                    hits.append(
+                        f"SortMergeJoin ({jt}) where the "
+                        f"{'left' if i == 0 else 'right'} side's estimate "
+                        f"{sz}B fits the {threshold_bytes}B broadcast "
+                        "threshold"
+                    )
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+        except Exception:  # py4j surprises on exotic nodes: skip, not crash
+            return
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return sorted(set(hits))
+
+
 #: entries allowed to keep the named fragment in their physical plan —
 #: each is a declared contract surface, not an accident
 PLAN_AUDIT_ALLOW = {
@@ -97,6 +189,11 @@ PLAN_AUDIT_ALLOW = {
         "q170_arrow_udf",
     },
 }
+
+#: entries allowed a SortMergeJoin despite a broadcast-fitting estimate
+#: (populated only if a graded entry deliberately pins the SMJ shape,
+#: e.g. a bucketed exchange-free layout where BHJ would re-plan worse)
+SMJ_AUDIT_ALLOW: set[str] = set()
 
 #: query modules whose entries RUN (streaming replays / sink commits)
 #: when the DataFrame is built — their cost model is the replay harness,
@@ -119,12 +216,20 @@ def audit_registry(spark, sf_dir: str) -> dict[str, list[str]]:
     for name, fn in QUERIES.items():
         if any(m in fn.__module__ for m in PLAN_AUDIT_SKIP_MODULES):
             continue
-        plan = physical_plan(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        plan = physical_plan(df)
         hits = [
             frag
             for frag, allow in PLAN_AUDIT_ALLOW.items()
             if frag in plan and name not in allow
         ]
+        # r14 (VERDICT r13 item 7): SMJ chosen where Catalyst's own
+        # estimate says a side fits broadcast — a contradiction that
+        # costs two sorted shuffles; clean registries stay clean
+        # because Catalyst broadcasts these by itself, so any hit is a
+        # hint/conf regression naming its entry.
+        if name not in SMJ_AUDIT_ALLOW:
+            hits.extend(broadcastable_smj_joins(df))
         if hits:
             bad[name] = hits
     return bad

@@ -178,6 +178,137 @@ def test_q309_uncapped_kernel_identity(spark, sf_dir):
     assert base <= full and full == base | delta
 
 
+def test_concurrent_reader_writer_sees_only_committed_versions(
+    spark, tmp_path
+):
+    """Two SEPARATE PROCESSES share one KeyedUpsertSink directory: a
+    writer child commits batches while this session reads snapshots
+    concurrently (VERDICT r13 item 7: the manifest/MERGE machinery
+    claims crash safety; the concurrent reader/writer half was
+    untested). Invariants every read must satisfy, no matter when it
+    lands relative to a commit: (1) the snapshot is a COMPLETE version
+    — all 40 keys present exactly once; (2) it is UNIFORM — every row
+    carries the same batch value, because each batch overwrites all
+    keys, so a torn read mixing two versions would show two values;
+    (3) versions only move forward across reads. Also pins time
+    travel: a version read early must re-read byte-identical after
+    later commits."""
+    import subprocess
+    import sys
+    import time
+
+    from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
+
+    base = str(tmp_path / "shared-sink")
+    child = tmp_path / "writer.py"
+    child.write_text(
+        """
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
+
+base = sys.argv[1]
+spark = (SparkSession.builder.master("local[2]")
+         .appName("pss-writer")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sink = KeyedUpsertSink(base, ["k"], ["seq"], num_buckets=4)
+for i in range(1, 7):
+    df = spark.createDataFrame(
+        [(k, i, i) for k in range(40)], "k int, val int, seq int"
+    )
+    sink(df, batch_id=i - 1)
+    time.sleep(0.3)
+print("WRITER-DONE", flush=True)
+"""
+    )
+    proc = subprocess.Popen(
+        [sys.executable, str(child), base],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    sink = KeyedUpsertSink(base, ["k"], ["seq"], num_buckets=4)
+    try:
+        seen_vals: list[int] = []
+        pinned = None  # (version, frozenset(rows)) captured mid-stream
+        deadline = time.time() + 180
+        while proc.poll() is None and time.time() < deadline:
+            versions = sink.versions()
+            if not versions:
+                time.sleep(0.2)
+                continue
+            # pin the version BEFORE reading: read() at head would race
+            # the writer between the head lookup and this assertion
+            v_read = max(versions)
+            snap = sink.read(spark, version=v_read).select("k", "val").collect()
+            vals = {r.val for r in snap}
+            keys = sorted(r.k for r in snap)
+            assert len(vals) == 1, f"torn read: mixed versions {vals}"
+            assert keys == list(range(40)), "incomplete snapshot"
+            v = vals.pop()
+            assert not seen_vals or v >= seen_vals[-1], "version went backward"
+            seen_vals.append(v)
+            if pinned is None:
+                pinned = (v_read, frozenset((r.k, r.val) for r in snap))
+            time.sleep(0.1)
+        assert proc.wait(timeout=120) == 0
+        # writer finished: final state is batch 6, and the version
+        # pinned mid-stream re-reads identically (time travel over
+        # immutable bucket dirs)
+        final = sink.read(spark).select("k", "val").collect()
+        assert {r.val for r in final} == {6}
+        assert len(seen_vals) >= 2, "reader never overlapped the writer"
+        v0, rows0 = pinned
+        again = frozenset(
+            (r.k, r.val)
+            for r in sink.read(spark, version=v0).select("k", "val").collect()
+        )
+        assert again == rows0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+def test_broadcastable_smj_detector(spark, sf_dir):
+    """The r14 audit extension (VERDICT r13 item 7): flags a
+    SortMergeJoin whose buildable side's own Catalyst estimate fits the
+    broadcast threshold — i.e. a hint/conf overriding the optimizer —
+    while staying silent on healthy defaults and on join types BHJ
+    cannot legally build (full outer)."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.plans import broadcastable_smj_joins
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+
+    healthy = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    assert broadcastable_smj_joins(healthy) == []
+
+    hinted = (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    hits = broadcastable_smj_joins(hinted)
+    assert len(hits) == 1 and "SortMergeJoin (Inner)" in hits[0]
+
+    full_outer = (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .groupBy()
+        .count()
+    )
+    assert broadcastable_smj_joins(full_outer) == []  # BHJ illegal here
+
+
 def test_stateful_no_unused_stringtype():
     """ADVICE r13 item 3: the leftover StringType import is gone and
     the bucket-claim docstring no longer claims a string in state."""
