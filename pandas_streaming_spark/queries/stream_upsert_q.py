@@ -212,15 +212,102 @@ def _run_replay(spark, sf_dir, replay_dir, transform):
     )
 
 
+def q310_stream_merge_delete(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
+    """Streaming MERGE WITH DELETE — the CDC-feed shape q140's
+    upsert-only sink couldn't express (Delta "WHEN MATCHED ... DELETE" /
+    Debezium op='d'; r14): the events replay maintains each user's
+    latest row, but an ``error`` event is a DELETE MARKER for the key —
+    the account drops out of the live table until a later event
+    re-creates it. The sink's tombstone_col carries the marker;
+    tombstones compete in last-writer-wins by (ts, event_id) and stay
+    in storage, so a LATE event older than the delete can never
+    resurrect the key (unit-pinned), while ``read()`` serves live rows
+    only. Final state ≡ the batch "latest row per key, minus keys whose
+    latest is a delete" query under ANY batch split (same LWW argument
+    as q140). Graded as the per-event-type readout of the live table
+    (n_users + exact integer cent sum). Scale: identical to q140 —
+    O(batch + dirty buckets) per micro-batch, tombstones add one
+    boolean column and are reclaimed the day a compaction policy ages
+    them out past the stream's lateness bound (not before: the
+    resurrection guard IS the stored tombstone)."""
+    import shutil as _sh
+
+    from pandas_streaming_spark.streaming.replay import _fresh_dir
+    from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
+
+    replay_dir = write_replay_batches(spark, sf_dir, k or _sq.K_BATCHES)
+    stream = replay_events(spark, sf_dir, replay_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("event_type") == "error").alias("__del"),
+    )
+    sink = KeyedUpsertSink(
+        _fresh_dir("merge-del"),
+        ["user_id"],
+        ["ts", "event_id"],
+        num_buckets=8,
+        tombstone_col="__del",
+    )
+    chkpt = _fresh_dir("chkpt-del")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_sq.STATE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chkpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    live = sink.read(spark).localCheckpoint(eager=True)
+    sink.close()
+    _sh.rmtree(chkpt, ignore_errors=True)
+    return (
+        live.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q173_dynamic_session_gap": q173_dynamic_session_gap,
     "q165_chained_stateful": q165_chained_stateful,
     "q140_upsert_sink": q140_upsert_sink,
     "q151_streaming_rollup_view": q151_streaming_rollup_view,
+    "q310_stream_merge_delete": q310_stream_merge_delete,
 }
 
 ORACLES = {
 }
+
+# latest row per user, keys whose latest event is the delete marker
+# ('error') removed — the batch form of CDC merge-with-delete
+ORACLES["q310_stream_merge_delete"] = """
+WITH latest AS (
+  SELECT user_id, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM latest
+WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 ORACLES["q140_upsert_sink"] = """
 SELECT user_id, event_type AS last_event_type, ROUND(value, 2) AS last_value

@@ -22,6 +22,13 @@ O(table) per micro-batch and dies at scale:
   (e.g. event time + id): last writer wins deterministically, so the
   final table equals the batch "latest row per key" query — which is
   exactly what q140's oracle checks.
+* **MERGE WITH DELETE** (r14): an optional ``tombstone_col`` marks rows
+  that delete their key (Delta "WHEN MATCHED ... DELETE" / Debezium
+  op='d'). Tombstones compete in last-writer-wins and stay in storage
+  (a late row with an older seq must lose to the stored delete, never
+  resurrect the key); ``read()`` serves live rows only (q310 grades
+  the full streaming path against the batch latest-row-minus-deleted
+  oracle).
 
 At 100 TB: buckets shard across executors (each bucket merge is an
 independent task set), num_buckets sizes to ~state/128MB, and the
@@ -52,6 +59,7 @@ class KeyedUpsertSink:
         key_cols: list[str],
         seq_cols: list[str],
         num_buckets: int = 16,
+        tombstone_col: str | None = None,
     ) -> None:
         if not key_cols or not seq_cols:
             raise ValueError("key_cols and seq_cols must be non-empty")
@@ -59,6 +67,16 @@ class KeyedUpsertSink:
         self.key_cols = list(key_cols)
         self.seq_cols = list(seq_cols)
         self.num_buckets = num_buckets
+        #: MERGE-with-DELETE (r14): name of a boolean column marking a
+        #: row as a delete of its key (Debezium op='d' / Delta "WHEN
+        #: MATCHED ... DELETE"). Tombstones compete in last-writer-wins
+        #: like any row and are KEPT IN STORAGE — physically dropping a
+        #: deleted key at merge time would let a LATE row (seq older
+        #: than the delete) resurrect it in a later batch; the stored
+        #: tombstone outranks it by seq instead. ``read()`` filters
+        #: them, so a snapshot shows live rows only; ``changes()`` shows
+        #: them (a delete IS a change a CDC consumer must see).
+        self.tombstone_col = tombstone_col
         os.makedirs(base_dir, exist_ok=True)
 
     # -- commit protocol ---------------------------------------------------
@@ -181,12 +199,22 @@ class KeyedUpsertSink:
 
     # -- reads -------------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
         """Snapshot of the table: latest by default, or any committed
         ``version`` (1-based; version N = state after the first N
         batches) — Iceberg/Delta-style time travel, possible because
         bucket directories are immutable and each commit retains its
-        per-version manifest file."""
+        per-version manifest file. With a ``tombstone_col`` configured,
+        the snapshot shows LIVE rows only (deleted keys filtered, the
+        marker column dropped) unless ``include_tombstones`` — the raw
+        form ``changes()`` and ``compact()`` need (a compaction that
+        dropped tombstones would let late rows resurrect deleted
+        keys)."""
         head = self._read_head()
         if version is None:
             version = head["version"]
@@ -196,7 +224,16 @@ class KeyedUpsertSink:
         paths = sorted(set(manifest.values()))
         if not paths:
             raise ValueError("upsert table is empty (no committed batches)")
-        return spark.read.parquet(*paths)
+        snap = spark.read.parquet(*paths)
+        if (
+            not include_tombstones
+            and self.tombstone_col
+            and self.tombstone_col in snap.columns
+        ):
+            snap = snap.filter(
+                ~F.coalesce(F.col(self.tombstone_col), F.lit(False))
+            ).drop(self.tombstone_col)
+        return snap
 
     def changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
@@ -206,8 +243,8 @@ class KeyedUpsertSink:
         (Iceberg's incremental scan / Delta's CDF, derived here from
         snapshot difference: each key appears at most once per snapshot,
         so row-level EXCEPT is exactly 'new or changed')."""
-        newer = self.read(spark, version=to_version)
-        older = self.read(spark, version=from_version)
+        newer = self.read(spark, version=to_version, include_tombstones=True)
+        older = self.read(spark, version=from_version, include_tombstones=True)
         return newer.exceptAll(older)
 
     def compact(self, spark: SparkSession) -> tuple[int, int]:
@@ -242,7 +279,7 @@ class KeyedUpsertSink:
             self.base_dir, f"v{version:06d}-compact-{uuid.uuid4().hex[:8]}"
         )
         (
-            self.read(spark)
+            self.read(spark, include_tombstones=True)
             .withColumn("__bucket", self._bucket())
             # each bucket id hashes to exactly one partition, so every
             # bucket directory gets exactly one file (bucket collisions

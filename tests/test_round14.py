@@ -309,6 +309,56 @@ def test_broadcastable_smj_detector(spark, sf_dir):
     assert broadcastable_smj_joins(full_outer) == []  # BHJ illegal here
 
 
+def test_tombstone_blocks_late_row_resurrection(spark, tmp_path):
+    """MERGE-with-DELETE's load-bearing detail (r14): tombstones stay
+    in storage so a LATE row whose seq is OLDER than the delete loses
+    last-writer-wins and can never resurrect the key — and compaction
+    preserves that guard (it rewrites the raw snapshot, tombstones
+    included)."""
+    from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
+
+    sink = KeyedUpsertSink(
+        str(tmp_path / "ts"), ["k"], ["seq"], num_buckets=2,
+        tombstone_col="__del",
+    )
+    schema = "k int, v string, seq int, __del boolean"
+    sink(spark.createDataFrame([(1, "a", 5, False)], schema), batch_id=0)
+    sink(spark.createDataFrame([(1, "DEL", 10, True)], schema), batch_id=1)
+    assert sink.read(spark).count() == 0  # deleted
+    # late arrival, older than the delete: must NOT resurrect
+    sink(spark.createDataFrame([(1, "late", 7, False)], schema), batch_id=2)
+    assert sink.read(spark).count() == 0
+    # the tombstone is visible to CDC readers and to compaction
+    raw = sink.read(spark, include_tombstones=True).collect()
+    assert len(raw) == 1 and raw[0]["__del"] is True and raw[0]["seq"] == 10
+    sink.compact(spark)
+    assert sink.read(spark).count() == 0  # guard survives compaction
+    # a genuinely NEWER row re-creates the key
+    sink(spark.createDataFrame([(1, "back", 11, False)], schema), batch_id=3)
+    live = sink.read(spark).collect()
+    assert len(live) == 1 and live[0].v == "back"
+    assert "__del" not in sink.read(spark).columns
+    sink.close()
+
+
+@pytest.mark.parametrize("k", [1, 5])
+def test_q310_split_invariance(spark, sf_dir, k):
+    """Streaming merge-with-delete final state equals the batch
+    latest-row-minus-deleted oracle under any batch split."""
+    from pandas_streaming_spark.compare import compare_frames, duckdb_connect
+    from pandas_streaming_spark.queries import ORACLES
+    from pandas_streaming_spark.queries.stream_upsert_q import (
+        q310_stream_merge_delete,
+    )
+
+    got = q310_stream_merge_delete(spark, sf_dir, k=k).toPandas()
+    want = duckdb_connect(sf_dir).execute(
+        ORACLES["q310_stream_merge_delete"]
+    ).df()
+    r = compare_frames(f"q310-k{k}", got, want)
+    assert r.ok, r.detail
+
+
 def test_stateful_no_unused_stringtype():
     """ADVICE r13 item 3: the leftover StringType import is gone and
     the bucket-claim docstring no longer claims a string in state."""
