@@ -247,7 +247,11 @@ class KeyedUpsertSink:
         older = self.read(spark, version=from_version, include_tombstones=True)
         return newer.exceptAll(older)
 
-    def compact(self, spark: SparkSession) -> tuple[int, int]:
+    def compact(
+        self,
+        spark: SparkSession,
+        drop_tombstones_below: "Column | None" = None,
+    ) -> tuple[int, int]:
         """OPTIMIZE-style small-file compaction (the Delta ``OPTIMIZE`` /
         Iceberg rewrite_data_files maintenance op): rewrite the CURRENT
         snapshot with one fresh directory — and one file — per bucket,
@@ -259,7 +263,18 @@ class KeyedUpsertSink:
         layout). Every micro-batch merge writes its dirty buckets with
         the session's task parallelism, so long-running streams
         accumulate files; compaction restores O(num_buckets) files per
-        snapshot. Returns (files_before, files_after)."""
+        snapshot. Returns (files_before, files_after).
+
+        ``drop_tombstones_below`` (tombstone_col sinks only): a boolean
+        Column over the row's own columns selecting tombstones SAFE to
+        physically remove — Delta's DELETE-retention knob. A tombstone
+        may only be dropped once no live row older than it can still
+        arrive, so the predicate must encode the stream's lateness
+        bound on the SEQ axis (e.g. ``F.col("ts") < F.lit(watermark)``,
+        the watermark trailing max event time by the allowed lateness);
+        dropping younger tombstones re-opens the late-row resurrection
+        window the stored tombstone exists to close. Live rows are
+        never affected."""
         import glob as _glob
 
         head = self._read_head()
@@ -278,8 +293,20 @@ class KeyedUpsertSink:
         out_dir = os.path.join(
             self.base_dir, f"v{version:06d}-compact-{uuid.uuid4().hex[:8]}"
         )
+        snap = self.read(spark, include_tombstones=True)
+        if drop_tombstones_below is not None:
+            if not self.tombstone_col:
+                raise ValueError(
+                    "drop_tombstones_below requires a tombstone_col sink"
+                )
+            snap = snap.filter(
+                ~(
+                    F.coalesce(F.col(self.tombstone_col), F.lit(False))
+                    & drop_tombstones_below
+                )
+            )
         (
-            self.read(spark, include_tombstones=True)
+            snap
             .withColumn("__bucket", self._bucket())
             # each bucket id hashes to exactly one partition, so every
             # bucket directory gets exactly one file (bucket collisions

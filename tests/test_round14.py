@@ -17,6 +17,8 @@ import shutil
 
 import pytest
 
+from pyspark.sql import functions as F
+
 
 def _dir_corpus(tmp_path, sf_dir):
     """A dir-of-parquet documents table (the replica shape) built from
@@ -357,6 +359,86 @@ def test_q310_split_invariance(spark, sf_dir, k):
     ).df()
     r = compare_frames(f"q310-k{k}", got, want)
     assert r.ok, r.detail
+
+
+def test_q308_flags_are_exactly_q309_pair_tails(spark, sf_dir):
+    """The formal identity composing the two streaming near-dup stages
+    (VERDICT r13 item 3's premise): a doc is q308-FLAGGED (non-min
+    member of some band bucket) iff it appears as the LARGER endpoint
+    (id_b) of some uncapped candidate pair — the exact rows q309's
+    delta verify consumes. LSH proposes in-stream (q308), the MERGE
+    ingest disposes (q309); this pins that the two kernels see the
+    same candidate population."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.dedup import (
+        banded_table,
+        lsh_candidate_pairs,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = banded_table(docs, n_hashes=8, bands=4, k=3)
+    w = Window.partitionBy("band", "band_hash")
+    flagged = {
+        r.doc_id
+        for r in bands.withColumn("w", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("w"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    tails = {
+        r.id_b
+        for r in lsh_candidate_pairs(
+            docs, n_hashes=8, bands=4, k=3, max_bucket=None
+        )
+        .select("id_b")
+        .distinct()
+        .collect()
+    }
+    assert flagged == tails and len(flagged) > 0
+
+
+def test_compact_tombstone_retention(spark, tmp_path):
+    """compact(drop_tombstones_below=...) — the DELETE-retention knob:
+    tombstones the predicate marks as past the lateness bound are
+    physically removed; younger ones (and all live rows) survive, so
+    the resurrection guard holds exactly as long as late rows can
+    still arrive."""
+    from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
+
+    sink = KeyedUpsertSink(
+        str(tmp_path / "ret"), ["k"], ["seq"], num_buckets=2,
+        tombstone_col="__del",
+    )
+    schema = "k int, v string, seq int, __del boolean"
+    sink(
+        spark.createDataFrame(
+            [(1, "DEL", 10, True), (2, "DEL", 90, True), (3, "live", 50, False)],
+            schema,
+        ),
+        batch_id=0,
+    )
+    # retention horizon: tombstones with seq < 80 are past the lateness
+    # bound and safe to drop; key 2's delete is younger and must stay
+    sink.compact(spark, drop_tombstones_below=F.col("seq") < 80)
+    raw = {
+        (r["k"], r["__del"])
+        for r in sink.read(spark, include_tombstones=True).collect()
+    }
+    assert raw == {(2, True), (3, False)}  # key 1's tombstone reclaimed
+    live = {r["k"] for r in sink.read(spark).collect()}
+    assert live == {3}
+    # key 2's guard still works: a late row older than its delete loses
+    sink(spark.createDataFrame([(2, "late", 70, False)], schema), batch_id=1)
+    assert {r["k"] for r in sink.read(spark).collect()} == {3}
+    # predicate on a plain sink is an error, not a silent no-op
+    plain = KeyedUpsertSink(str(tmp_path / "plain"), ["k"], ["seq"])
+    plain(spark.createDataFrame([(1, "a", 1, False)], schema), batch_id=0)
+    with pytest.raises(ValueError):
+        plain.compact(spark, drop_tombstones_below=F.col("seq") < 0)
+    sink.close()
+    plain.close()
 
 
 def test_stateful_no_unused_stringtype():
