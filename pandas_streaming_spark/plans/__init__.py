@@ -112,11 +112,19 @@ def broadcastable_smj_joins(
         raw = df.sparkSession.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
         )
-        m = re.fullmatch(r"(-?\d+)\s*([kKmMgG]?)[bB]?", raw.strip())
-        mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[
-            (m.group(2) or "").lower()
-        ]
-        threshold_bytes = int(m.group(1)) * mult
+        m = re.fullmatch(r"(-?\d+)\s*([kKmMgGtTpP]?)[bB]?", raw.strip())
+        if m is None:  # unparseable conf string: audit at Spark's default
+            threshold_bytes = 10 << 20
+        else:
+            mult = {
+                "": 1,
+                "k": 1 << 10,
+                "m": 1 << 20,
+                "g": 1 << 30,
+                "t": 1 << 40,
+                "p": 1 << 50,
+            }[(m.group(2) or "").lower()]
+            threshold_bytes = int(m.group(1)) * mult
         if threshold_bytes < 0:  # broadcast disabled: audit at the default
             threshold_bytes = 10 << 20
 
@@ -142,8 +150,15 @@ def broadcastable_smj_joins(
         return None
 
     hits: list[str] = []
+    skipped = 0
 
     def walk(node) -> None:
+        # ADVICE r14: exception scope covers ONLY the node inspection —
+        # a py4j hiccup on one exotic node must not silently prune its
+        # whole subtree (an audit that returns clean on a plan it never
+        # fully walked is worse than one that crashes). Skips are
+        # counted and surfaced so a degraded walk is visible.
+        nonlocal skipped
         try:
             if node.getClass().getSimpleName() == "SortMergeJoinExec":
                 jt = node.joinType().toString()
@@ -167,12 +182,24 @@ def broadcastable_smj_joins(
                         f"{sz}B fits the {threshold_bytes}B broadcast "
                         "threshold"
                     )
-            for i in range(node.children().size()):
-                walk(node.children().apply(i))
-        except Exception:  # py4j surprises on exotic nodes: skip, not crash
+        except Exception:  # py4j surprise on this node only: count + go on
+            skipped += 1
+        try:
+            n = node.children().size()
+        except Exception:
+            skipped += 1
             return
+        for i in range(n):
+            try:
+                child = node.children().apply(i)
+            except Exception:
+                skipped += 1
+                continue
+            walk(child)
 
     walk(df._jdf.queryExecution().sparkPlan())
+    if skipped:
+        hits.append(f"[audit degraded: {skipped} plan node(s) skipped]")
     return sorted(set(hits))
 
 

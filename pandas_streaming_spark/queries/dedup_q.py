@@ -837,6 +837,16 @@ def verified_pairs(
             if now - os.path.getmtime(full) < 1800:
                 continue
             shutil.rmtree(full, ignore_errors=True)
+    # ADVICE r14: reading an artifact never bumps the dir mtime by
+    # itself, so the 30-minute GC guard above only protected WRITERS —
+    # a session holding a lazy DataFrame over a valid-but-hours-old tag
+    # outside the newest-8 could still lose its parquet mid-plan.
+    # Touch the dir on EVERY read/tag-hit so "recently read" and
+    # "recently written" are the same thing to the guard.
+    try:
+        os.utime(base)
+    except OSError:
+        pass
     try:
         return sink.read(spark).select("id_a", "id_b", "jac_e4")
     except ValueError:

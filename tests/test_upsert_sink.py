@@ -254,40 +254,41 @@ def test_upsert_compact_preserves_snapshot_and_history(spark):
     sink.close()
 
 
-def test_upsert_crash_between_manifest_and_head(spark):
-    """The documented crash-safety claim of the commit protocol: a crash
-    AFTER writing the per-version manifest but BEFORE advancing _HEAD
-    leaves an orphan manifest that readers never see; the next batch
-    commits on top of the old HEAD (skipping the orphan version id is
-    fine — ids need not be dense to readers, which only follow HEAD and
-    the manifests HEAD-lineage references), and vacuum reclaims the
-    orphan."""
+def test_upsert_crash_between_manifest_and_head_heals_forward(spark):
+    """Crash-safety under the r15 optimistic-concurrency protocol: the
+    COMMIT POINT is the exclusive creation of the per-version manifest
+    (the local-fs conditional put), so a crash after the manifest link
+    but before the _HEAD write leaves a COMMITTED version with a stale
+    pointer. ``_read_head`` must heal the pointer FORWARD to the newest
+    manifest — under the old os.replace protocol the orphan was
+     'harmless garbage', but under conditional commits an unhealed
+    orphan would block its version number forever (every later commit
+    of vN would lose the create race against a ghost)."""
+    import json as _json
     import os as _os
 
     sink = KeyedUpsertSink(_fresh_dir("upsert-crash"), ["k"], ["seq"], num_buckets=1)
     sink(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"), 0)
-    head_before = sink._read_head()
+    head_v1 = dict(sink._read_head())
 
-    # simulate the crash: run the merge machinery by hand — write a
-    # manifest for version 2 without touching HEAD
-    orphan_path = sink._manifest_path(head_before["version"] + 1)
-    _os.makedirs(_os.path.dirname(orphan_path), exist_ok=True)
-    import json as _json
-
-    with open(orphan_path, "w") as f:
-        _json.dump(
-            {"version": 2, "batch_id": 1, "manifest": {"0": "/nonexistent"}}, f
-        )
-
-    # reader state: HEAD still points at v1 and reads fine
-    assert sink._read_head() == head_before
-    assert {r["v"] for r in sink.read(spark).collect()} == {"a"}
-
-    # next real batch: commits over the orphan (same version id is
-    # OVERWRITTEN by the manifest write — os.replace — so lineage stays
-    # consistent with HEAD)
+    # commit batch 1 for real, then simulate the crash by rolling _HEAD
+    # back to v1 by hand (manifest v2 exists, pointer says v1)
     sink(spark.createDataFrame([(1, 2, "b")], "k long, seq long, v string"), 1)
+    with open(sink._head_path, "w") as f:
+        _json.dump(head_v1, f)
+
+    # healing: the head rolls forward to the committed manifest, the
+    # fence comes from the manifest record, and reads serve v2
+    healed = sink._read_head()
+    assert healed["version"] == 2
+    assert healed["batch_ids"] == {"default": 1}
     assert {r["v"] for r in sink.read(spark).collect()} == {"b"}
+    # the healed fence still skips a re-delivery of batch 1
+    sink(spark.createDataFrame([(1, 9, "dup")], "k long, seq long, v string"), 1)
+    assert sink._read_head()["version"] == 2
+    # and the next real batch commits v3 on top, no version blocked
+    sink(spark.createDataFrame([(1, 3, "c")], "k long, seq long, v string"), 2)
+    assert {r["v"] for r in sink.read(spark).collect()} == {"c"}
     assert sink.read(spark, version=1).collect()[0]["v"] == "a"
     sink.close()
 
