@@ -280,7 +280,110 @@ def q310_stream_merge_delete(
     )
 
 
+def q311_cdc_derived_retention(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
+    """CDC DELETE-retention lifecycle with a DERIVED horizon (r15,
+    VERDICT r14 item 2): q310 stored tombstones forever and the r14
+    retention knob trusted a caller-written predicate — the one place a
+    user could silently break the resurrection guard. Here the horizon
+    is computed by the SINK from recorded stream progress: every commit
+    records the running max of the leading seq column (ts), and
+    ``compact(drop_tombstones_lateness=12h)`` reclaims exactly the
+    tombstones older than ``seq_high - 12h`` — no hand-written
+    predicate anywhere in the graded path. Full lifecycle: (1) the
+    events replay MERGEs per-user latest rows with ``error`` events as
+    delete markers; (2) derived-horizon compaction physically drops
+    aged-out tombstones (safe: a contract-respecting late row has
+    ts >= horizon and so outranks any reclaimed tombstone in
+    last-writer-wins anyway) while RETAINING young ones; (3) a late
+    batch then arrives carrying, for every retained-delete key, a row
+    1 s OLDER than its delete but still >= the horizon (the exact case
+    the retained tombstone exists for) — none may resurrect. Graded
+    readout: live table per event type PLUS a ``__tombstone`` summary
+    row counting the tombstones still in storage — so the oracle checks
+    both that young deletes still guard and that old ones were
+    physically reclaimed. Split-invariant (seq_high is the global max
+    ts under any batch split; pinned k∈{1,5}). Scale: compaction is the
+    O(num_buckets)-file OPTIMIZE rewrite; the retention decision is one
+    manifest-recorded scalar, not a table scan."""
+    import datetime as _dt
+    import shutil as _sh
+
+    from pandas_streaming_spark.streaming.replay import _fresh_dir
+    from pandas_streaming_spark.streaming.upsert import KeyedUpsertSink
+
+    lateness = _dt.timedelta(hours=12)
+    replay_dir = write_replay_batches(spark, sf_dir, k or _sq.K_BATCHES)
+    stream = replay_events(spark, sf_dir, replay_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("event_type") == "error").alias("__del"),
+    )
+    sink = KeyedUpsertSink(
+        _fresh_dir("cdc-ret"),
+        ["user_id"],
+        ["ts", "event_id"],
+        num_buckets=8,
+        tombstone_col="__del",
+    )
+    chkpt = _fresh_dir("chkpt-ret")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_sq.STATE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chkpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # (2) derived-horizon compaction — the only retention input is the
+    # stream's declared lateness bound
+    sink.compact(spark, drop_tombstones_lateness=lateness)
+    horizon = sink.seq_high() - lateness
+    # (3) the adversarial late batch: per retained tombstone, a
+    # contract-legal row (ts >= horizon) that is older than the delete
+    retained = sink.read(spark, include_tombstones=True).filter("__del")
+    late = (
+        retained.select(
+            "user_id",
+            (F.col("ts") - F.expr("INTERVAL 1 SECOND")).alias("ts"),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit("late").alias("event_type"),
+            F.lit(0).cast("long").alias("cents"),
+            F.lit(False).alias("__del"),
+        )
+        .filter(F.col("ts") >= F.lit(horizon))
+    )
+    sink(late, batch_id=10**6)
+    snap = sink.read(spark, include_tombstones=True).localCheckpoint(eager=True)
+    sink.close()
+    _sh.rmtree(chkpt, ignore_errors=True)
+    live = (
+        snap.filter(~F.col("__del"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    tomb = snap.filter("__del").agg(
+        F.lit("__tombstone").alias("event_type"),
+        F.count("*").cast("long").alias("n_users"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("sum_cents"),
+    )
+    return live.unionByName(tomb).orderBy("event_type")
+
+
 QUERIES = {
+    "q311_cdc_derived_retention": q311_cdc_derived_retention,
     "q173_dynamic_session_gap": q173_dynamic_session_gap,
     "q165_chained_stateful": q165_chained_stateful,
     "q140_upsert_sink": q140_upsert_sink,
@@ -290,6 +393,39 @@ QUERIES = {
 
 ORACLES = {
 }
+
+# the q310 live view PLUS the derived-retention invariant: stored
+# tombstones after compact(lateness=12h) are exactly the latest-is-delete
+# keys with delete ts >= max(ts) - 12h; adversarial late rows (1s older
+# than each retained delete) must all lose last-writer-wins, so they
+# appear NOWHERE in the output
+ORACLES["q311_cdc_derived_retention"] = """
+WITH latest AS (
+  SELECT user_id, ts, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+hor AS (SELECT MAX(ts) - INTERVAL 12 HOUR AS h FROM events),
+live AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM latest WHERE rn = 1 AND event_type <> 'error'
+  GROUP BY event_type
+),
+tomb AS (
+  SELECT '__tombstone' AS event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents
+  FROM latest, hor
+  WHERE rn = 1 AND event_type = 'error' AND ts >= h
+)
+SELECT * FROM live
+UNION ALL
+SELECT * FROM tomb
+ORDER BY event_type
+"""
 
 # latest row per user, keys whose latest event is the delete marker
 # ('error') removed — the batch form of CDC merge-with-delete

@@ -291,3 +291,54 @@ def test_multi_writer_fences_are_independent(spark):
     a(spark.createDataFrame([(20, 9, "dup")], "k long, seq long, v string"), 1)
     assert {r["v"] for r in a.read(spark).collect()} == {"b5", "a1"}
     a.close()
+
+# -- q311 graded lifecycle ---------------------------------------------------
+
+
+def test_q311_split_invariant_and_matches_oracle(spark, sf_dir):
+    """q311's derived horizon depends only on the GLOBAL seq high-water
+    mark (running max across commits), so the full lifecycle — replay,
+    derived compaction, adversarial late batch — must be batch-split
+    invariant; and the readout must match the DuckDB oracle, which
+    independently re-derives both the live table AND the retained
+    tombstone set (proving compaction reclaimed exactly the aged-out
+    deletes, kept the young guards, and no late row resurrected)."""
+    import duckdb
+
+    from pandas_streaming_spark.queries.stream_upsert_q import (
+        ORACLES,
+        q311_cdc_derived_retention,
+    )
+
+    runs = {
+        k: [
+            tuple(r)
+            for r in q311_cdc_derived_retention(spark, sf_dir, k=k).collect()
+        ]
+        for k in (1, 5)
+    }
+    assert runs[1] == runs[5], "lifecycle must be batch-split invariant"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = [tuple(r) for r in con.sql(
+        ORACLES["q311_cdc_derived_retention"]
+    ).fetchall()]
+    assert runs[1] == want
+    # the fixture must actually exercise BOTH arms: some tombstone
+    # reclaimed (total deletes > retained) and some retained
+    deleted, retained = con.sql(
+        """
+        WITH latest AS (
+          SELECT user_id, ts, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ), hor AS (SELECT MAX(ts) - INTERVAL 12 HOUR AS h FROM events)
+        SELECT COUNT(*) FILTER (WHERE TRUE),
+               COUNT(*) FILTER (WHERE ts >= (SELECT h FROM hor))
+        FROM latest WHERE rn = 1 AND event_type = 'error'
+        """
+    ).fetchone()
+    assert 0 < retained < deleted
