@@ -1050,7 +1050,85 @@ def q309_incremental_neardup_merge(
     return snap
 
 
+def q312_capped_incremental_neardup(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """CAP-AWARE incremental near-dup MERGE (r15, VERDICT r14 item 1 —
+    the flagship stack's last scale exposure): q309's incremental path
+    required the UNCAPPED kernel, whose bucket depth grows with
+    duplication density (the densified 10x probe was superlinear), so
+    degenerate corpora had to ride a DIFFERENT kernel with no graded
+    bridge. This entry closes the gap with the CAPPED kernel on both
+    sides: per bucket only the ``cap``=2 smallest ids are CLAIMANTS and
+    a pair needs its smaller endpoint claimed (q308's min-id bucket
+    claim, generalized) — probe cost O(cap) per band row, pair mass
+    O(cap x bucket depth), both degenerate-corpus-safe, and the kernel
+    stays a pure SET function so incremental == from-scratch exactly.
+
+    Machinery (operators/dedup.CappedLshIndex): four MERGE tables —
+    full membership (insert-only, read only on claimant entry), the
+    claimant sets and the per-bucket candidate pairs BOTH maintained by
+    r14's MERGE WITH DELETE (a shard doc with a smaller id DETHRONES a
+    stored claimant: its claim row and exactly its pairs-via-that-
+    bucket are tombstoned, while the same pair stays live through other
+    buckets), and a once-ever exact-Jaccard score table (delta-sized
+    verify, shingles scoped to never-scored endpoints). Corpus
+    (doc_id % 5 != 0) ingests as step 0; the shard (doc_id % 5 == 0)
+    replays in k doc_id-ordered micro-batches through the SAME ingest.
+    Graded output: the final live-pair snapshot at jac >= 0.8, which
+    must equal the from-scratch capped batch chain over ALL documents
+    (semilattice identity pinned in tests; split-invariant k∈{1,3,5};
+    dethroning provably exercised — ~20 corpus claimants fall at
+    sf0.001). Scale: every per-shard term is bounded by shard size or
+    cap, never by corpus bucket depth — the capped 10x densified probe
+    (scripts/probe_cap10x.py) is the measured receipt."""
+    import shutil as _sh
+
+    from pandas_streaming_spark.operators.dedup import CappedLshIndex
+    from pandas_streaming_spark.streaming.replay import (
+        _fresh_dir,
+        replay_docs,
+        write_doc_replay_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = CappedLshIndex(_fresh_dir("capidx"), cap=2, n_hashes=8, bands=4, k=3)
+    chkpt = _fresh_dir("chkpt-cap")
+    try:
+        idx.ingest(corpus, step=0, docs_lookup=docs)
+        replay_dir = write_doc_replay_batches(
+            spark, sf_dir, k, where="doc_id % 5 = 0"
+        )
+        stream = replay_docs(spark, sf_dir, replay_dir)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+        try:
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda b, bid: idx.ingest(b, step=bid + 1, docs_lookup=docs)
+                )
+                .option("checkpointLocation", chkpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        snap = (
+            idx.pairs(spark, 8000)
+            .orderBy("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        idx.close()
+        _sh.rmtree(chkpt, ignore_errors=True)
+    return snap
+
+
 QUERIES = {
+    "q312_capped_incremental_neardup": q312_capped_incremental_neardup,
     "q309_incremental_neardup_merge": q309_incremental_neardup_merge,
     "q308_stream_neardup_dedup": q308_stream_neardup_dedup,
     "q303_stream_ingest_curation": q303_stream_ingest_curation,
@@ -1076,6 +1154,60 @@ QUERIES = {
 }
 
 ORACLES = {
+    # from-scratch CAPPED recompute: pair (a, b) is a candidate iff some
+    # bucket holds both AND a is among that bucket's 2 smallest ids
+    # (rk <= 2 claimants); then the exact 3-shingle Jaccard >= 0.8 —
+    # the incremental MERGE's final live-pair snapshot must equal this
+    # under any shard split
+    "q312_capped_incremental_neardup": """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id, s,
+         MIN(CAST(CONCAT('0x', SUBSTR(MD5(sh), 1, 7)) AS BIGINT)
+             + s * CAST(CONCAT('0x', SUBSTR(MD5(sh), 8, 7)) AS BIGINT)) AS mh
+  FROM sh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS s)
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, s // 2 AS band, MD5(STRING_AGG(mh, '|' ORDER BY s)) AS bh
+  FROM sig GROUP BY doc_id, s // 2
+),
+cl AS (
+  SELECT doc_id, band, bh,
+         ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rk
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cl a
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  WHERE a.rk <= 2
+),
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS c
+  FROM cand c
+  JOIN shd a ON a.doc_id = c.id_a
+  JOIN shd b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(ROUND(10000.0 * c / (na.n + nb.n - c), 0) AS BIGINT) AS jac_e4
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE ROUND(10000.0 * c / (na.n + nb.n - c), 0) >= 8000
+ORDER BY id_a, id_b
+""",
     # finite replay => streaming bucket-claim final state must equal the
     # batch answer: 3-shingles -> KM minhash (h1 + s*h2 over two 28-bit
     # md5 halves, the llm.py _MINHASH_SIG chain) -> 4x2 banding ->

@@ -342,3 +342,179 @@ def test_q311_split_invariant_and_matches_oracle(spark, sf_dir):
         """
     ).fetchone()
     assert 0 < retained < deleted
+
+# -- capped incremental near-dup (VERDICT r14 item 1) ------------------------
+
+
+def test_capped_claimants_semilattice_identity(spark, sf_dir):
+    """The identity that makes the capped kernel incrementally exact
+    (the r15 analogue of r14's uncapped-union identity): top-cap-by-min
+    is a semilattice, so maintaining ONLY the claimant set absorbs any
+    base/delta split — topcap(topcap(base) ∪ delta) == topcap(base ∪
+    delta), verified literally on the documents band table."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.dedup import (
+        banded_table,
+        capped_claimants,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = banded_table(docs, n_hashes=8, bands=4, k=3).localCheckpoint()
+    base = bands.filter("doc_id % 5 != 0")
+    delta = bands.filter("doc_id % 5 = 0")
+
+    def rows(df):
+        return {
+            (r["band"], r["band_hash"], r["doc_id"]) for r in df.collect()
+        }
+
+    whole = rows(capped_claimants(bands, 2))
+    stepwise = rows(
+        capped_claimants(capped_claimants(base, 2).unionByName(delta), 2)
+    )
+    assert whole == stepwise and whole
+
+
+def test_capped_index_incremental_equals_batch_and_dethrones(spark, sf_dir):
+    """End-to-end set identity for the CappedLshIndex: after ingesting
+    corpus then shard, (a) live claimants == the from-scratch capped
+    claimant set, (b) live per-bucket candidates == the from-scratch
+    capped kernel's per-bucket pairs (the STRONG form — bucket-level,
+    before cross-band dedup), and (c) dethroning was actually
+    EXERCISED: both the claims table and the candidate table carry
+    tombstones (the r14 MERGE WITH DELETE machinery doing the
+    retraction work)."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.dedup import (
+        CappedLshIndex,
+        banded_table,
+        capped_claimants,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = CappedLshIndex(_fresh_dir("capidx-unit"), cap=2)
+    try:
+        idx.ingest(docs.filter("doc_id % 5 != 0"), 0, docs_lookup=docs)
+        idx.ingest(docs.filter("doc_id % 5 = 0"), 1, docs_lookup=docs)
+
+        bands = banded_table(docs, n_hashes=8, bands=4, k=3).localCheckpoint()
+        cl = capped_claimants(bands, 2)
+        want_claims = {
+            (r["band"], r["band_hash"], r["doc_id"]) for r in cl.collect()
+        }
+        got_claims = {
+            (r["band"], r["band_hash"], r["doc_id"])
+            for r in idx.claims.read(spark).collect()
+        }
+        assert got_claims == want_claims
+
+        want_bucket_pairs = {
+            (r["band"], r["band_hash"], r["id_a"], r["id_b"])
+            for r in cl.alias("c")
+            .join(bands.alias("m"), ["band", "band_hash"])
+            .filter(F.col("c.doc_id") < F.col("m.doc_id"))
+            .select(
+                "band",
+                "band_hash",
+                F.col("c.doc_id").alias("id_a"),
+                F.col("m.doc_id").alias("id_b"),
+            )
+            .collect()
+        }
+        got_bucket_pairs = {
+            (r["band"], r["band_hash"], r["id_a"], r["id_b"])
+            for r in idx.cands.read(spark).collect()
+        }
+        assert got_bucket_pairs == want_bucket_pairs
+
+        deth = (
+            idx.claims.read(spark, include_tombstones=True)
+            .filter("__del")
+            .count()
+        )
+        assert deth > 0, "fixture must exercise dethroning"
+    finally:
+        idx.close()
+
+
+def test_capped_index_dethroning_retracts_pairs(spark):
+    """Deterministic retraction fixture: a bucket whose two corpus
+    claimants (ids 10, 20 — identical text, so all four bands collide)
+    are BOTH dethroned by smaller shard ids (1, 2). The stored pair
+    (10, 20) must be tombstoned (from-scratch capped excludes it: 10 is
+    no longer a claimant), the entrants must backfill pairs against the
+    pre-batch members, and the final live set must equal the
+    from-scratch capped kernel."""
+    from pandas_streaming_spark.operators.dedup import (
+        CappedLshIndex,
+        capped_candidate_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    mk = lambda ids: spark.createDataFrame(  # noqa: E731
+        [(i, text) for i in ids], "doc_id long, text string"
+    )
+    all_docs = mk([1, 2, 10, 20])
+    idx = CappedLshIndex(_fresh_dir("capidx-retract"), cap=2)
+    try:
+        idx.ingest(mk([10, 20]), 0, docs_lookup=all_docs)
+        live0 = {
+            (r["id_a"], r["id_b"])
+            for r in idx.cands.read(spark).select("id_a", "id_b").collect()
+        }
+        assert live0 == {(10, 20)}
+        idx.ingest(mk([1, 2]), 1, docs_lookup=all_docs)
+        live = {
+            (r["id_a"], r["id_b"])
+            for r in idx.cands.read(spark).select("id_a", "id_b").collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in capped_candidate_pairs(all_docs, cap=2).collect()
+        }
+        assert live == want == {(1, 2), (1, 10), (1, 20), (2, 10), (2, 20)}
+        dead = {
+            (r["id_a"], r["id_b"])
+            for r in idx.cands.read(spark, include_tombstones=True)
+            .filter("__del")
+            .select("id_a", "id_b")
+            .collect()
+        }
+        assert dead == {(10, 20)}, "the dethroned claimant's pair retracted"
+        # identical docs: every surviving pair verifies at jaccard 1.0
+        got = {
+            (r["id_a"], r["id_b"], r["jac_e4"])
+            for r in idx.pairs(spark, 8000).collect()
+        }
+        assert got == {(a, b, 10000) for (a, b) in want}
+    finally:
+        idx.close()
+
+
+@pytest.mark.parametrize("k", [1, 5])
+def test_q312_split_invariant_vs_oracle(spark, sf_dir, k):
+    """q312's final pair snapshot equals the from-scratch CAPPED batch
+    chain (DuckDB oracle) under shard splits k∈{1,5} (k=3 is the graded
+    default)."""
+    import duckdb
+
+    from pandas_streaming_spark.queries.streaming_q import (
+        ORACLES,
+        q312_capped_incremental_neardup,
+    )
+
+    got = [
+        tuple(r)
+        for r in q312_capped_incremental_neardup(spark, sf_dir, k=k).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = [
+        tuple(r)
+        for r in con.sql(
+            ORACLES["q312_capped_incremental_neardup"]
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
