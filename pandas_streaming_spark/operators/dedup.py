@@ -950,12 +950,21 @@ class CappedLshIndex:
             ).cast("long").alias("jac_e4"),
         )
         # candidates sharing NO shingle produce no verify row: store an
-        # explicit 0 so they are never re-verified
-        scored = unscored.join(jac, ["id_a", "id_b"], "left").select(
-            "id_a",
-            "id_b",
-            F.coalesce("jac_e4", F.lit(0)).cast("long").alias("jac_e4"),
-            s.alias("__step"),
+        # explicit 0 so they are never re-verified. The repartition cuts
+        # the verify lineage at a clean shuffle boundary: the sink's
+        # localCheckpoint otherwise trips Spark's RDD-zip partition
+        # mismatch on this join-of-checkpointed-frames shape (observed
+        # at the 10x densified probe: 'Can't zip RDDs with unequal
+        # numbers of partitions').
+        scored = (
+            unscored.join(jac, ["id_a", "id_b"], "left")
+            .select(
+                "id_a",
+                "id_b",
+                F.coalesce("jac_e4", F.lit(0)).cast("long").alias("jac_e4"),
+                s.alias("__step"),
+            )
+            .repartition("id_a", "id_b")
         )
         self.scores(scored, batch_id=step)
 
