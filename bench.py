@@ -94,6 +94,35 @@ def _pretouch_parquet(dirs: "list[str]") -> dict:
     }
 
 
+def _evict_parquet(dirs: "list[str]") -> dict:
+    """Drop every parquet file under the given directories from the page
+    cache (``posix_fadvise(DONTNEED)`` — clean read-only pages, so the
+    kernel honors it without root). The cold-grid protocol's other half
+    (VERDICT r14 item 4): r14 proved warmth with the pretouch probe and
+    demonstrated eviction once; r15 records a full COLD grid pass per
+    round, and this is what makes each cold cell genuinely cache-cold
+    rather than first-touch-of-the-session."""
+    t0 = time.perf_counter()
+    files = 0
+    for d in dirs:
+        if not d or not os.path.isdir(d):
+            continue
+        for base, _sub, names in os.walk(d):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                try:
+                    fd = os.open(os.path.join(base, n), os.O_RDONLY)
+                    try:
+                        os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+                    finally:
+                        os.close(fd)
+                    files += 1
+                except OSError:
+                    continue
+    return {"files": files, "sec": round(time.perf_counter() - t0, 2)}
+
+
 def _machine_busy_jiffies() -> int:
     """Total busy CPU jiffies across all cores (/proc/stat first line,
     everything except idle + iowait)."""
@@ -650,7 +679,11 @@ def main() -> None:
     if factor100 > 1:
         try:
             from pandas_streaming_spark.datagen import scale_dataset
-            from pandas_streaming_spark.plans import has_pushed_filter, physical_plan
+            from pandas_streaming_spark.plans import (
+                broadcastable_smj_joins as _bsmj,
+                has_pushed_filter,
+                physical_plan,
+            )
             from pandas_streaming_spark.streaming.replay import SCRATCH
 
             dir100 = os.path.join(
@@ -722,6 +755,45 @@ def main() -> None:
                 spark._jvm.System.gc()
             except Exception:
                 pass
+            # r15 (VERDICT r14 item 4): one FULL cold-grid pass per
+            # round, recorded next to the warm medians so the warm/cold
+            # ratio is a tracked number instead of a one-off
+            # demonstration. Each cell is genuinely cache-cold: the
+            # grid's files are fadvise-evicted BEFORE EVERY query (a
+            # single up-front eviction would leave later cells riding
+            # the cache the earlier ones re-warmed). Runs before the
+            # pretouch, whose gb/sec stats then double as proof the
+            # eviction stuck (multi-GB re-read at disk bandwidth).
+            cold_budget = float(
+                os.environ.get("SPARK_GRAFT_SCALE100_COLD_BUDGET", "240")
+            )
+            cold_times: dict[str, float] = {}
+            cold_skipped: list[str] = []
+            t_cold = time.perf_counter()
+            evict_sec = 0.0
+            evict_files = 0
+            for name in HEADLINE:
+                if time.perf_counter() - t_cold > cold_budget:
+                    cold_skipped.append(name)  # no silent caps
+                    continue
+                ev = _evict_parquet(touch_dirs)
+                evict_sec += ev["sec"]
+                evict_files = ev["files"]
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                _mat(QUERIES[name](spark, dir100))
+                cold_times[name] = round(time.perf_counter() - t0, 4)
+            cold_grid = {
+                "queries": cold_times,
+                "value": round(sum(cold_times.values()), 4),
+                "skipped_on_budget": cold_skipped,
+                "evict": {"files": evict_files, "total_sec": round(evict_sec, 2)},
+                "protocol": (
+                    "per-query fadvise(DONTNEED) eviction of every grid "
+                    "parquet + clearCache, then one timed run — each cell "
+                    "cache-cold; plans identical to the warm grid"
+                ),
+            }
             pretouch = _pretouch_parquet(touch_dirs)
             t_section = time.perf_counter()  # budget covers the query loop only
             # WARM median-of-3 for the top-cost quartile (VERDICT r8
@@ -808,6 +880,15 @@ def main() -> None:
                             QUERIES["q240_semdedup_scaled"](spark, dir100)
                         )
                     ),
+                    # r15 (VERDICT r14 item 6): the broadcastable-SMJ
+                    # detector's clean verdict rides the driver record —
+                    # no headline plan at 100x runs a SortMergeJoin whose
+                    # buildable side Catalyst itself estimates under the
+                    # broadcast threshold (the registry-wide audit runs
+                    # in certification; this pins the graded grid)
+                    "smj_headline_clean": all(
+                        not _bsmj(QUERIES[n](spark, dir100)) for n in HEADLINE
+                    ),
                 }
             result["scaled100"] = {
                 "factor": factor100,
@@ -823,11 +904,22 @@ def main() -> None:
                 },
                 "invariants": inv,
                 "pretouch": pretouch,
+                "cold_grid": dict(
+                    cold_grid,
+                    cold_over_warm=round(
+                        cold_grid["value"] / max(sum(times100.values()), 1e-9),
+                        2,
+                    )
+                    if times100 and not cold_grid["skipped_on_budget"]
+                    else None,
+                ),
                 "protocol": (
                     "page-cache pre-touched (see pretouch; r14) then "
                     "WARM median-of-3 for top-cost quartile (spread's "
                     "'cold' = first run: codegen/listing-cold, NOT "
-                    "cache-cold), single-run otherwise"
+                    "cache-cold), single-run otherwise; cold_grid (r15) "
+                    "= one per-query fadvise-evicted pass recorded "
+                    "alongside"
                 ),
             }
 
@@ -1031,6 +1123,7 @@ def compact_line(result: dict, times: dict, detail_name: str | None) -> str:
             "events_per_sec_catchup"
         ),
         "scaled100_value": s100.get("value"),
+        "scaled100_cold": (s100.get("cold_grid") or {}).get("value"),
         "q04_bucketed_sec": s100.get("bucketed", {}).get("q04_default_bucketed_sec"),
         "quiet_load": result.get("load_gate", {}).get("quiet"),
         "detail": detail_name,
