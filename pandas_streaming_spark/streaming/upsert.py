@@ -44,6 +44,12 @@ O(table) per micro-batch and dies at scale:
   drop_tombstones_lateness=L)`` reclaims tombstones below the
   ``seq_high - L`` horizon with no caller-written predicate — the safe
   horizon is computed from recorded stream progress.
+* **Cross-table transactions** (r15): a group of sinks under one
+  ``SinkTransactionLog`` (streaming/txn.py) commits ATOMICALLY — data
+  staged per table, one conditional-put transaction record as the
+  commit point, promotion as idempotent crash redo. Member tables are
+  ``tx_managed`` (persisted in ``_TABLE``): direct merge/compact on
+  any handle raises, keeping version allocation serialized by the log.
 
 At 100 TB: buckets shard across executors (each bucket merge is an
 independent task set), num_buckets sizes to ~state/128MB, and the
@@ -98,6 +104,7 @@ class KeyedUpsertSink:
         tombstone_col: str | None = None,
         writer_id: str = "default",
         commit_retries: int = 0,
+        tx_managed: bool = False,
     ) -> None:
         if not key_cols or not seq_cols:
             raise ValueError("key_cols and seq_cols must be non-empty")
@@ -131,6 +138,14 @@ class KeyedUpsertSink:
         #: them, so a snapshot shows live rows only; ``changes()`` shows
         #: them (a delete IS a change a CDC consumer must see).
         self.tombstone_col = tombstone_col
+        #: Cross-table transaction management (r15, streaming/txn.py):
+        #: a tx-managed table's EVERY version number is allocated by its
+        #: group's transaction log, so a direct merge/compact on the
+        #: bare handle could steal a version an in-flight transaction
+        #: already committed (its promotion would then have to refuse a
+        #: mixed snapshot). Persisted in _TABLE like tombstone_col —
+        #: a property of the table, not of whoever opened it.
+        self._tx_managed = bool(tx_managed)
         os.makedirs(base_dir, exist_ok=True)
         self._load_or_write_table_meta()
 
@@ -165,11 +180,16 @@ class KeyedUpsertSink:
                         "seq_cols": self.seq_cols,
                         "num_buckets": self.num_buckets,
                         "tombstone_col": self.tombstone_col,
+                        "tx_managed": self._tx_managed,
                     },
                     f,
                 )
             os.replace(tmp, self._table_meta_path)
             return
+        # tx management is inherited, never silently shed: a handle that
+        # doesn't know about the group must still be blocked from direct
+        # writes (the whole point of persisting the property).
+        self._tx_managed = bool(stored.get("tx_managed")) or self._tx_managed
         if self.num_buckets is None:
             self.num_buckets = stored.get("num_buckets", 16)
         for prop in ("key_cols", "seq_cols", "num_buckets"):
@@ -195,6 +215,15 @@ class KeyedUpsertSink:
                 f"upsert table at {self.base_dir} stores tombstone_col="
                 f"{stored_ts!r}; re-opening with {self.tombstone_col!r} "
                 "would change which rows count as deletes"
+            )
+
+    def _assert_direct_write_ok(self, op: str) -> None:
+        if self._tx_managed:
+            raise RuntimeError(
+                f"table at {self.base_dir} is transaction-managed: direct "
+                f"{op} would allocate a version number outside the "
+                "transaction log and race its promotions — go through "
+                "SinkTransactionLog (streaming/txn.py)"
             )
 
     # -- commit protocol ---------------------------------------------------
@@ -293,85 +322,102 @@ class KeyedUpsertSink:
             .drop("__rn")
         )
 
+    def _prepare_batch(self, batch_df: DataFrame):
+        """Checkpoint one micro-batch and collect its commit stats.
+
+        localCheckpoint: the batch feeds (a) the stats collect, (b) the
+        merge, and (c) every rebase retry — without it the streaming
+        source re-plans each time. The 1-row agg records the stream-
+        progress high-water mark (r15, VERDICT r14 item 2): the running
+        max of the leading seq column, persisted per commit so compact()
+        can DERIVE the tombstone retention horizon (seq_high - lateness)
+        instead of trusting a caller predicate."""
+        batch = batch_df.withColumn("__bucket", self._bucket())
+        batch = batch.localCheckpoint(eager=True)
+        row = batch.agg(
+            F.max(F.col(self.seq_cols[0])).alias("m"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        batch_high, n_rows = row["m"], row["n"]
+        dirty = (
+            [
+                r["__bucket"]
+                for r in batch.select("__bucket").distinct().collect()
+            ]
+            if n_rows
+            else []
+        )
+        return batch, batch_high, n_rows, dirty
+
+    def _stage_version(
+        self, head: dict, batch, batch_high, n_rows, dirty, batch_id: int
+    ):
+        """STAGE the next version against ``head``: write the dirty-
+        bucket data directories and compute the full manifest record —
+        WITHOUT creating the manifest file, which is the commit point.
+        Returns ``(record, out_dir_or_None)``; the caller either commits
+        the record directly (:meth:`_commit_record`) or embeds it in a
+        cross-table transaction record (streaming/txn.py) whose single
+        conditional put commits every table's record at once."""
+        spark = batch.sparkSession
+        prior = (
+            self._load_manifest_record(head["version"])
+            if head["version"]
+            else {}
+        )
+        current = prior.get("manifest", {})
+        prior_high = _seq_from_json(prior.get("seq_high"))
+        seq_high = batch_high if prior_high is None else (
+            prior_high if batch_high is None else max(prior_high, batch_high)
+        )
+        schema_json = (
+            prior.get("schema") or batch.drop("__bucket").schema.json()
+        )
+        fences = {**head["batch_ids"], self.writer_id: batch_id}
+        version = head["version"] + 1
+        if not n_rows:
+            # empty batch still commits a version (manifest unchanged)
+            # so version N always means "state after the first N
+            # batches" — the contract read(version=...) time travel
+            # relies on.
+            return (
+                self._version_record(version, fences, current, schema_json, seq_high),
+                None,
+            )
+        manifest = dict(current)
+        existing = [manifest[str(b)] for b in dirty if str(b) in manifest]
+        merged = batch
+        if existing:
+            old = spark.read.parquet(*existing).withColumn(
+                "__bucket", self._bucket()
+            )
+            merged = batch.unionByName(old)
+        merged = self._latest_per_key(merged)
+        out_dir = os.path.join(
+            self.base_dir, f"v{version:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        # one directory per dirty bucket (executor-side writes); clean
+        # buckets keep their old immutable directories.
+        merged.write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
+        for b in dirty:
+            manifest[str(b)] = os.path.join(out_dir, f"__bucket={b}")
+        return (
+            self._version_record(version, fences, manifest, schema_json, seq_high),
+            out_dir,
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        batch = None
-        batch_high = n_rows = dirty = None
+        self._assert_direct_write_ok("merge")
+        prepared = None
         for attempt in range(self.commit_retries + 1):
             head = self._read_head()
             if batch_id <= head["batch_ids"].get(self.writer_id, -1):
                 return  # re-delivered batch: already committed, skip
-            if batch is None:
-                spark = batch_df.sparkSession
-                batch = batch_df.withColumn("__bucket", self._bucket())
-                # localCheckpoint: the batch feeds (a) the stats collect,
-                # (b) the merge, and (c) every rebase retry — without it
-                # the streaming source re-plans each time.
-                batch = batch.localCheckpoint(eager=True)
-                # stream-progress record (r15, VERDICT r14 item 2): the
-                # running max of the leading seq column is the table's
-                # high-water mark, persisted per commit so compact() can
-                # DERIVE the tombstone retention horizon (seq_high -
-                # lateness) instead of trusting a caller predicate. One
-                # 1-row agg over the already-checkpointed batch — same
-                # cost class as the dirty-id collect.
-                row = batch.agg(
-                    F.max(F.col(self.seq_cols[0])).alias("m"),
-                    F.count("*").alias("n"),
-                ).collect()[0]
-                batch_high, n_rows = row["m"], row["n"]
-                if n_rows:
-                    dirty = [
-                        r["__bucket"]
-                        for r in batch.select("__bucket").distinct().collect()
-                    ]
-            record = (
-                self._load_manifest_record(head["version"])
-                if head["version"]
-                else {}
-            )
-            current = record.get("manifest", {})
-            prior_high = _seq_from_json(record.get("seq_high"))
-            seq_high = batch_high if prior_high is None else (
-                prior_high if batch_high is None else max(prior_high, batch_high)
-            )
-            schema_json = (
-                record.get("schema") or batch.drop("__bucket").schema.json()
-            )
-            fences = {**head["batch_ids"], self.writer_id: batch_id}
-            if not n_rows:
-                # empty batch still commits a version (manifest
-                # unchanged) so version N always means "state after the
-                # first N batches" — the contract read(version=...) time
-                # travel relies on.
-                try:
-                    self._commit_version(
-                        head, fences, current, schema_json, seq_high
-                    )
-                    return
-                except ConcurrentWriteError:
-                    if attempt == self.commit_retries:
-                        raise
-                    continue
-            manifest = dict(current)
-            existing = [manifest[str(b)] for b in dirty if str(b) in manifest]
-            merged = batch
-            if existing:
-                old = spark.read.parquet(*existing).withColumn(
-                    "__bucket", self._bucket()
-                )
-                merged = batch.unionByName(old)
-            merged = self._latest_per_key(merged)
-            version = head["version"] + 1
-            out_dir = os.path.join(
-                self.base_dir, f"v{version:06d}-{uuid.uuid4().hex[:8]}"
-            )
-            # one directory per dirty bucket (executor-side writes); clean
-            # buckets keep their old immutable directories.
-            merged.write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
-            for b in dirty:
-                manifest[str(b)] = os.path.join(out_dir, f"__bucket={b}")
+            if prepared is None:
+                prepared = self._prepare_batch(batch_df)
+            record, out_dir = self._stage_version(head, *prepared, batch_id)
             try:
-                self._commit_version(head, fences, manifest, schema_json, seq_high)
+                self._commit_record(record)
                 return
             except ConcurrentWriteError:
                 # the loser's data files are unreferenced by any
@@ -379,18 +425,34 @@ class KeyedUpsertSink:
                 # directories no vacuum pass would ever find. A retry
                 # REBASES: fresh head, fresh merge against the winner's
                 # manifest — the checkpointed batch is reused.
-                shutil.rmtree(out_dir, ignore_errors=True)
+                if out_dir:
+                    shutil.rmtree(out_dir, ignore_errors=True)
                 if attempt == self.commit_retries:
                     raise
 
-    def _commit_version(
-        self,
-        head: dict,
+    @staticmethod
+    def _version_record(
+        version: int,
         batch_ids: dict,
         manifest: dict,
         schema_json: str | None = None,
         seq_high=None,
-    ) -> None:
+    ) -> dict:
+        """The full, self-contained content of one committed version's
+        manifest file. ``schema_json`` anchors the table schema so an
+        all-rows-compacted-away table stays readable (ADVICE r14);
+        ``seq_high`` is the stream-progress high-water mark compact()
+        derives retention from."""
+        return {
+            "version": version,
+            "batch_id": max(batch_ids.values(), default=-1),
+            "batch_ids": batch_ids,
+            "manifest": manifest,
+            "schema": schema_json,
+            "seq_high": _seq_to_json(seq_high),
+        }
+
+    def _commit_record(self, record: dict, if_equal_ok: bool = False) -> None:
         """CONDITIONALLY commit one immutable per-version manifest file,
         then advance HEAD — the Iceberg optimistic-concurrency commit
         shape (r15, VERDICT r14 item 3). The commit point is the
@@ -404,30 +466,36 @@ class KeyedUpsertSink:
         HEAD is a lazily-healed cache of "newest manifest" (see
         :meth:`_read_head`), so a crash between the two writes costs
         nothing. Per-commit cost is O(buckets), independent of how many
-        versions exist. ``schema_json`` anchors the table schema so an
-        all-rows-compacted-away table stays readable (ADVICE r14);
-        ``seq_high`` is the stream-progress high-water mark compact()
-        derives retention from."""
-        version = head["version"] + 1
-        legacy_bid = max(batch_ids.values(), default=-1)
+        versions exist.
+
+        ``if_equal_ok`` (r15, streaming/txn.py): PROMOTION mode — a
+        cross-table transaction re-creates manifests embedded in a
+        committed tx record, and two recovery passes may race to promote
+        the same record; an existing file with byte-equal CONTENT is
+        then success (idempotent redo), while different content is
+        corruption (a version number stolen by a write that bypassed
+        the tx log) and raises immediately rather than ever serving
+        mixed snapshots."""
+        version = record["version"]
         mpath = self._manifest_path(version)
         os.makedirs(os.path.dirname(mpath), exist_ok=True)
         tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "batch_id": legacy_bid,
-                    "batch_ids": batch_ids,
-                    "manifest": manifest,
-                    "schema": schema_json,
-                    "seq_high": _seq_to_json(seq_high),
-                },
-                f,
-            )
+            json.dump(record, f)
         try:
             os.link(tmp, mpath)  # conditional put: fails if vN exists
         except FileExistsError:
+            if if_equal_ok:
+                with open(mpath) as f:
+                    existing = json.load(f)
+                if existing == record:
+                    return  # another recovery pass promoted it first
+                raise RuntimeError(
+                    f"manifest v{version} of {self.base_dir} exists with "
+                    "DIFFERENT content than the committed transaction "
+                    "record — a writer bypassed the transaction log; "
+                    "refusing to serve a mixed snapshot"
+                ) from None
             raise ConcurrentWriteError(
                 f"version {version} of {self.base_dir} was committed by "
                 "another writer; this batch was NOT applied — re-read the "
@@ -439,7 +507,11 @@ class KeyedUpsertSink:
             except FileNotFoundError:
                 pass
         self._commit_head(
-            {"version": version, "batch_id": legacy_bid, "batch_ids": batch_ids}
+            {
+                "version": version,
+                "batch_id": record["batch_id"],
+                "batch_ids": record["batch_ids"],
+            }
         )
 
     # -- reads -------------------------------------------------------------
@@ -560,6 +632,34 @@ class KeyedUpsertSink:
         horizon can therefore only ever meet future rows with seq > t,
         all of which beat it in last-writer-wins anyway — its guard
         duty is over. Mutually exclusive with the raw predicate."""
+        self._assert_direct_write_ok("compact")
+        record, out_dir, before, after = self._stage_compact(
+            spark, drop_tombstones_below, drop_tombstones_lateness
+        )
+        if record is None:
+            return (0, 0)
+        try:
+            self._commit_record(record)
+        except ConcurrentWriteError:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
+        return (before, after)
+
+    def _stage_compact(
+        self,
+        spark: SparkSession,
+        drop_tombstones_below: "Column | None" = None,
+        drop_tombstones_lateness=None,
+    ):
+        """The staging half of :meth:`compact`: rewrite the current
+        snapshot into fresh per-bucket directories and compute the
+        maintenance version's record WITHOUT creating the manifest.
+        Returns ``(record, out_dir, files_before, files_after)`` —
+        ``(None, None, 0, 0)`` on an empty table. Committed directly by
+        :meth:`compact` or embedded in a transaction record by the
+        cross-table log (streaming/txn.py), which is how tx-managed
+        tables compact without stealing version numbers from in-flight
+        promotions."""
         import glob as _glob
 
         if drop_tombstones_lateness is not None:
@@ -575,7 +675,7 @@ class KeyedUpsertSink:
 
         head = self._read_head()
         if head["version"] < 1:
-            return (0, 0)
+            return (None, None, 0, 0)
         record = self._load_manifest_record(head["version"])
         manifest = record["manifest"]
 
@@ -621,30 +721,34 @@ class KeyedUpsertSink:
         # high-water mark forward — compaction must not erase either
         # (an all-tombstones-reclaimed table stays readable, and a later
         # derived-horizon compact still knows the stream's progress).
-        try:
-            self._commit_version(
-                head,
-                head["batch_ids"],  # maintenance: ALL writers' fences kept
-                new_manifest,
-                record.get("schema") or snap.schema.json(),
-                _seq_from_json(record.get("seq_high")),
-            )
-        except ConcurrentWriteError:
-            shutil.rmtree(out_dir, ignore_errors=True)
-            raise
-        return (before, _nfiles(new_manifest))
+        staged = self._version_record(
+            version,
+            head["batch_ids"],  # maintenance: ALL writers' fences kept
+            new_manifest,
+            record.get("schema") or snap.schema.json(),
+            _seq_from_json(record.get("seq_high")),
+        )
+        return (staged, out_dir, before, _nfiles(new_manifest))
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(self, keep_last: int = 1, min_age_sec: float = 0.0) -> int:
         """Drop manifests and bucket directories unreferenced by the
         ``keep_last`` most recent versions; returns the number of
         bucket directories removed. The time-travel/storage tradeoff
         Iceberg calls expire_snapshots.
 
-        GC is BUCKET-granular (ADVICE r5 item 3): a version dir whose
-        buckets are only partially referenced by kept manifests gets its
-        dead ``__bucket=N`` subdirs reclaimed individually, then empty
-        version dirs are removed — whole-dir GC left those dead buckets
-        on disk forever."""
+        ``min_age_sec`` (r15): age-based retention — Delta's ``VACUUM
+        ... RETAIN N HOURS`` — protecting SNAPSHOT-ISOLATED READERS
+        from the vacuum race: a reader that pinned ``read(version=V)``
+        holds a lazy plan over V's files, and a concurrent
+        compact-then-vacuum(keep_last=1) would delete them mid-plan.
+        A version whose manifest is younger than the window is never
+        reclaimed regardless of ``keep_last``, so any reader that
+        pinned its snapshot within the window stays whole; operators
+        size the window to their longest query, exactly as they do for
+        Delta/Iceberg retention. Age 0 keeps the old behavior (callers
+        asserting immediate reclamation, e.g. tests)."""
+        import time as _time
+
         if keep_last < 1:
             raise ValueError(
                 f"keep_last must be >= 1 (got {keep_last}): keeping zero "
@@ -652,7 +756,16 @@ class KeyedUpsertSink:
                 "versions[-0:] slice silently kept EVERYTHING instead)"
             )
         versions = self.versions()
-        kept_v, dropped_v = versions[-keep_last:], versions[:-keep_last]
+        dropped_v = versions[:-keep_last]
+        if min_age_sec > 0:
+            now = _time.time()
+            dropped_v = [
+                v
+                for v in dropped_v
+                if now - os.path.getmtime(self._manifest_path(v))
+                >= min_age_sec
+            ]
+        kept_v = [v for v in versions if v not in set(dropped_v)]
         manifests = {v: self._load_manifest(v) for v in versions}
         live = {p for v in kept_v for p in manifests[v].values()}
         all_paths = {p for v in versions for p in manifests[v].values()}

@@ -172,7 +172,9 @@ def test_optimistic_commit_loser_fails_loudly(spark):
     stale_head = a._read_head()  # a's view before b commits
     b(spark.createDataFrame([(2, 1, "b0")], "k long, seq long, v string"), 0)
     with pytest.raises(ConcurrentWriteError):
-        a._commit_version(stale_head, {"a": 99}, {}, None, None)
+        a._commit_record(
+            a._version_record(stale_head["version"] + 1, {"a": 99}, {})
+        )
     # winner's state intact, loser applied nothing
     got = {r["k"]: r["v"] for r in a.read(spark).collect()}
     assert got == {1: "a0", 2: "b0"}
@@ -518,3 +520,233 @@ def test_q312_split_invariant_vs_oracle(spark, sf_dir, k):
         ).fetchall()
     ]
     assert got == want and len(got) > 0
+
+
+# -- cross-table transactions (r15, VERDICT r14 item 8 depth candidate) ------
+
+
+def _txlog():
+    from pandas_streaming_spark.streaming.txn import SinkTransactionLog
+
+    log = SinkTransactionLog(_fresh_dir("txg"))
+    log.table("a", ["k"], ["seq"], 4)
+    log.table("b", ["k"], ["seq"], 4, tombstone_col="__del")
+    return log
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, seq long, v string")
+
+
+def test_tx_atomic_commit_snapshot_and_gate(spark):
+    """One transaction lands BOTH tables or neither; snapshot() pins one
+    consistent cross-table cut; the persisted tx_managed property blocks
+    direct merges/compacts on any handle, including a bare re-open that
+    never heard of the group (the tombstone_col lesson applied to
+    version allocation)."""
+    log = _txlog()
+    try:
+        tx = log.transaction(0)
+        tx.write("a", _kv(spark, [(1, 1, "x")]))
+        tx.write("b", spark.createDataFrame(
+            [(1, 1, False)], "k long, seq long, __del boolean"))
+        assert tx.commit() is True
+        assert log.snapshot() == {"a": 1, "b": 1}
+        assert [r["k"] for r in log.read(spark, "a").collect()] == [1]
+        with pytest.raises(RuntimeError, match="transaction-managed"):
+            log._tables["a"](_kv(spark, [(9, 9, "no")]), 99)
+        with pytest.raises(RuntimeError, match="transaction-managed"):
+            log._tables["a"].compact(spark)
+        bare = KeyedUpsertSink(log._tables["a"].base_dir, ["k"], ["seq"])
+        with pytest.raises(RuntimeError, match="transaction-managed"):
+            bare(_kv(spark, [(8, 8, "no")]), 100)
+    finally:
+        log.close()
+
+
+def test_tx_torn_stage_invisible_and_orphans_reclaimed(spark):
+    """Crash window A — writer dies after staging data but BEFORE the
+    tx record: a fresh open sees the old snapshot on EVERY table and
+    vacuum_orphans reclaims the unreferenced staged directories (the
+    sinks' own vacuum would never find them)."""
+    from pandas_streaming_spark.streaming.txn import SinkTransactionLog
+
+    log = _txlog()
+    try:
+        t0 = log.transaction(0)
+        t0.write("a", _kv(spark, [(1, 1, "x")]))
+        assert t0.commit() is True
+        torn = log.transaction(1)
+        torn.write("a", _kv(spark, [(2, 2, "y")]))
+        torn.stage()  # ...and the writer dies here
+        reopened = SinkTransactionLog(log.root_dir)
+        assert reopened.snapshot()["a"] == 1
+        assert [r["k"] for r in reopened.read(spark, "a").collect()] == [1]
+        assert reopened.vacuum_orphans(grace_sec=0.0) >= 1
+    finally:
+        log.close()
+
+
+def test_tx_crash_after_record_is_redone_and_fenced(spark):
+    """Crash window B — writer dies right AFTER the conditional put of
+    the tx record: recover() on the next open promotes the embedded
+    manifest records (idempotent redo), and re-delivery of the same
+    (writer, batch) is skipped by the GROUP fence — exactly-once across
+    all member tables at once."""
+    from pandas_streaming_spark.streaming.txn import SinkTransactionLog
+
+    log = _txlog()
+    try:
+        tx = log.transaction(0)
+        tx.write("a", _kv(spark, [(1, 1, "x")]))
+        tx.write("b", spark.createDataFrame(
+            [(5, 1, False)], "k long, seq long, __del boolean"))
+        assert tx.commit(_skip_promotion=True) is True  # record durable...
+        # ...manifests absent: a DIRECT read of the sink can't see it yet
+        assert log._tables["a"].versions() == []
+        reopened = SinkTransactionLog(log.root_dir)  # recover() promotes
+        assert [r["k"] for r in reopened.read(spark, "a").collect()] == [1]
+        assert [r["k"] for r in reopened.read(spark, "b").collect()] == [5]
+        redeliver = reopened.transaction(0)
+        redeliver.write("a", _kv(spark, [(9, 9, "dup")]))
+        assert redeliver.commit() is False  # fence: already applied
+        assert [r["k"] for r in reopened.read(spark, "a").collect()] == [1]
+    finally:
+        log.close()
+
+
+def test_tx_conflict_rebases_stale_staging(spark):
+    """Two transactions stage against the same snapshot; the slower one
+    must NOT ride a fresh tx number with a stale version (that would
+    explode at promotion) — commit detects the stale staged record,
+    discards its directories, and re-stages against the winner's
+    promoted heads. Both writers' rows land; without retries the loser
+    raises TxConflictError having applied NOTHING."""
+    from pandas_streaming_spark.streaming.txn import TxConflictError
+
+    log = _txlog()
+    try:
+        txa = log.transaction(0, writer_id="A", commit_retries=2)
+        txa.write("a", _kv(spark, [(1, 1, "a")]))
+        txa.stage()
+        txb = log.transaction(0, writer_id="B")
+        txb.write("a", _kv(spark, [(2, 1, "b")]))
+        assert txb.commit() is True
+        assert txa.commit() is True  # rebase onto B's state
+        got = sorted(r["k"] for r in log.read(spark, "a").collect())
+        assert got == [1, 2]
+        # no-retry loser: nothing applied, loud failure
+        txc = log.transaction(1, writer_id="C")
+        txc.write("a", _kv(spark, [(3, 2, "c")]))
+        txc.stage()
+        txd = log.transaction(1, writer_id="D")
+        txd.write("a", _kv(spark, [(4, 2, "d")]))
+        assert txd.commit() is True
+        with pytest.raises(TxConflictError):
+            txc.commit()
+        got = sorted(r["k"] for r in log.read(spark, "a").collect())
+        assert got == [1, 2, 4]
+    finally:
+        log.close()
+
+
+def test_tx_compact_through_log_keeps_tombstone_guard(spark):
+    """Maintenance goes through the log too (version numbers stay
+    serialized by tx records): compaction with the DERIVED retention
+    horizon works on a tx-managed table and the resurrection guard
+    holds across it."""
+    log = _txlog()
+    try:
+        steps = [
+            [(1, 100, False), (2, 100, False)],
+            [(1, 200, True)],  # delete k=1 at seq 200
+        ]
+        for i, rows in enumerate(steps):
+            tx = log.transaction(i)
+            tx.write("b", spark.createDataFrame(
+                rows, "k long, seq long, __del boolean"))
+            tx.commit()
+        # derived horizon: seq_high=200, lateness=50 -> drop below 150
+        # (keeps the delete tombstone at 200)
+        before, after = log.compact(
+            spark, "b", drop_tombstones_lateness=50
+        )
+        assert after <= before or before == 0
+        # late row OLDER than the retained delete must not resurrect
+        tx = log.transaction(2)
+        tx.write("b", spark.createDataFrame(
+            [(1, 150, False)], "k long, seq long, __del boolean"))
+        tx.commit()
+        live = sorted(r["k"] for r in log.read(spark, "b").collect())
+        assert live == [2]
+    finally:
+        log.close()
+
+
+def test_capped_index_torn_ingest_keeps_identity(spark, sf_dir):
+    """CappedLshIndex end-to-end under both crash windows: a torn-stage
+    shard is invisible and re-ingests as a redo; a committed-unpromoted
+    shard is healed by recover() and its re-delivery fenced — and the
+    final pair set still equals the from-scratch capped recompute over
+    all documents (the q313 lifecycle, asserted here at k=1 against the
+    in-engine batch chain rather than DuckDB)."""
+    from pandas_streaming_spark.operators.dedup import (
+        CappedLshIndex,
+        capped_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+    from pandas_streaming_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    shard = docs.filter("doc_id % 5 = 0")
+    base = _fresh_dir("capidx-torn")
+    idx = CappedLshIndex(base, cap=2)
+    try:
+        idx.ingest(corpus, 0, docs_lookup=docs)
+        idx.ingest(shard, 1, docs_lookup=docs, torn="staged")
+        idx = CappedLshIndex(base, cap=2)  # crash A: nothing visible
+        assert idx.log.vacuum_orphans(grace_sec=0.0) >= 1
+        idx.ingest(shard, 1, docs_lookup=docs)  # redo
+        idx.ingest(shard, 2, docs_lookup=docs, torn="committed")
+        idx = CappedLshIndex(base, cap=2)  # crash B: promoted on open
+        idx.ingest(shard, 2, docs_lookup=docs)  # re-delivery: fenced
+        got = {
+            (r["id_a"], r["id_b"]) for r in idx.pairs(spark, 8000).collect()
+        }
+        cands = capped_candidate_pairs(docs, cap=2)
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                docs, k=3, threshold=0.8, candidates=cands
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        idx.close()
+
+
+def test_vacuum_retention_protects_pinned_readers(spark):
+    """Age-based vacuum retention (r15, Delta's VACUUM RETAIN shape):
+    a reader pins read(version=V) and holds a LAZY plan over V's files;
+    a concurrent compact + vacuum(keep_last=1) used to delete them
+    mid-plan. With min_age_sec covering the reader's window the pinned
+    snapshot stays collectable after maintenance; outside the window
+    (age 0) the files are reclaimed — the documented storage/isolation
+    tradeoff, operator-sized exactly like Delta/Iceberg retention."""
+    sink = KeyedUpsertSink(
+        _fresh_dir("vac-retain"), ["k"], ["seq"], num_buckets=2
+    )
+    sink(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"), 0)
+    pinned = sink.read(spark, version=1)  # lazy: files resolve at collect
+    sink(spark.createDataFrame([(2, 2, "b")], "k long, seq long, v string"), 1)
+    sink.compact(spark)
+    # retention window covers the reader: nothing recent reclaimed
+    assert sink.vacuum(keep_last=1, min_age_sec=3600) == 0
+    assert [r["k"] for r in pinned.collect()] == [1]
+    assert sink.versions() == [1, 2, 3]
+    # outside the window the old snapshots go (and time travel with them)
+    assert sink.vacuum(keep_last=1, min_age_sec=0) > 0
+    assert sink.versions() == [3]
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == [1, 2]
+    sink.close()
