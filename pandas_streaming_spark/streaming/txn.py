@@ -147,7 +147,22 @@ class SinkTransactionLog:
         inherited by the sink's own ``_TABLE`` record; the group file
         only lists membership."""
         if name in self._tables:
-            return self._tables[name]
+            # re-open of a loaded member: conflicting explicit properties
+            # raise (the sink's own _TABLE ethos), matching ones no-op
+            existing = self._tables[name]
+            for prop, want in (
+                ("key_cols", key_cols),
+                ("seq_cols", seq_cols),
+                ("num_buckets", num_buckets),
+                ("tombstone_col", tombstone_col),
+            ):
+                if want is not None and getattr(existing, prop) != want:
+                    raise ValueError(
+                        f"group table {name!r} has {prop}="
+                        f"{getattr(existing, prop)!r}; re-opening with "
+                        f"{want!r} would corrupt the merge"
+                    )
+            return existing
         if key_cols is None or seq_cols is None:
             raise ValueError(
                 f"table {name!r} is not in the group yet: key_cols and "
