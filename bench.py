@@ -794,6 +794,20 @@ def main() -> None:
                     "cache-cold; plans identical to the warm grid"
                 ),
             }
+            # The cold pass itself re-accumulates exactly the session
+            # residue the hygiene block above cleared (14 heavy queries'
+            # cached plans, broadcast refs, worker churn — the r14 q81
+            # masquerade); repeat the hygiene so the WARM grid starts
+            # from the same conditions r14 certified.
+            spark.catalog.clearCache()
+            try:
+                spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+            except Exception:
+                pass
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
             pretouch = _pretouch_parquet(touch_dirs)
             t_section = time.perf_counter()  # budget covers the query loop only
             # WARM median-of-3 for the top-cost quartile (VERDICT r8
