@@ -750,3 +750,80 @@ def test_vacuum_retention_protects_pinned_readers(spark):
     assert sink.versions() == [3]
     assert sorted(r["k"] for r in sink.read(spark).collect()) == [1, 2]
     sink.close()
+
+
+def test_two_process_transactions_no_lost_updates(spark, tmp_path):
+    """TWO PROCESSES run multi-table transactions against one
+    SinkTransactionLog root concurrently (the sink-level two-process
+    writer test lifted to the transaction level): each process commits
+    4 transactions touching BOTH tables with its own writer_id and
+    tx-level rebase retries. Afterwards: tx numbers are contiguous (the
+    conditional tx put can't silently drop a transaction), every
+    snapshot map is internally consistent, both group fences sit at
+    their final batch id, and both writers' rows are fully present in
+    both tables."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "two-writer-tx")
+    # parent creates the group (DDL is single-writer by design)
+    from pandas_streaming_spark.streaming.txn import SinkTransactionLog
+
+    log = SinkTransactionLog(root)
+    log.table("x", ["k"], ["seq"], 4)
+    log.table("y", ["k"], ["seq"], 4)
+    child = tmp_path / "txwriter.py"
+    child.write_text(
+        """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from pandas_streaming_spark.streaming.txn import SinkTransactionLog
+
+root, wid, lo = sys.argv[1], sys.argv[2], int(sys.argv[3])
+spark = (SparkSession.builder.master("local[2]")
+         .appName("pss-txwriter-" + wid)
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+log = SinkTransactionLog(root)
+for i in range(4):
+    tx = log.transaction(i, writer_id=wid, commit_retries=50)
+    for name in ("x", "y"):
+        tx.write(name, spark.createDataFrame(
+            [(lo + j, i, wid + str(i)) for j in range(5)],
+            "k int, seq int, v string",
+        ))
+    assert tx.commit() is True
+print("DONE", wid, flush=True)
+"""
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(child), root, wid, str(lo)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for wid, lo in (("a", 0), ("b", 1000))
+    ]
+    for p in procs:
+        assert p.wait(timeout=300) == 0
+    fresh = SinkTransactionLog(root)
+    head = fresh._read_txhead()
+    assert head["tx"] == 8  # 8 transactions, contiguous, none dropped
+    assert head["batch_ids"] == {"a": 3, "b": 3}
+    for t in range(1, 9):
+        rec = fresh._load_tx(t)
+        # every tx touched both tables and its snapshot pins exactly the
+        # versions it committed
+        assert set(rec["tables"]) == {"x", "y"}
+        assert rec["snapshot"]["x"] == rec["tables"]["x"]["version"]
+        assert rec["snapshot"]["y"] == rec["tables"]["y"]["version"]
+    for name in ("x", "y"):
+        rows = {(r["k"], r["v"]) for r in fresh.read(spark, name).collect()}
+        want = {(j, "a3") for j in range(5)} | {
+            (1000 + j, "b3") for j in range(5)
+        }
+        assert rows == want, f"both writers' final tx rows present in {name}"
+    fresh.close()
