@@ -1011,5 +1011,30 @@ class CappedLshIndex:
             F.col("jac_e4") >= threshold_e4
         ).select("id_a", "id_b", "jac_e4")
 
+    def maintain(
+        self, spark, keep_last: int = 1, min_age_sec: float = 1800.0
+    ) -> dict:
+        """Steady-state maintenance for the ingest loop (the OPTIMIZE +
+        expire_snapshots pass a crawl pipeline schedules between
+        shards): compact every index table THROUGH the transaction log
+        (version numbers stay serialized — a bare compact would race
+        in-flight promotions), then expire old snapshots with age-based
+        retention so concurrent readers pinned within the window stay
+        whole, and reclaim stage-crash orphans. Each micro-batch merge
+        writes its dirty buckets with task parallelism, so un-maintained
+        long streams accumulate O(ingests × parallelism) files;
+        compaction restores O(num_buckets) per table. Claims/cands keep
+        their tombstones (dethroning retractions are permanent facts the
+        snapshot semantics need — no retention predicate applies).
+        Returns {table: (files_before, files_after)} plus
+        ``{"vacuumed": dirs_removed}``."""
+        out: dict = {}
+        for name in ("members", "claims", "cands", "scores"):
+            out[name] = self.log.compact(spark, name)
+        out["vacuumed"] = self.log.vacuum(
+            keep_last=keep_last, min_age_sec=min_age_sec
+        )
+        return out
+
     def close(self) -> None:
         self.log.close()

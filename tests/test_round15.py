@@ -827,3 +827,49 @@ print("DONE", wid, flush=True)
         }
         assert rows == want, f"both writers' final tx rows present in {name}"
     fresh.close()
+
+
+def test_capped_index_maintain_preserves_pairs(spark, sf_dir):
+    """maintain() — compaction through the tx log + age-aware vacuum —
+    leaves the live pair set bit-identical and restores O(num_buckets)
+    files per table, and a SUBSEQUENT ingest (with dethroning) still
+    behaves: the compacted claims/cands tables keep their tombstones,
+    so retraction semantics survive maintenance."""
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.dedup import (
+        CappedLshIndex,
+        capped_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = CappedLshIndex(_fresh_dir("capidx-maint"), cap=2)
+    try:
+        # 3 ingests -> multiple versions and per-merge file fan-out
+        idx.ingest(docs.filter("doc_id % 5 = 1"), 0, docs_lookup=docs)
+        idx.ingest(docs.filter("doc_id % 5 in (2, 3)"), 1, docs_lookup=docs)
+        before = {
+            (r["id_a"], r["id_b"]) for r in idx.pairs(spark, 8000).collect()
+        }
+        stats = idx.maintain(spark, keep_last=1, min_age_sec=0.0)
+        assert stats["members"][1] <= stats["members"][0]
+        after = {
+            (r["id_a"], r["id_b"]) for r in idx.pairs(spark, 8000).collect()
+        }
+        assert after == before, "maintenance changed the live pair set"
+        # post-maintenance ingest: smaller ids arrive, dethroning fires
+        rest = docs.filter("doc_id % 5 in (0, 4)")
+        idx.ingest(rest, 2, docs_lookup=docs)
+        got = {
+            (r["id_a"], r["id_b"]) for r in idx.pairs(spark, 8000).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                docs, k=3, threshold=0.8,
+                candidates=capped_candidate_pairs(docs, cap=2),
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        idx.close()
