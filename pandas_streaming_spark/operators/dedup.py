@@ -589,6 +589,15 @@ def prefix_filter_simjoin(
         .select(F.col(id_col), F.col("__sh"))
         .distinct()
     )
+    # r15 note: a restructure that derived __n from an unbounded window
+    # over the __pos partitioning (dropping the sizes aggregate) and
+    # carried na/nb through the candidate set (dropping the final sizes
+    # re-joins) was tried and REVERTED: interleaved A/B at sf0.1 read
+    # q183 6.98->7.35 s and q208 9.06->9.71 s medians. The sizes table
+    # is per-doc (tiny — AQE broadcasts both the mid join and the end
+    # joins), while the window form buffers the corpus-sized ranked
+    # stream a second time and widens the shuffle_hash-pinned candidate
+    # and verify shuffles. The "redundant" aggregate is the cheap side.
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
     tok_df = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy("__df", "__sh")

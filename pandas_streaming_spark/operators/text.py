@@ -31,6 +31,35 @@ def _hit_count(tok_col, lang: str):
     return F.size(F.array_intersect(tok_col, markers))
 
 
+def max_token_multiplicity(tok_col):
+    """Count of the most frequent element of ``tok_col`` (the Gopher
+    single-word-dominance statistic): longest equal-run of the sorted
+    array, via one O(n log n) ``array_sort`` + O(n) ``aggregate`` fold.
+
+    Replaces (r15 optimization, guide §1.2 "per-task work") the
+    ``array_max(transform(distinct, x -> size(filter(arr, y -> y = x))))``
+    idiom, whose interpreted-HOF cost is O(n_distinct * n) per row —
+    quadratic on natural text where n_distinct grows with doc length.
+    Result-identical for any array without NULL elements: the maximum
+    multiplicity IS the longest run after sorting. The fold's initial
+    ``prev=''`` is safe even when the first token is the empty string,
+    because ``run`` starts at 0 and both branches then yield 1.
+    """
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+    return F.aggregate(
+        F.array_sort(tok_col),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mx")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["mx"], run(acc, x)).alias("mx"),
+        ),
+        lambda acc: acc["mx"],
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append ``pred_lang``: argmax over marker-hit counts (ties broken by
     language code order — deterministic)."""
@@ -104,6 +133,7 @@ def tf_idf(
     text_col: str = "text",
     top_n: int = 3,
     persist_tf: bool | str = "auto",
+    ids_unique: bool = False,
 ) -> DataFrame:
     """Per-document top-``top_n`` terms by smoothed TF-IDF.
 
@@ -154,7 +184,17 @@ def tf_idf(
     if persist_tf:
         tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
-    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    # r15 optimization (guide §2.4/§1.2): when the caller PROMISES
+    # id_col is unique and non-null (q81's documents primary key —
+    # asserted against the fixtures), countDistinct degenerates to
+    # count(*), turning the third full corpus pass + two-exchange
+    # distinct aggregation into a metadata-cheap row count. Identical
+    # value by the uniqueness contract; default stays the safe
+    # countDistinct for arbitrary callers.
+    if ids_unique:
+        n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    else:
+        n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     score = F.col("tf") * (
         F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("doc_freq") + F.lit(1.0)))
         + F.lit(1.0)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from pandas_streaming_spark.catalog import load_table
 from pandas_streaming_spark.operators.sampling import hash_split
+from pandas_streaming_spark.operators.text import max_token_multiplicity
 
 _BUCKET_SQL = (
     "CAST(CONCAT('0x', SUBSTR(MD5(CAST({id} AS VARCHAR)), 1, 7)) AS BIGINT) % 100"
@@ -82,12 +83,7 @@ def _pipeline_stages(docs: DataFrame, budget: int = 512, tau: float = 0.6):
                     F.array(*[F.lit(s) for s in _STOPWORDS]),
                 )
             ).alias("__ns"),
-            F.array_max(
-                F.transform(
-                    F.array_distinct(wsp),
-                    lambda x: F.size(F.filter(wsp, lambda y: y == x)),
-                )
-            ).alias("__mc"),
+            max_token_multiplicity(wsp).alias("__mc"),
         )
         return g.filter(
             (F.col("__n") >= 30)
@@ -397,12 +393,7 @@ def q295_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")]),
             )
         ).alias("__nstop"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(w),
-                lambda x: F.size(F.filter(w, lambda y: y == x)),
-            )
-        ).alias("__mx"),
+        max_token_multiplicity(w).alias("__mx"),
     ).withColumn(
         "__pass",
         (

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from pandas_streaming_spark.catalog import load_table
 from pandas_streaming_spark.functions import hb_sql
+from pandas_streaming_spark.operators.text import max_token_multiplicity
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -113,12 +114,7 @@ def q185_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")]),
             )
         ).alias("n_stop"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(w),
-                lambda x: F.size(F.filter(w, lambda y: y == x)),
-            )
-        ).alias("max_cnt"),
+        max_token_multiplicity(w).alias("max_cnt"),
     )
     flags = per.select(
         ((F.col("n") >= 30) & (F.col("n") <= 10000)).alias("r_count"),
@@ -182,12 +178,7 @@ def q265_gate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")]),
             )
         ).alias("n_stop"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(w),
-                lambda x: F.size(F.filter(w, lambda y: y == x)),
-            )
-        ).alias("max_cnt"),
+        max_token_multiplicity(w).alias("max_cnt"),
     )
     flags = per.select(
         ((F.col("n") >= 30) & (F.col("n") <= 10000)).alias("r1"),

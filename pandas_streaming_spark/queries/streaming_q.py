@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from pandas_streaming_spark.catalog import load_table
 from pandas_streaming_spark.operators.stateful import running_user_stats
+from pandas_streaming_spark.operators.text import max_token_multiplicity
 from pandas_streaming_spark.streaming.replay import (
     replay_events,
     run_stream_to_df,
@@ -750,12 +751,7 @@ def q303_stream_ingest_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")]),
             )
         ).alias("__ns"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(w),
-                lambda x: F.size(F.filter(w, lambda y: y == x)),
-            )
-        ).alias("__mx"),
+        max_token_multiplicity(w).alias("__mx"),
     ).filter(
         (F.col("__n") >= 30)
         & (F.col("__n") <= 10000)

@@ -104,8 +104,15 @@ def q56_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 terms per document by smoothed TF-IDF (operators.text.tf_idf)."""
-    return tf_idf(_t(spark, sf_dir, "documents"), top_n=3).orderBy("doc_id", "rn")
+    """Top-3 terms per document by smoothed TF-IDF (operators.text.tf_idf).
+
+    ``ids_unique=True``: doc_id is the documents fixture's primary key
+    (unique, non-null — pinned by tests/test_round15.py), so the N-docs
+    scalar is a plain row count instead of a third corpus pass through a
+    two-exchange countDistinct (r15, guide §2.4)."""
+    return tf_idf(
+        _t(spark, sf_dir, "documents"), top_n=3, ids_unique=True
+    ).orderBy("doc_id", "rn")
 
 
 def q84_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,6 +347,14 @@ def q181_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("__bg"),
     )
+    # r15 note: a per-(doc, bigram) count-table restructure (score via
+    # sum(lp*cnt) over distinct doc-bigrams) was tried and REVERTED —
+    # it introduces a corpus-sized shuffle (the doc-bigram table) where
+    # this shape shuffles nothing large: both aggregates below are
+    # map-side combined, so their exchanges carry at most |alphabet|²
+    # resp. |docs| rows, and the double explode is narrow CPU. Measured
+    # ~1.5x slower at sf0.1 and strictly worse at scale (guide §2.3 —
+    # the partial aggregation already "aggregates before the shuffle").
     model = (
         bi.groupBy("__bg").agg(F.count("*").alias("__cnt_bg"))
         .withColumn("__pfx", F.substring("__bg", 1, 1))
