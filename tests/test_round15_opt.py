@@ -1,0 +1,105 @@
+"""Round-15 optimization tests: every operator whose internals changed
+for performance is pinned result-identical to the pre-optimization
+form (the optimization brief's rule — internals may change, results
+may not).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_max_token_multiplicity_equivalence(spark):
+    """The O(n log n) sort+fold form of the Gopher dominance statistic
+    equals the old O(n_distinct * n) transform/filter idiom on every
+    adversarial shape: ties, runs at both ends, empty-string tokens
+    (split() on doubled spaces), single token, all-same, all-distinct.
+    """
+    from pandas_streaming_spark.operators.text import max_token_multiplicity
+
+    texts = [
+        "a b c a b a",          # clear winner
+        "x",                     # single token
+        "t t t t",               # all same
+        "a b c d e",             # all distinct
+        "z a z a z a",           # winner at sort-end
+        "a  b   a",              # doubled spaces -> empty-string tokens
+        " lead",                 # leading space -> empty first token
+        "tail ",                 # trailing space -> empty last token
+        "m m n n",               # tie
+        "q " * 500 + "r",        # long run
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    w = F.split("text", " ")
+    old = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda x: F.size(F.filter(w, lambda y: y == x)),
+        )
+    )
+    got = df.select(
+        max_token_multiplicity(w).alias("new"), old.alias("old")
+    ).collect()
+    for r in got:
+        assert r["new"] == r["old"], (r["new"], r["old"])
+
+
+def test_tfidf_ids_unique_contract(spark):
+    """q81 passes ids_unique=True: (a) the fixture contract holds —
+    doc_id is unique and non-null at every test SF; (b) the fast path is
+    value-identical to the safe countDistinct path on the same corpus."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        n, nd, nn = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT doc_id), "
+            f"count(*) FILTER (doc_id IS NULL) "
+            f"FROM '/root/testdata/{sf}/documents.parquet'"
+        ).fetchone()
+        assert n == nd and nn == 0, (sf, n, nd, nn)
+
+    from pandas_streaming_spark.catalog import load_table
+    from pandas_streaming_spark.operators.text import tf_idf
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fast = tf_idf(docs, top_n=3, ids_unique=True).orderBy("doc_id", "rn")
+    safe = tf_idf(docs, top_n=3, ids_unique=False).orderBy("doc_id", "rn")
+    assert fast.collect() == safe.collect()
+
+
+@pytest.mark.parametrize("tau", [0.5, 0.8])
+def test_prefix_filter_simjoin_full_rows(spark, tau):
+    """Strengthens the r14 pair-set exactness test to full VALUES: every
+    output row's (common, na, nb) — not just the pair ids — must match
+    the brute-force inverted-index join. Added while A/B-ing an r15
+    simjoin restructure (reverted as slower); keeps any future
+    restructure honest about the carried statistics, not only the ids."""
+    import random
+
+    from pandas_streaming_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_simjoin,
+    )
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for i in range(50):
+        n = rng.randrange(5, 14)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.4:
+            dup = list(words)
+            dup[rng.randrange(len(dup))] = vocab[rng.randrange(len(vocab))]
+            rows.append((1000 + i, " ".join(dup)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["common"], r["na"], r["nb"])
+        for r in prefix_filter_simjoin(df, k=3, threshold=tau).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["common"], r["na"], r["nb"])
+        for r in ngram_jaccard_pairs(df, k=3, threshold=tau).collect()
+    }
+    assert got == want
