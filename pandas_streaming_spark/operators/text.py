@@ -44,19 +44,33 @@ def max_token_multiplicity(tok_col):
     multiplicity IS the longest run after sorting. The fold's initial
     ``prev=''`` is safe even when the first token is the empty string,
     because ``run`` starts at 0 and both branches then yield 1.
+
+    Edge divergences from the old idiom (documented, unreachable via the
+    current ``split()``-based call sites): an EMPTY input array returns
+    0 where ``array_max([])`` returned NULL, and arrays containing NULL
+    elements score each NULL as a run of 1 (NULL-unsafe equality ends
+    every run) where the old transform produced NULL sizes.
+
+    r16: the merge step is a single CASE over whole structs — "continue
+    the run" vs "close it into mx" — because Catalyst does not CSE
+    inside interpreted lambda bodies, so the r15 form's per-field CASE
+    evaluated the run expression twice per element. ``mx`` only tracks
+    CLOSED runs; the finish step folds the still-open last run in.
     """
-    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
     return F.aggregate(
         F.array_sort(tok_col),
         F.struct(
             F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mx")
         ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            run(acc, x).alias("run"),
-            F.greatest(acc["mx"], run(acc, x)).alias("mx"),
+        lambda acc, x: F.when(
+            x == acc["prev"],
+            F.struct(x.alias("prev"), (acc["run"] + 1).alias("run"),
+                     acc["mx"].alias("mx")),
+        ).otherwise(
+            F.struct(x.alias("prev"), F.lit(1).alias("run"),
+                     F.greatest(acc["mx"], acc["run"]).alias("mx")),
         ),
-        lambda acc: acc["mx"],
+        lambda acc: F.greatest(acc["mx"], acc["run"]),
     )
 
 
