@@ -28,6 +28,7 @@ numbers are comparable ACROSS rounds.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -161,6 +162,24 @@ def _proc_tree_jiffies() -> int:
     return sum(jiff_of.get(p, 0) for p in members)
 
 
+def _calibration_spin() -> float:
+    """Fixed single-core CPU workload (16k chained sha256 of a 64 KiB
+    buffer — deterministic, allocation-free, unaffected by Spark state);
+    returns its wall seconds. VERDICT r15 item 2: round 15's entire PERF
+    comparison was burned by host drift (~1.7x slower machine + bursts)
+    that the one-line record could not expose — untouched queries
+    "regressed" 30% in lockstep and the 8-core run beat the 32-core run.
+    This number rides the compact line so a cross-round reader can
+    deflate suite seconds by host speed: same code, same host ⇒ same
+    calib_sec; a calib_sec shift is machine drift, not engine change."""
+    buf = b"\x5a" * 65536
+    h = b""
+    t0 = time.perf_counter()
+    for _ in range(16000):
+        h = hashlib.sha256(buf + h).digest()
+    return time.perf_counter() - t0
+
+
 def _contention_probe() -> tuple[float, int, int]:
     """Start an external-CPU probe window: (wall t0, machine busy
     jiffies, own process-tree jiffies)."""
@@ -241,6 +260,11 @@ def main() -> None:
             " contaminated; compare across rounds with care",
             flush=True,
         )
+    # Host-speed calibration (VERDICT r15 item 2): one spin before the
+    # JVM exists and one right after the headline numbers are taken; the
+    # MIN of the two (least-contended sample) is the published host-speed
+    # deflator. Additions-only: no timed number changes.
+    load_gate["calib_pre_sec"] = round(_calibration_spin(), 4)
 
     from pandas_streaming_spark.queries import QUERIES
     from pandas_streaming_spark.session import get_spark
@@ -315,6 +339,10 @@ def main() -> None:
     # the published flag now asserts BOTH ends: quiet at JVM start AND
     # quiet while the published headline numbers were being taken
     load_gate["quiet"] = bool(load_gate["quiet"] and run_quiet)
+    load_gate["calib_post_sec"] = round(_calibration_spin(), 4)
+    load_gate["calib_sec"] = min(
+        load_gate["calib_pre_sec"], load_gate["calib_post_sec"]
+    )
 
     # Round-5+ operators, timed single-run OUTSIDE the suite value so the
     # headline stays comparable across rounds; regressions in these show
@@ -1083,6 +1111,7 @@ def main() -> None:
             "events_per_sec_catchup": result.get("streaming", {}).get(
                 "events_per_sec_catchup"
             ),
+            "calib_sec": result.get("load_gate", {}).get("calib_sec"),
             "extras": extras,
         }
         with open(
@@ -1140,6 +1169,13 @@ def compact_line(result: dict, times: dict, detail_name: str | None) -> str:
         "scaled100_cold": (s100.get("cold_grid") or {}).get("value"),
         "q04_bucketed_sec": s100.get("bucketed", {}).get("q04_default_bucketed_sec"),
         "quiet_load": result.get("load_gate", {}).get("quiet"),
+        # VERDICT r15 item 2 (additions-only): host-speed deflator + the
+        # external-CPU average seen during the published headline runs,
+        # so a cross-round reader can separate host drift from code.
+        "calib_sec": result.get("load_gate", {}).get("calib_sec"),
+        "ext_cores": result.get("load_gate", {}).get(
+            "during_run_external_cores"
+        ),
         "detail": detail_name,
     }
     line = json.dumps(compact)
