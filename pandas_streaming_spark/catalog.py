@@ -304,8 +304,21 @@ def write_bucketed(
     # non-local warehouse: DROP TABLE above is authoritative; there is no
     # orphan-dir failure mode because the catalog is durable there
 
-    writer = df.write.mode("overwrite").format("parquet").bucketBy(
-        n_buckets, *bucket_cols
+    # r16 (VERDICT r15 item 3, guide §6 small files): a bucketed write
+    # produces one file per (write task × bucket) — the r15 scaled100
+    # layout shipped 2,050 files at ~0.5 MB each for lineitem (64 tasks
+    # × 32 buckets), paying per-file open/footer overhead on every cold
+    # read. Repartitioning by the bucket columns into n_buckets
+    # partitions first aligns write tasks with buckets (repartition's
+    # HashPartitioning and the bucket id are the same pmod(Murmur3Hash))
+    # so each task holds exactly one bucket → n_buckets files total.
+    # Layout-write-time cost only; the table's join/read semantics are
+    # unchanged (results identical — layout is physical only).
+    writer = (
+        df.repartition(n_buckets, *bucket_cols)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

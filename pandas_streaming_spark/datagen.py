@@ -59,11 +59,15 @@ def scale_dataset(
     for name in TABLES:
         st = os.stat(table_path(src_dir, name))
         fp.update(f"{name}|{st.st_size}|{st.st_mtime_ns}|".encode())
-    # the only=None stamp keeps the historical format so the bench's
-    # cached x10/x100 replicas stay valid across this parameter's addition
-    stamp = f"factor={factor} src={fp.hexdigest()[:16]}"
+    # layout=v2 (r16, VERDICT r15 item 3): the file-count rule below
+    # changed, so cached v1 replicas (small-files layout) must
+    # re-synthesize once rather than serve the old layout forever
+    stamp = f"factor={factor} layout=v2 src={fp.hexdigest()[:16]}"
     if only is not None:
-        stamp = f"factor={factor} only={sorted(only)} src={fp.hexdigest()[:16]}"
+        stamp = (
+            f"factor={factor} layout=v2 only={sorted(only)} "
+            f"src={fp.hexdigest()[:16]}"
+        )
     marker = os.path.join(dest_dir, "_SCALED_OK")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -96,7 +100,22 @@ def scale_dataset(
             cpus = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
         except ValueError:
             cpus = 32
-        n_out = min(factor, 2 * cpus)
+        # r16 (VERDICT r15 item 3, guide §6): derive the output file
+        # count from the estimated output SIZE instead of a constant —
+        # the v1 rule (min(factor, 2*cpus)) wrote the x100 lineitem as
+        # 128 × ~8.6 MB and fed the cold grid pure per-file open/footer
+        # overhead. Rule: aim for ~128 MB files, but keep up to one
+        # split per core as long as files stay ≥ ~16 MB (scan
+        # parallelism on the local miniature; at real scale the 128 MB
+        # term dominates and the rule degenerates to the guide's
+        # 128 MB–1 GB target). Compressed-size estimate: source parquet
+        # bytes × factor (replication preserves compressibility).
+        est_bytes = os.stat(table_path(src_dir, name)).st_size * factor
+        n_out = max(
+            -(-est_bytes // (128 << 20)),  # ceil: ~128 MB files
+            min(cpus, -(-est_bytes // (16 << 20))),  # parallelism floor
+        )
+        n_out = max(1, min(int(n_out), min(factor, 2 * cpus)))
         rep.repartition(n_out).drop("__rep").select(*df.columns).write.mode(
             "overwrite"
         ).parquet(dest)
