@@ -49,6 +49,33 @@ def scan_read_schema(df: DataFrame) -> list[str]:
     return cols
 
 
+def scan_locations(df: DataFrame) -> dict[str, int]:
+    """How many separate scan operators read each input location in the
+    physical plan (r16, VERDICT r15 item 5). The q81 win — a whole extra
+    corpus pass feeding one scalar — was found by eye; this makes the
+    pattern mechanically visible registry-wide. Multiple scans of one
+    table are NOT automatically wrong (self-joins, TF/DF branches), so
+    callers report and rank rather than fail."""
+    import re
+
+    plan = physical_plan(df)
+    counts: dict[str, int] = {}
+    for m in re.finditer(r"Location: \w+ \[([^\]]*)", plan):
+        loc = m.group(1).split(",")[0].strip()
+        counts[loc] = counts.get(loc, 0) + 1
+    return counts
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange operators in the formatted physical plan
+    (pre-AQE; AQE can only coalesce/convert these, never add). The
+    r16 scan audit ranks registry entries by this to surface
+    N-exchange outliers (guide §2.4)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", physical_plan(df)))
+
+
 def join_strategies(df: DataFrame) -> list[str]:
     plan = physical_plan(df)
     return [
@@ -255,7 +282,14 @@ def audit_registry(spark, sf_dir: str) -> dict[str, list[str]]:
         # costs two sorted shuffles; clean registries stay clean
         # because Catalyst broadcasts these by itself, so any hit is a
         # hint/conf regression naming its entry.
-        if name not in SMJ_AUDIT_ALLOW:
+        # r16 (VERDICT r15 item 1, suite wall time): only run the
+        # node-by-node py4j plan walk when the ALREADY-built formatted
+        # plan mentions a SortMergeJoin at all — walking 314 clean
+        # plans cost the audit test ~4 min for zero possible hits (the
+        # walk can only flag SortMergeJoinExec nodes, and those always
+        # print as "SortMergeJoin" in the formatted plan). Identical
+        # verdict, ~an order of magnitude less py4j traffic.
+        if name not in SMJ_AUDIT_ALLOW and "SortMergeJoin" in plan:
             hits.extend(broadcastable_smj_joins(df))
         if hits:
             bad[name] = hits
