@@ -27,7 +27,25 @@ def main() -> int:
 
     spark = get_spark(app_name=f"ab-{tag}")
     spark.sparkContext.setLogLevel("ERROR")
-    names = [n for n in QUERIES if any(n.startswith(p) for p in qlist.split(","))]
+    # ADVICE r15: exact-name matching — prefix matching let 'q18' time
+    # q181/q183/q185/... and contaminate A/B medians. A still-allowed
+    # deliberate prefix must end with '_'; warn when one expands to
+    # several queries.
+    names: list[str] = []
+    for p in qlist.split(","):
+        if p in QUERIES:
+            hits = [p]
+        elif p.endswith("_"):
+            hits = [n for n in QUERIES if n.startswith(p)]
+            if len(hits) > 1:
+                print(f"WARNING: prefix {p!r} matched {len(hits)} queries: "
+                      f"{hits}", file=sys.stderr)
+        else:
+            raise SystemExit(
+                f"unknown query {p!r} (exact names only; a deliberate "
+                f"prefix must end with '_')"
+            )
+        names.extend(h for h in hits if h not in names)
     out = open(out_path, "a")
     for name in names:
         fn = QUERIES[name]

@@ -49,9 +49,18 @@ def test_tfidf_ids_unique_contract(spark):
     """q81 passes ids_unique=True: (a) the fixture contract holds —
     doc_id is unique and non-null at every test SF; (b) the fast path is
     value-identical to the safe countDistinct path on the same corpus."""
+    import os
+
     import duckdb
 
-    for sf in ("sf0.001", "sf0.01"):
+    # ADVICE r15: derive the SF list from the testdata directory so the
+    # contract is pinned at EVERY fixture scale the bench can use
+    # (including the bench-default sf0.1), not a hard-coded subset.
+    sfs = sorted(
+        d for d in os.listdir("/root/testdata") if d.startswith("sf")
+    )
+    assert "sf0.1" in sfs, sfs
+    for sf in sfs:
         n, nd, nn = duckdb.sql(
             f"SELECT count(*), count(DISTINCT doc_id), "
             f"count(*) FILTER (doc_id IS NULL) "
