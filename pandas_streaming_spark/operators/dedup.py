@@ -332,7 +332,15 @@ def lsh_audit(
 
 
 def _precision_recall(cand: DataFrame, truth: DataFrame) -> DataFrame:
-    """One-row precision/recall report over two (id_a, id_b) pair sets."""
+    """One-row precision/recall report over two (id_a, id_b) pair sets.
+
+    r16: each side is consumed twice (the hits join and its own count);
+    pinning both with lazy localCheckpoints was measured and REVERTED —
+    q109 read 3.38→4.09 s median at sf0.1 in interleaved A/B, because
+    the one-job form runs the cand and truth chains as PARALLEL branches
+    on idle cores and the pins serialize them behind materialization
+    barriers. The duplicate work is real but branch-parallel; see
+    OPTIMIZATION_r16.md for the measurement."""
     hits = cand.join(truth, ["id_a", "id_b"]).select("id_a")
     bps = lambda num, den: F.when(  # noqa: E731 - inline ratio helper
         F.col(den) > 0, F.round(F.lit(10000.0) * F.col(num) / F.col(den), 0)
@@ -395,7 +403,10 @@ def simhash_audit(
         .alias(f"__p{blk}")
         for blk in range(n_blocks)
     ]
-    packed = fp.select(F.col(id_col), *packs)
+    # r16: the fingerprint chain fed BOTH sides of the all-pairs join
+    # lazily (two corpus scans + two simhash passes); pin the tiny
+    # packed table once (guide §2.4/§5)
+    packed = fp.select(F.col(id_col), *packs).localCheckpoint(eager=False)
     a = packed.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"__p{b}").alias(f"__a{b}") for b in range(n_blocks)],

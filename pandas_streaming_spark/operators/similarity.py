@@ -457,11 +457,11 @@ def shard_kmeans_assign(
 
     Scale shape: one posexplode aggregate to (shard·k_fine × dim)
     centroid cells, one shard-keyed equi-join fanning each vector to
-    its k_fine candidates, one per-vector argmax window — all linear,
-    shuffles keyed on shard / id (uniform by construction, no hot key).
+    its k_fine candidates scored in one HOF pass (r16: formerly a
+    k_fine-way row fan-out + per-vector argmax window — a second full
+    payload shuffle) — all linear, shuffles keyed on shard (uniform by
+    construction, no hot key).
     """
-    from pyspark.sql import Window
-
     e = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
@@ -486,6 +486,23 @@ def shard_kmeans_assign(
             "cvec",
         )
     )
+    # r16 (guide §2.3): the E-step keeps the k_fine-way candidate
+    # fan-out (per-row cosine in the codegen'd projection — a pure-HOF
+    # candidate-array fold was tried first and REVERTED: nested
+    # interpreted lambdas made q240 2.5× slower on the 10× replica) but
+    # replaces the row_number window with a max_by AGGREGATE. The win
+    # is map-side partial aggregation: the broadcast fan-out keeps all
+    # k_fine candidate rows of a vector in one task, so the partial agg
+    # collapses them locally and the exchange carries n rows instead of
+    # n·k_fine sorted rows WITH THE EMBEDDING PAYLOAD — k-fold fewer
+    # shuffled payload bytes and no sort. Tie-break replicates the
+    # window's (sim desc_nulls_last, fine asc) order with a UNIQUE
+    # integer ordering key: (sim non-null?, sim, -fine) — fine is
+    # unique per (id, shard), so max_by is deterministic under any
+    # partitioning; an all-null-sim vector maxes (0, 0.0, -fine) and
+    # lands on its smallest fine with NULL sim_e4, exactly as
+    # row_number did. The cosine is the same expression on the same
+    # values, so every sim (and its e4 rounding) is bit-identical.
     sims = e.join(cent, "shard").select(
         F.col(id_col),
         F.col("shard"),
@@ -493,17 +510,31 @@ def shard_kmeans_assign(
         vec_cosine(vec_col, "cvec").alias("sim"),
         F.col(vec_col),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc_nulls_last("sim"), "fine")
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            id_col,
-            "shard",
-            "fine",
-            F.round(F.lit(10000.0) * F.col("sim"), 0).cast("long").alias("sim_e4"),
-            vec_col,
+    order_key = F.when(
+        F.col("sim").isNotNull(),
+        F.struct(
+            F.lit(1).alias("nn"),
+            F.col("sim").alias("s"),
+            (-F.col("fine")).alias("nf"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit(0).alias("nn"),
+            F.lit(0.0).alias("s"),
+            (-F.col("fine")).alias("nf"),
         )
+    )
+    best = sims.groupBy(id_col, "shard").agg(
+        F.max_by(
+            F.struct(F.col("fine"), F.col("sim"), F.col(vec_col)), order_key
+        ).alias("__b")
+    )
+    return best.select(
+        id_col,
+        "shard",
+        F.col("__b.fine").alias("fine"),
+        F.round(F.lit(10000.0) * F.col("__b.sim"), 0).cast("long").alias("sim_e4"),
+        F.col(f"__b.{vec_col}").alias(vec_col),
     )
 
 
@@ -760,6 +791,12 @@ def ann_recall(
         F.col("__bucket").alias("__qbucket"),
     )
     sim_e4 = F.round(F.lit(10000.0) * vec_cosine(vec_col, "__qvec"), 0).cast("long")
+    # r16: pinning this scored frame (it feeds both rankings) was
+    # measured and REVERTED — q259 read 0.92×/0.83× and q108 0.94× in
+    # interleaved A/B at sf0.1 AND on the 10× replica. scored is an
+    # EXPANDED corpus×|Q| frame: materializing it costs more than the
+    # second evaluation, which runs as a parallel branch of the same
+    # job. (Contrast the kept pins: all data-reduced frames.)
     scored = b.crossJoin(F.broadcast(q)).select(
         "query_id",
         F.col(id_col),

@@ -266,11 +266,14 @@ def audit_registry(spark, sf_dir: str) -> dict[str, list[str]]:
     {query_name: [violation, ...]} — empty dict = clean registry."""
     from pandas_streaming_spark.queries import QUERIES
 
-    bad: dict[str, list[str]] = {}
-    for name, fn in QUERIES.items():
-        if any(m in fn.__module__ for m in PLAN_AUDIT_SKIP_MODULES):
-            continue
-        df = fn(spark, sf_dir)
+    names = [
+        name
+        for name, fn in QUERIES.items()
+        if not any(m in fn.__module__ for m in PLAN_AUDIT_SKIP_MODULES)
+    ]
+
+    def one(name: str) -> tuple[str, list[str]]:
+        df = QUERIES[name](spark, sf_dir)
         plan = physical_plan(df)
         hits = [
             frag
@@ -291,6 +294,19 @@ def audit_registry(spark, sf_dir: str) -> dict[str, list[str]]:
         # verdict, ~an order of magnitude less py4j traffic.
         if name not in SMJ_AUDIT_ALLOW and "SortMergeJoin" in plan:
             hits.extend(broadcastable_smj_joins(df))
-        if hits:
-            bad[name] = hits
+        return name, hits
+
+    # r16 (VERDICT r15 item 1, guide §2.6): the audit is pure
+    # driver-side planning — DataFrame builds + Catalyst explainString,
+    # all py4j calls that release the GIL — and the registry's ~300
+    # entries are independent, so a small thread pool parallelizes it
+    # for real. pool.map preserves registry order; the verdict is the
+    # same dict a sequential walk produced.
+    from concurrent.futures import ThreadPoolExecutor
+
+    bad: dict[str, list[str]] = {}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, hits in pool.map(one, names):
+            if hits:
+                bad[name] = hits
     return bad

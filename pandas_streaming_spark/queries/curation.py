@@ -953,7 +953,9 @@ def _dsir_doc_scores(docs: DataFrame) -> DataFrame:
     bc = words.groupBy("__b").agg(
         F.sum("__tgt").cast("long").alias("__ct"),
         F.count("*").cast("long").alias("__cr"),
-    )
+    # _DSIR_B rows, consumed by tots AND the weight table — lazily each
+    # re-ran the corpus-wide model fit (r16, guide §2.4/§5)
+    ).localCheckpoint(eager=False)
     tots = bc.agg(
         F.sum("__ct").alias("__st"), F.sum("__cr").alias("__sr")
     ).select(
@@ -1005,7 +1007,14 @@ def q289_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q202/q157 exact-median convention — production would swap in
     an approx-quantile sketch for the cut point), one rollup."""
     docs = load_table(spark, sf_dir, "documents")
-    ds = _dsir_doc_scores(docs).select("doc_id", "source", "__s")
+    # r16: the scoring chain feeds the median rank pass, the count and
+    # the per-source rollup — pin the narrow doc-score frame so DSIR
+    # scoring runs once (guide §2.4/§5; q289 planned 9 document scans)
+    ds = (
+        _dsir_doc_scores(docs)
+        .select("doc_id", "source", "__s")
+        .localCheckpoint(eager=False)
+    )
     from pyspark.sql import Window
 
     wm = Window.orderBy("__s", "doc_id")

@@ -85,6 +85,11 @@ def _pipeline_stages(docs: DataFrame, budget: int = 512, tau: float = 0.6):
             ).alias("__ns"),
             max_token_multiplicity(wsp).alias("__mc"),
         )
+        # r16 (guide §2.3 project-early): nothing downstream of the
+        # gates reads text — the split keys on source, packing on
+        # (doc_id, n_tok, source), the graded rows aggregate counts —
+        # so the battery's output drops the payload column here instead
+        # of carrying it through split/pack/checkpoint.
         return g.filter(
             (F.col("__n") >= 30)
             & (F.col("__n") <= 10000)
@@ -93,7 +98,7 @@ def _pipeline_stages(docs: DataFrame, budget: int = 512, tau: float = 0.6):
             & (F.col("__nd") * 10 >= 3 * F.col("__n"))
             & (F.col("__ns") >= 2)
             & (F.col("__mc") * 5 <= F.col("__n"))
-        ).select("doc_id", "text", "source", "n_tok")
+        ).select("doc_id", "source", "n_tok")
 
     def split_train(s4m: DataFrame) -> DataFrame:
         return (
@@ -124,6 +129,12 @@ def q208_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # execution of the expensive stages (same move as q180/q207)
     s2 = s2.localCheckpoint(eager=False)
     s3 = neardup(s2).localCheckpoint(eager=False)
+    # r16: measured and REVERTED — pinning gates(s3) too (its three
+    # consumers re-run the battery) read 7.28→9.22 s median at sf0.1 in
+    # interleaved A/B: the pin serializes branches that previously
+    # overlapped inside one job, and the battery re-runs are cheap
+    # narrow maps over the s3 checkpoint. Text IS projected out of the
+    # battery's output now (guide §2.3) — nothing downstream reads it.
     s4 = gates(s3)
     s5 = split_train(s4)
     packed = pack(s5)
@@ -202,6 +213,8 @@ def q262_curation_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFra
     s4 = s3.join(
         _semantic_drop(spark, sf_dir, s3), "doc_id", "left_anti"
     ).localCheckpoint(eager=False)
+    # r16: gates pin measured and reverted (see q208 note); the battery
+    # output is the projected narrow frame either way.
     s5 = gates(s4)
     s6 = split_train(s5)
     packed = pack(s6)

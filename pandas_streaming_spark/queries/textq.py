@@ -277,9 +277,21 @@ def q106_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aggs = []
     for c in cols:
+        # r16 (the q81 ids_unique playbook, VERDICT r15 item 7):
+        # o_orderkey is the orders primary key — unique and non-null in
+        # every fixture (contract pinned at all SFs by
+        # test_orderkey_profile_contract) — so its exact distinct count
+        # IS its non-null count. countDistinct(c) ignores nulls, as does
+        # count(c), so the degeneration is value-identical under the
+        # contract, and it removes one of five Expand groups from the
+        # multi-distinct aggregate (the oracle keeps COUNT(DISTINCT ...)
+        # as the definitional form).
+        n_distinct = (
+            F.count(F.col(c)) if c == "o_orderkey" else F.countDistinct(c)
+        )
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__n_{c}"),
-            F.countDistinct(c).alias(f"__d_{c}"),
+            n_distinct.alias(f"__d_{c}"),
             render(c, F.min).alias(f"__mn_{c}"),
             render(c, F.max).alias(f"__mx_{c}"),
         ]

@@ -597,6 +597,13 @@ def _unigram_model(docs: DataFrame):
         )
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("freq"))
+        # r16 (guide §2.4/§5, scan-audit worklist): the word-frequency
+        # table is the ONE corpus pass of the chain, but lazily composed
+        # it was re-planned under every consumer (vocab, model, qt, seg,
+        # and each of their consumers) — q275 planned 14 scans of
+        # documents. Pin the data-reduced frame; every downstream number
+        # is the same exact integer.
+        .localCheckpoint(eager=False)
     )
     subs = words.select(
         "freq",
@@ -626,6 +633,9 @@ def _unigram_model(docs: DataFrame):
             "c0",
             F.expr(hb_sql("c0")).alias("w2"),
         )
+        # vocab-sized (chars + top-200), consumed by model/qt/q275's
+        # join: pin it too (r16)
+        .localCheckpoint(eager=False)
     )
     model = vocab.agg(
         F.map_from_entries(F.collect_list(F.struct("piece", "w2"))).alias(
@@ -673,6 +683,9 @@ def q275_unigram_lm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.select("freq", F.explode(F.split("path", " ")).alias("piece"))
         .groupBy("piece")
         .agg(F.sum("freq").cast("long").alias("c1"))
+        # piece-keyed (vocab-sized), consumed twice (qt1 and the graded
+        # join): pin it so the Viterbi E-step runs once (r16)
+        .localCheckpoint(eager=False)
     )
     qt0 = vocab.agg(F.sum("c0").alias("__T")).select(
         F.expr(hb_sql("__T")).alias("__qt0")

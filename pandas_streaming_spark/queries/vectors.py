@@ -508,7 +508,14 @@ def _pq_assign(emb: DataFrame):
     serves ADC queries over them): e6-quantized components with 16-dim
     subspace ids, fixed-point codebooks per (sub, cand, dim), and the
     per-(vector, subspace) exact-integer-L2 argmin as a (dist, cand)
-    min-struct. Returns ``(comps, cent, best)``."""
+    min-struct. Returns ``(comps, cent, best)``.
+
+    r16 (guide §2.4/§5, scan-audit worklist): all three products are
+    PINNED with lazy localCheckpoints. Every consumer family (q263
+    codes, q274 ADC, q285 refine, q294 residual, q276/q278 via
+    _ivf_cell_frames) composes them several times, and the lazy lineage
+    re-planned the scan+posexplode under each use — q285 planned 12
+    scans of embeddings, q274 10. Same exact integers either way."""
     comps = emb.select(
         "vec_id",
         F.pmod("vec_id", F.lit(4)).cast("long").alias("seed"),
@@ -519,7 +526,7 @@ def _pq_assign(emb: DataFrame):
         F.floor(F.col("dim") / 16).cast("long").alias("sub"),
         F.col("dim").cast("long").alias("dim"),
         F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("c_e6"),
-    )
+    ).localCheckpoint(eager=False)
     cent = (
         comps.groupBy("sub", "seed", "dim")
         .agg(
@@ -528,6 +535,7 @@ def _pq_assign(emb: DataFrame):
             .alias("cent_e6")
         )
         .withColumnRenamed("seed", "cand")
+        .localCheckpoint(eager=False)
     )
     d = (
         comps.drop("seed")
@@ -545,7 +553,7 @@ def _pq_assign(emb: DataFrame):
     # argmin with deterministic ties: min of (dist, cand) struct
     best = d.groupBy("vec_id", "sub").agg(
         F.min(F.struct(F.col("dist"), F.col("cand"))).alias("m")
-    )
+    ).localCheckpoint(eager=False)
     return comps, cent, best
 
 
@@ -726,10 +734,23 @@ def _ivf_cell_frames(emb):
     between query and centroid — every number in the coarse stage an
     exact integer, like the PQ stage it feeds. Returns
     ``(lcomps, lcent, codes, qc, table, exact)`` where exact is the
-    corpus-wide exact-L2 frame ground truth comes from."""
+    corpus-wide exact-L2 frame ground truth comes from.
+
+    r16 (guide §2.4/§5, scan-audit worklist): every returned frame
+    except ``lcomps`` is PINNED with a lazy localCheckpoint. The lazy
+    composition nested comps/cent lineage inside each product, so one
+    q276 probe planned 36 scans of embeddings and the q278 sweep 63 —
+    each consumer re-derived codebooks, cells, codes and ground truth
+    from the base table. Checkpointing materializes each product once;
+    every number downstream is the same exact integer, so results are
+    oracle-identical by construction."""
     comps, cent, best = _pq_assign(emb)
-    codes = best.select("vec_id", "sub", F.col("m.cand").alias("cand"))
+    codes = best.select(
+        "vec_id", "sub", F.col("m.cand").alias("cand")
+    ).localCheckpoint(eager=False)
     qc, table = _adc_table(comps, cent, query_id=0)
+    qc = qc.localCheckpoint(eager=False)
+    table = table.localCheckpoint(eager=False)
     lcomps = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
     ).select(
@@ -742,7 +763,7 @@ def _ivf_cell_frames(emb):
         F.round(F.sum("c_e6").cast("double") / F.count("*"), 0)
         .cast("long")
         .alias("ce_e6")
-    )
+    ).localCheckpoint(eager=False)
     exact = (
         comps.filter(F.col("vec_id") != 0)
         .join(qc.select("dim", "q_e6"), "dim")
@@ -755,18 +776,24 @@ def _ivf_cell_frames(emb):
             .cast("long")
             .alias("exact_e12")
         )
+        .localCheckpoint(eager=False)
     )
     return lcomps, lcent, codes, qc, table, exact
 
 
-def _ivfpq_rerank(emb, np_: int, shortlist: int = 50):
+def _ivfpq_rerank(emb, np_: int, shortlist: int = 50, frames=None):
     """One IVFADC+R probe (Jégou et al. 2011 §IV.D): rank cells by
     exact integer L2 (query vs centroid), take ``np_`` cells, ADC-score
     ONLY their members, keep the top-``shortlist`` by ADC, then re-rank
     those survivors by exact L2 on the original vectors (a
     broadcast-scoped pass — the same survivor-scoping as q274). Returns
-    (rerank_top10, n_candidates_1row, exact_top10) sharing one chain."""
-    lcomps, lcent, codes, qc, table, exact = _ivf_cell_frames(emb)
+    (rerank_top10, n_candidates_1row, exact_top10) sharing one chain.
+
+    ``frames`` lets a sweep caller (q278) build the probe-independent
+    machinery ONCE and share it across widths (r16, guide §2.4)."""
+    lcomps, lcent, codes, qc, table, exact = (
+        frames if frames is not None else _ivf_cell_frames(emb)
+    )
     cells = (
         lcent.join(F.broadcast(qc.select("dim", "q_e6")), "dim")
         .groupBy("label")
@@ -865,11 +892,21 @@ def q278_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve); composed from q276's chain so the sweep grades the
     composition, not a reimplementation. Scale: one PQ/ADC chain
     shared across the sweep; each width adds a cell-pruned scan, never
-    a corpus pass."""
+    a corpus pass.
+
+    r16 (scan-audit worklist): the frames are built ONCE and passed to
+    every width, and the probe-independent exact top-10 is hoisted out
+    of the loop — the per-width lazy rebuild planned 63 scans of
+    embeddings for the 3-point sweep."""
     emb = _t(spark, sf_dir, "embeddings")
+    frames = _ivf_cell_frames(emb)
+    exact = frames[5]
+    exact_top10 = (
+        exact.orderBy("exact_e12", "vec_id").limit(10).localCheckpoint(eager=False)
+    )
     rows = []
     for np_ in _Q278_PROBES:
-        rerank, n_cand, exact_top10 = _ivfpq_rerank(emb, np_=np_)
+        rerank, n_cand, _ = _ivfpq_rerank(emb, np_=np_, frames=frames)
         rec = rerank.join(
             F.broadcast(exact_top10.select("vec_id", F.lit(1).alias("__h"))),
             "vec_id",
@@ -907,6 +944,12 @@ def q279_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one pass for centroids, one narrow join for distances, all
     aggregates map-side combined; the frame is |cells| rows."""
     emb = _t(spark, sf_dir, "embeddings")
+    # r16 (guide §2.4/§5, scan-audit worklist): lcomps backs the
+    # centroid aggregate AND the distance join, pv backs the cell frame
+    # AND the total row, cells backs the per-cell report AND the load
+    # factor — lazily composed, q279 planned 10 scans of embeddings.
+    # Pin each reused frame once; every number is the same exact
+    # integer.
     lcomps = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
     ).select(
@@ -914,7 +957,7 @@ def q279_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("dim").cast("long").alias("dim"),
         F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("c_e6"),
-    )
+    ).localCheckpoint(eager=False)
     lcent = lcomps.groupBy("label", "dim").agg(
         F.round(F.sum("c_e6").cast("double") / F.count("*"), 0)
         .cast("long")
@@ -931,11 +974,12 @@ def q279_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("d2")
         )
+        .localCheckpoint(eager=False)
     )
     cells = pv.groupBy("label").agg(
         F.count("*").cast("long").alias("n_vectors"),
         F.round(F.sum("d2") / F.count("*"), 0).cast("long").alias("mean_dist_e12"),
-    )
+    ).localCheckpoint(eager=False)
     tot = pv.agg(
         F.count("*").cast("long").alias("__N"),
         F.round(F.sum("d2") / F.count("*"), 0).cast("long").alias("__md"),
@@ -1285,13 +1329,19 @@ def q300_kmeans_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
+    # r16 (guide §2.4/§5, scan-audit worklist): comps feeds the seed
+    # centroids, BOTH halves of every Lloyd iteration, the stored
+    # assignment, the query vector and the ground-truth frame — the lazy
+    # form re-planned the scan+posexplode for each (21 scans of
+    # embeddings in the audited plan). Pin one materialization; every
+    # downstream number is the same exact integer.
     comps = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
     ).select(
         "vec_id",
         F.col("dim").cast("long").alias("dim"),
         F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("c_e6"),
-    )
+    ).localCheckpoint(eager=False)
 
     def assign(cent: DataFrame) -> DataFrame:
         return (
@@ -1368,6 +1418,9 @@ def q300_kmeans_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_e12")
         )
     )
+    # ground truth is consumed three times (ex10, trained-cell top,
+    # label-cell twin top): pin it too (r16)
+    exact = exact.localCheckpoint(eager=False)
     ex10 = (
         exact.orderBy("exact_e12", "vec_id")
         .limit(10)
@@ -1508,6 +1561,11 @@ def q296_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c_e6"),
         )
         .join(blk, "vec_id")
+        # r16 (guide §2.4/§5): both sides of the block self-join read
+        # this frame — lazily composed, each side re-ran the explode +
+        # block-assignment window (6 scans of embeddings in the audited
+        # plan). Pin it once.
+        .localCheckpoint(eager=False)
     )
     a = comps.select(
         F.col("vec_id").alias("src"),
@@ -1545,6 +1603,9 @@ def q296_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select(F.coalesce("__ind", F.lit(0)).cast("long").alias("in_degree"))
+        # consumed by the corpus-count row AND the histogram — pin so
+        # the kNN-graph chain runs once (r16)
+        .localCheckpoint(eager=False)
     )
     tot = indeg.agg(F.count("*").cast("long").alias("__N"))
     return (
@@ -1591,7 +1652,14 @@ def q291_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT)))"
         )
 
-    codes = emb.select("vec_id", pack(0).alias("h_lo"), pack(32).alias("h_hi"))
+    # r16 (guide §2.4/§5, scan-audit worklist): codes feeds the query
+    # row AND the scan, comps the query components AND the ground
+    # truth, hits the recall row AND the graded readout — lazily
+    # composed q291 planned 8 scans of embeddings (each re-running the
+    # 64-step pack fold). Pin the reused frames; same exact integers.
+    codes = emb.select(
+        "vec_id", pack(0).alias("h_lo"), pack(32).alias("h_hi")
+    ).localCheckpoint(eager=False)
     q = codes.filter(F.col("vec_id") == 0).select(
         F.col("h_lo").alias("q_lo"), F.col("h_hi").alias("q_hi")
     )
@@ -1615,7 +1683,7 @@ def q291_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("dim").cast("long").alias("dim"),
         F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("c_e6"),
-    )
+    ).localCheckpoint(eager=False)
     qc = comps.filter(F.col("vec_id") == 0).select(
         "dim", F.col("c_e6").alias("q_e6")
     )
@@ -1641,7 +1709,7 @@ def q291_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "hamming",
         F.coalesce("__h", F.lit(0)).cast("long").alias("hit_exact"),
-    )
+    ).localCheckpoint(eager=False)
     rec = hits.agg(
         (F.sum("hit_exact") * 1000).cast("long").alias("recall_at_10_e4")
     )

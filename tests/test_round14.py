@@ -135,7 +135,7 @@ def test_gc_spares_recent_artifact_dirs(spark, tmp_path, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@pytest.mark.parametrize("k", [1, 3, 5])
+@pytest.mark.parametrize("k", [1, 5])
 def test_q309_split_invariance(spark, sf_dir, k):
     """The incremental near-dup MERGE's final pair table equals the
     from-scratch full-corpus recompute under ANY shard batch split —

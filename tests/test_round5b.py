@@ -85,7 +85,7 @@ def test_weighted_sample_prefers_heavy_weights(spark):
         weighted_sample_topk(df, "doc_id", "w", k=0)
 
 
-@pytest.mark.parametrize("k", [1, 20])
+@pytest.mark.parametrize("k", [1, 8])
 def test_stream_full_outer_split_invariance(spark, sf_dir, k):
     """q142's full-outer interval join must converge to the batch FULL
     OUTER join for any micro-batch split (q142 grades k=5 vs duckdb)."""
@@ -147,7 +147,7 @@ def test_stream_full_outer_split_invariance(spark, sf_dir, k):
     assert got == want
 
 
-@pytest.mark.parametrize("k", [1, 20])
+@pytest.mark.parametrize("k", [1, 8])
 def test_streaming_rollup_view_split_invariance(spark, sf_dir, k):
     """q151's materialized view must equal the batch rollup for any
     split (q151 grades k=5 vs duckdb)."""

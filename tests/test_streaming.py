@@ -54,7 +54,7 @@ def test_stream_catchup_equals_protocol(spark, sf_dir):
     assert protocol == catchup
 
 
-@pytest.mark.parametrize("k", [1, 5, 20])
+@pytest.mark.parametrize("k", [1, 8])
 def test_batch_split_invariance_tumbling(spark, sf_dir, k):
     """Tumbling-window counts must not depend on how the stream is split."""
     replay_dir = write_replay_batches(spark, sf_dir, k)
@@ -325,7 +325,7 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir):
             shutil.rmtree(d, ignore_errors=True)
 
 
-@pytest.mark.parametrize("k", [1, 20])
+@pytest.mark.parametrize("k", [1, 8])
 def test_funnel_stream_split_invariance(spark, sf_dir, k):
     """The stateful streaming funnel must equal the batch funnel operator
     for any micro-batch split (q98 covers k=5 vs the SQL oracle; this
@@ -374,7 +374,7 @@ def test_complete_mode_ignores_wrong_final_batch_id(spark, sf_dir):
     assert {(r["event_type"], r["n"]) for r in out.collect()} == expected
 
 
-@pytest.mark.parametrize("k", [1, 20])
+@pytest.mark.parametrize("k", [1, 8])
 def test_cusum_stream_split_invariance(spark, sf_dir, k):
     """Streaming CUSUM must equal the batch q219 trajectory summary for
     any micro-batch split (q229 covers k=5 vs the recursive-CTE oracle;
